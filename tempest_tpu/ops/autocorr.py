@@ -1,0 +1,209 @@
+"""FFT autocorrelation and screen-timing estimators (refresh rate, line count).
+
+Capability parity with the reference's ``Autocorrelations`` module
+(``/root/reference/src/Autocorrelations.jl:23-53``) plus fully-automated
+refresh/line-count estimation that the reference does half-interactively
+(argmax over a zoom window in ``GUI.jl:73-81`` for the refresh; a *user click*
+or the offline script's first-500-lags argmax for the line count,
+``production/investigate_data.jl:69-82``).
+
+TPU-native design notes:
+
+* The envelope is real, so we use ``rfft``/``irfft`` — half the FFT work of
+  the reference's complex FFT pair.
+* Lag index 0 of the returned array always corresponds to lag
+  ``round(min_delay * fs)`` samples.  With ``min_delay=0`` (every live call in
+  the reference) the conventions coincide exactly; note the reference's
+  ``zoom_autocorr`` labels 1-indexed position ``pos`` with rate ``Fs/pos``,
+  a one-sample axis skew that our 0-indexed convention removes.
+* Peak positions are refined by parabolic interpolation over the correlation
+  peak, giving sub-sample lag (hence sub-Hz refresh and sub-line count)
+  resolution — important because one lag at 20 Msps is 0.36 lines at 1080p60.
+* Everything is shape-static and jittable; the estimators return traced
+  scalars so they can live inside a fused end-to-end pipeline.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "autocorrelation",
+    "zoom_autocorr",
+    "parabolic_peak",
+    "estimate_refresh",
+    "estimate_line_count",
+]
+
+_EPS = 1e-30
+
+
+def autocorrelation(
+    x: jnp.ndarray,
+    fs: float,
+    min_delay: float,
+    max_delay: float,
+    scale: str = "log",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Circular autocorrelation magnitude over lags in ``[min_delay, max_delay)``
+    seconds (reference ``calculate_autocorrelation``,
+    ``Autocorrelations.jl:23-37``).
+
+    Returns ``(gamma, lags)`` where ``gamma[k]`` is ``10*log10(|corr|^2)`` (or
+    ``|corr|^2`` for ``scale="linear"``) at lag ``lags[k]`` seconds, starting
+    at lag index ``round(min_delay * fs)``.  FFT length is
+    ``min(2 * round(max_delay * fs), len(x))`` like the reference.
+    """
+    i_lo = int(round(min_delay * fs))
+    i_hi = int(round(max_delay * fs))  # exclusive lag bound
+    n = min(2 * i_hi, x.shape[0])
+    xw = x[:n]
+    if jnp.iscomplexobj(xw):
+        spec = jnp.fft.fft(xw)
+        corr = jnp.fft.ifft(spec * jnp.conj(spec))
+        power = jnp.abs(corr[i_lo:i_hi]) ** 2
+    else:
+        spec = jnp.fft.rfft(xw.astype(jnp.float32))
+        corr = jnp.fft.irfft(jnp.abs(spec) ** 2, n=n)
+        power = corr[i_lo:i_hi] ** 2
+    lags = jnp.arange(i_lo, i_hi) / fs
+    if scale == "log":
+        return 10.0 * jnp.log10(power + _EPS), lags
+    return power, lags
+
+
+def zoom_autocorr(
+    gamma: jnp.ndarray, fs: float, rate_min: float = 20.0, rate_max: float = 100.0
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Re-window an autocorrelation (lag k ↔ k/fs, i.e. ``min_delay=0``) to
+    the band of repetition rates ``[rate_min, rate_max]`` Hz (reference
+    ``zoom_autocorr``, ``Autocorrelations.jl:42-53``).
+
+    Returns ``(rates, gamma_slice)`` with ``rates`` descending from near
+    ``rate_max`` to ``rate_min``.
+    """
+    n = gamma.shape[0]
+    pos_lo = min(int(round(fs / rate_max)), n - 1)
+    pos_hi = min(int(round(fs / rate_min)), n - 1)
+    pos = jnp.arange(pos_lo, pos_hi + 1)
+    return fs / pos, gamma[pos_lo : pos_hi + 1]
+
+
+def parabolic_peak(y: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Sub-sample peak location: fit a parabola through ``y[idx-1:idx+2]`` and
+    return the refined fractional index.  Falls back to ``idx`` at the array
+    edges or for a degenerate (flat) vertex."""
+    n = y.shape[0]
+    i = jnp.clip(idx, 1, n - 2)
+    ym1, y0, yp1 = y[i - 1], y[i], y[i + 1]
+    denom = ym1 - 2.0 * y0 + yp1
+    delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (ym1 - yp1) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    refined = i + delta
+    return jnp.where((idx >= 1) & (idx <= n - 2), refined, idx.astype(refined.dtype))
+
+
+def _lerp(values: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Linear interpolation of a 1-D array at fractional positions."""
+    n = values.shape[0]
+    pos = jnp.clip(pos, 0.0, n - 1.000001)
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    frac = pos - i0
+    return values[i0] * (1.0 - frac) + values[i0 + 1] * frac
+
+
+def refine_period(
+    lin: jnp.ndarray,
+    lag0: jnp.ndarray,
+    half_window: int,
+    harmonics: int = 5,
+    step: float = 0.125,
+) -> jnp.ndarray:
+    """Fractional-period refinement by an interpolated harmonic comb.
+
+    The true repetition period is generically a *non-integer* number of
+    samples and the envelope's correlation peaks are ~1 sample wide, so
+    comparisons between discrete bins are dominated by sub-sample straddle.
+    This scores every candidate period on a ``step``-sample grid around
+    ``lag0`` by the summed linearly-interpolated correlation at its first
+    ``harmonics`` multiples: only the true period keeps all its harmonics on
+    peak tops simultaneously, and harmonic k narrows the alignment tolerance
+    by 1/k.  Returns the refined fractional lag.
+    """
+    n = lin.shape[0]
+    offs = jnp.arange(-half_window / step, half_window / step + 1) * step
+    cand = lag0.astype(jnp.float32) + offs.astype(jnp.float32)
+    score = jnp.zeros(cand.shape, lin.dtype)
+    count = jnp.zeros(cand.shape, lin.dtype)
+    for k in range(1, harmonics + 1):
+        pos = k * cand
+        valid = pos < n - 1
+        score = score + jnp.where(valid, _lerp(lin, pos), 0.0)
+        count = count + valid.astype(lin.dtype)
+    return cand[jnp.argmax(score / jnp.maximum(count, 1.0))]
+
+
+def estimate_refresh(
+    gamma: jnp.ndarray,
+    fs: float,
+    rate_min: float = 50.0,
+    rate_max: float = 90.0,
+    harmonics: int = 5,
+    scale: str = "log",
+) -> jnp.ndarray:
+    """Refresh rate fv [Hz] from the autocorrelation (automates
+    ``GUI.jl:73-81``), with two robustness upgrades over the reference's bare
+    argmax:
+
+    * a screen emanation's autocorrelation peaks at every ``k·P + m·L``
+      (P frame period, L line period); when adjacent rows are similar the
+      ``m = ±1`` side peaks rival the true one and a bare integer argmax can
+      land a full line period off (tens of mHz of refresh error, one line of
+      skew per frame);
+    * the true P is a non-integer number of samples, so discrete-bin peak
+      values are corrupted by sub-sample straddle.
+
+    Both are fixed by ``refine_period``'s fractional interpolated comb seeded
+    from the coarse argmax.  Pass the same ``gamma`` the display path uses
+    (log scale by default); the comb internally works on linear power.
+    """
+    n = gamma.shape[0]
+    lin = 10.0 ** (gamma / 10.0) if scale == "log" else gamma
+    pos_lo = min(int(round(fs / rate_max)), n - 1)
+    pos_hi = min(int(round(fs / rate_min)), n - 1)
+    window = lin[pos_lo : pos_hi + 1]
+    lag0 = pos_lo + jnp.argmax(window)
+    # Comb window: generously covers ±3 line periods for any plausible mode
+    # (L ≤ fs / (50 Hz · 200 lines)); static because fs is static.
+    half = max(int(3 * fs / 10000), 8)
+    lag = refine_period(lin, lag0, half, harmonics)
+    return fs / lag
+
+
+def estimate_line_count(
+    gamma: jnp.ndarray,
+    fs: float,
+    fv: jnp.ndarray | float,
+    y_min: int = 200,
+    y_max: int = 2500,
+) -> jnp.ndarray:
+    """Total line count y_t: the autocorrelation peaks at the *line* period
+    ``fs / (fv * y_t)``; search that lag over plausible line counts and refine
+    sub-sample, then ``y_t = fs / (fv * lag)``.
+
+    This replaces the reference's interactive click on the zoomed correlation
+    (``GUI.jl:512-523``, ``delay2yt``) and is more direct than the offline
+    script's windowed argmax (``production/investigate_data.jl:69-82``): we
+    search the line-period peak itself rather than an offset from the frame
+    peak.  Static slice bounds are derived from the *static* fv search band
+    so the function stays jittable; the traced ``fv`` only enters the final
+    division.
+    """
+    # Static lag window from the extreme plausible (fv, y_t) combinations.
+    lag_lo = max(int(fs / (90.0 * y_max)) - 2, 1)
+    lag_hi = min(int(fs / (50.0 * y_min)) + 2, gamma.shape[0] - 1)
+    window = gamma[lag_lo : lag_hi + 1]
+    idx = jnp.argmax(window)
+    lag = lag_lo + parabolic_peak(window, idx)
+    return fs / (fv * lag)

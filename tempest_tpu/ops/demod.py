@@ -1,0 +1,44 @@
+"""Demodulation kernels.
+
+Capability parity with the reference's ``Demodulation.jl``
+(``/root/reference/src/Demodulation.jl:17-35``): AM envelope, inverted
+normalised AM, and the FM discriminator.  These are pure element-wise jnp ops —
+XLA fuses them into whatever consumes them (the envelope feeds straight into
+the resampler gather in the jitted pipeline, so no extra HBM round-trip
+happens), which is the TPU-native replacement for the reference's
+``@inbounds @simd`` loops.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["am_demod", "am_demod_power", "invert_am_demod", "fm_demod"]
+
+
+def am_demod(sig: jnp.ndarray) -> jnp.ndarray:
+    """AM envelope ``|z|`` (reference ``amDemod``, ``Demodulation.jl:26-28``)."""
+    return jnp.abs(sig)
+
+
+def am_demod_power(sig: jnp.ndarray) -> jnp.ndarray:
+    """Squared envelope ``|z|^2`` — what the reference feeds the
+    autocorrelation estimator (``GUI.jl:70``).  Cheaper than ``|z|`` (no sqrt)
+    and monotone in it, so peak positions are unchanged."""
+    return jnp.real(sig) ** 2 + jnp.imag(sig) ** 2
+
+
+def invert_am_demod(sig: jnp.ndarray) -> jnp.ndarray:
+    """Inverted, max-normalised envelope ``1 - |z|/max|z|``
+    (reference ``invert_amDemod``, ``Demodulation.jl:31-35``)."""
+    env = jnp.abs(sig)
+    return 1.0 - env / jnp.max(env)
+
+
+def fm_demod(sig: jnp.ndarray) -> jnp.ndarray:
+    """FM discriminator ``arg(z[n] * conj(z[n-1]))`` with out[0] = 0
+    (reference ``fmDemod``, ``Demodulation.jl:17-23``, which writes
+    out[n+1] = arg(sig[n+1] conj(sig[n])) leaving out[1] zero)."""
+    prod = sig[1:] * jnp.conj(sig[:-1])
+    disc = jnp.arctan2(jnp.imag(prod), jnp.real(prod))
+    return jnp.concatenate([jnp.zeros((1,), disc.dtype), disc])

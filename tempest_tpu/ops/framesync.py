@@ -1,0 +1,172 @@
+"""Frame synchronisation: locate the blanking interval on each image axis.
+
+Capability parity with the reference's ``FrameSynchronisation`` module
+(``/root/reference/src/FrameSynchronisation.jl:19-129``): project the image
+onto each axis, smooth with a small Gaussian, and for every candidate blanking
+centre ``c`` and blanking width ``w`` score the contrast between the mean level
+inside the (circular) window ``[c-w, c+w]`` and outside it —
+
+    beta[w, c] = ((S - S_w(c)) / (2 (n - w)) + S_w(c) / (2 w))^2,
+    S_w(c) = 2 * sum_{k=c-w..c+w} profile[k mod n]
+
+(the reference's ``fill_β!`` recurrence, ``FrameSynchronisation.jl:94-112``).
+The argmax over (w, c) gives the blanking centre, i.e. the frame offset.
+
+TPU-native design: the reference updates ``S_w`` incrementally in an O(n·w)
+scalar double loop.  Every circular window sum for *all* (c, w) pairs is a
+difference of two entries of one prefix sum over a wrap-padded profile, so the
+whole score matrix is two broadcast gathers + elementwise math — a single XLA
+fusion on the VPU with no sequential dependence (SURVEY.md §7 step 2).
+
+Bug fixed relative to the reference: ``vsync`` there fills ``β_x`` from the
+column profile but reads the argmax from ``β_y`` and vice versa
+(``FrameSynchronisation.jl:65-66`` vs ``:75-76``), so each axis's answer comes
+from the *other* axis's stale scores.  Here each axis is scored and read
+consistently.  We also apply the Gaussian smoothing zero-phase ('same'
+correlation) instead of the reference's causal ``filt``, which shifted the
+detected centre by half the kernel length.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "SyncSpec",
+    "sync_spec_for_axis",
+    "gaussian_kernel",
+    "smooth_profile",
+    "blank_scores",
+    "contrast_scores",
+    "find_blank",
+    "frame_sync",
+    "align_frame",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class SyncSpec:
+    """Search bounds for one axis (reference ``Sync``,
+    ``FrameSynchronisation.jl:19-23``)."""
+
+    w_min: int  # minimum blanking half-width
+    w_max: int  # maximum blanking half-width
+    n: int      # profile length (lines or columns)
+
+
+def sync_spec_for_axis(n: int, min_fraction: float) -> SyncSpec:
+    """Reference bounds (``FrameSynchronisation.jl:36-41``): w in
+    [ceil(min_fraction * n), floor(n / 4)]; min_fraction is 1% for the row
+    (y) axis and 5% for the column (x) axis."""
+    return SyncSpec(int(np.ceil(min_fraction * n)), int(np.floor(n / 4)), n)
+
+
+def gaussian_kernel(n: int = 5) -> np.ndarray:
+    """Normalised Gaussian FIR ``exp(-2 k^2 / n^2)``, k in [-(n-1)/2, (n-1)/2]
+    (reference ``init_gaussian_filter``, ``FrameSynchronisation.jl:124-129``)."""
+    assert n % 2 == 1, "Gaussian kernel length must be odd"
+    k = np.arange(n) - (n - 1) // 2
+    h = np.exp(-2.0 * k**2 / n**2)
+    return (h / h.sum()).astype(np.float32)
+
+
+def smooth_profile(profile: jnp.ndarray, kernel_len: int = 5) -> jnp.ndarray:
+    """Zero-phase Gaussian smoothing with circular wrap (the profile is a
+    circular quantity — the blanking window itself wraps)."""
+    h = jnp.asarray(gaussian_kernel(kernel_len))
+    half = kernel_len // 2
+    padded = jnp.concatenate([profile[-half:], profile, profile[:half]])
+    return jnp.convolve(padded, h, mode="valid")
+
+
+def blank_scores(profile: jnp.ndarray, spec: SyncSpec) -> jnp.ndarray:
+    """Score matrix beta of shape (w_max - w_min + 1, n) for all blanking
+    hypotheses — the vectorised ``fill_β!``."""
+    n = spec.n
+    w_max = spec.w_max
+    total = jnp.sum(profile)
+    # Wrap-pad so any window [c-w, c+w] with w <= w_max is a contiguous slice.
+    ext = jnp.concatenate([profile[-w_max:], profile, profile[:w_max]])
+    # Prefix sum with leading zero: P[k] = sum(ext[:k]).
+    prefix = jnp.concatenate([jnp.zeros((1,), profile.dtype), jnp.cumsum(ext)])
+    cs = jnp.arange(n)[None, :] + w_max          # window centres in ext coords
+    ws = jnp.arange(spec.w_min, w_max + 1)[:, None].astype(profile.dtype)
+    wi = jnp.arange(spec.w_min, w_max + 1)[:, None]
+    window = prefix[cs + wi + 1] - prefix[cs - wi]   # sum over [c-w, c+w]
+    inner = 2.0 * window                              # reference's _Σ
+    beta = (total - inner) / (2.0 * (n - ws)) + inner / (2.0 * ws)
+    return beta * beta
+
+
+def contrast_scores(profile: jnp.ndarray, spec: SyncSpec) -> jnp.ndarray:
+    """Polarity-symmetric blanking score: ``(mean inside − mean outside)^2``
+    for every circular window.
+
+    The reference's formula (``blank_scores``) grows with the window *sum*, so
+    it only finds blanking that is brighter than content — true for its live
+    captures (intermodulation makes blanking bright; the code comment at
+    ``FrameSynchronisation.jl:51-53`` notes the polarity ambiguity but the
+    shipped path hardcodes ``findmax``).  Scoring the squared difference of
+    means instead locks onto the band most *different* from the rest, which
+    works for dark or bright blanking without configuration.
+    """
+    n = spec.n
+    w_max = spec.w_max
+    total = jnp.sum(profile)
+    ext = jnp.concatenate([profile[-w_max:], profile, profile[:w_max]])
+    prefix = jnp.concatenate([jnp.zeros((1,), profile.dtype), jnp.cumsum(ext)])
+    cs = jnp.arange(n)[None, :] + w_max
+    wi = jnp.arange(spec.w_min, w_max + 1)[:, None]
+    window = prefix[cs + wi + 1] - prefix[cs - wi]
+    size_in = (2 * wi + 1).astype(profile.dtype)
+    mean_in = window / size_in
+    mean_out = (total - window) / (n - size_in)
+    d = mean_in - mean_out
+    return d * d
+
+
+def find_blank(
+    profile: jnp.ndarray, spec: SyncSpec, method: str = "contrast"
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Best blanking centre for one smoothed profile: returns (centre, score).
+    ``method="contrast"`` uses the symmetric score (default);
+    ``method="reference"`` reproduces the reference's ``findmax`` over
+    ``fill_β!`` scores (``FrameSynchronisation.jl:53,66``)."""
+    scores = contrast_scores if method == "contrast" else blank_scores
+    beta = scores(profile, spec)
+    flat = jnp.argmax(beta)
+    centre = flat % spec.n
+    return centre, beta.reshape(-1)[flat]
+
+
+@partial(jax.jit, static_argnames=("y_min_frac", "x_min_frac", "method"))
+def frame_sync(
+    image: jnp.ndarray,
+    y_min_frac: float = 0.01,
+    x_min_frac: float = 0.05,
+    method: str = "contrast",
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Find the (row, column) blanking position of ``image`` — the fixed
+    ``vsync`` (``FrameSynchronisation.jl:56-79``).
+
+    Returns ``(s_y, s_x, score)`` where score (sum of both axes' best
+    contrasts) doubles as the sync-quality metric used by the sharded
+    video-mode hypothesis search.
+    """
+    y_t, x_t = image.shape
+    row_profile = smooth_profile(jnp.sum(image, axis=1))  # one value per line
+    col_profile = smooth_profile(jnp.sum(image, axis=0))  # one value per column
+    s_y, score_y = find_blank(row_profile, sync_spec_for_axis(y_t, y_min_frac), method)
+    s_x, score_x = find_blank(col_profile, sync_spec_for_axis(x_t, x_min_frac), method)
+    return s_y, s_x, score_y + score_x
+
+
+def align_frame(image: jnp.ndarray, s_y: jnp.ndarray, s_x: jnp.ndarray) -> jnp.ndarray:
+    """Roll the blanking position to the image border
+    (reference ``GUI.jl:172``: ``circshift(image, (-s_y, -s_x))``)."""
+    return jnp.roll(image, shift=(-s_y, -s_x), axis=(0, 1))

@@ -1,0 +1,297 @@
+"""Rate conversion: signal→image mapping and fractional resampling.
+
+Covers the capabilities of the reference's ``Resampler`` module
+(``/root/reference/src/Resampler.jl``):
+
+* ``sig_to_image`` / ``downgrade_image`` — the live reshaping path
+  (``Resampler.jl:117-126``): 1-D interpolate one frame's envelope to
+  ``y_t * x_t`` raster pixels, reshape to (y_t, x_t), then shrink to the
+  (600, 800) rendering size.
+* ``upsample_fft`` — the frequency-domain integer upsampler that the reference
+  builds and benchmarks but never calls live (``Resampler.jl:26-62``,
+  ``initLPF`` ``:83-99``): zero-stuff, FFT, multiply a Blackman-apodised
+  low-pass, IFFT.
+* ``naive_upsample`` — sample-repeat (``Resampler.jl:103-110``).
+* ``polyphase_resample`` — the production fractional resampler (SURVEY.md §7
+  step 2): a windowed-sinc polyphase bank addressed by per-output-sample
+  fractional phase, which locks the sample rate to the inferred pixel clock
+  with anti-aliasing — strictly better than the reference's ``imresize``
+  point-interpolation.
+
+TPU-native design: the reference's chain *upsamples* ~333 k samples to ~2.9 M
+raster pixels with ``imresize`` and then *downsamples* to 600×800 with a second
+``imresize``.  Both are point-sampling linear interpolators, so their
+composition is (to interpolation error) a single linear interpolation from
+signal index space to output-pixel space.  ``frame_to_screen`` therefore maps
+each of the 480 k output pixels straight to a fractional signal position with
+one fused gather — no 2.9 M-element intermediate, ~6× less memory traffic —
+which XLA fuses with the upstream ``|z|`` demod.  All shapes are static.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "linear_resample",
+    "sig_to_image",
+    "downgrade_image",
+    "frame_to_screen",
+    "frame_to_screen_dynamic",
+    "naive_upsample",
+    "upsample_fft",
+    "make_fft_upsampler_filter",
+    "polyphase_filter_bank",
+    "polyphase_resample",
+    "RENDER_SIZE",
+]
+
+RENDER_SIZE = (600, 800)  # reference RENDERING_SIZE (GUI.jl:10)
+
+
+def _interp_positions(n_in: int, n_out: int) -> tuple[np.ndarray, np.ndarray]:
+    """Half-pixel-centred source positions for resizing n_in → n_out."""
+    pos = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    pos = np.clip(pos, 0.0, n_in - 1.0)
+    i0 = np.floor(pos).astype(np.int32)
+    i0 = np.minimum(i0, n_in - 2) if n_in > 1 else i0
+    frac = (pos - i0).astype(np.float32)
+    return i0, frac
+
+
+def linear_resample(sig: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """1-D linear interpolation of ``sig`` to ``n_out`` points (the
+    ``imresize``-equivalent used by the reference's live path).  Gather-based:
+    positions are compile-time constants for static shapes."""
+    n_in = sig.shape[0]
+    i0, frac = _interp_positions(n_in, n_out)
+    i0 = jnp.asarray(i0)
+    frac = jnp.asarray(frac)
+    return sig[i0] * (1.0 - frac) + sig[i0 + 1] * frac
+
+
+def sig_to_image(sig: jnp.ndarray, y_t: int, x_t: int) -> jnp.ndarray:
+    """One frame's envelope → full-resolution (y_t, x_t) image (reference
+    ``sig_to_image``, ``Resampler.jl:117-122``: resample to ``y_t*x_t`` pixels
+    then fill line by line)."""
+    flat = linear_resample(sig, y_t * x_t)
+    return flat.reshape(y_t, x_t)
+
+
+def downgrade_image(
+    image: jnp.ndarray, out_shape: tuple[int, int] = RENDER_SIZE
+) -> jnp.ndarray:
+    """Bilinear shrink to the rendering size (reference ``downgradeImage``,
+    ``Resampler.jl:124-126``)."""
+    h_in, w_in = image.shape
+    h_out, w_out = out_shape
+    r0, rf = _interp_positions(h_in, h_out)
+    c0, cf = _interp_positions(w_in, w_out)
+    r0, rf = jnp.asarray(r0), jnp.asarray(rf)[:, None]
+    c0, cf = jnp.asarray(c0), jnp.asarray(cf)[None, :]
+    top = image[r0][:, c0] * (1 - cf) + image[r0][:, c0 + 1] * cf
+    bot = image[r0 + 1][:, c0] * (1 - cf) + image[r0 + 1][:, c0 + 1] * cf
+    return top * (1 - rf) + bot * rf
+
+
+def frame_to_screen(
+    sig: jnp.ndarray,
+    y_t: int,
+    x_t: int,
+    out_shape: tuple[int, int] = RENDER_SIZE,
+) -> jnp.ndarray:
+    """Fused fast path: one frame's envelope straight to the (600, 800) screen.
+
+    Equivalent (to interpolation error) to
+    ``downgrade_image(sig_to_image(sig, y_t, x_t))`` — the reference's
+    two-``imresize`` chain (``GUI.jl:168``) — but with a single gather over the
+    envelope and no ``y_t*x_t`` intermediate.
+    """
+    n_in = sig.shape[0]
+    h_out, w_out = out_shape
+    ratio = n_in / (y_t * x_t)  # signal samples per raster pixel
+    # Output pixel (r, c) ← raster position ((r+.5)*y_t/h - .5, (c+.5)*x_t/w - .5).
+    ry = np.clip((np.arange(h_out, dtype=np.float64) + 0.5) * (y_t / h_out) - 0.5,
+                 0.0, y_t - 1.0)
+    cx = np.clip((np.arange(w_out, dtype=np.float64) + 0.5) * (x_t / w_out) - 0.5,
+                 0.0, x_t - 1.0)
+    # Bilinear across scan *lines* (positions x_t samples apart in the signal)
+    # and along the scan — the same interpolation the two-imresize chain
+    # performs, as one fused 4-tap gather.
+    r0 = np.minimum(np.floor(ry).astype(np.int64), max(y_t - 2, 0))
+    wr = (ry - r0).astype(np.float32)[:, None]
+
+    def line_positions(line_idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        flat = line_idx[:, None] * x_t + cx[None, :]
+        pos = np.clip((flat + 0.5) * ratio - 0.5, 0.0, n_in - 1.0)
+        i0 = np.minimum(np.floor(pos).astype(np.int32), max(n_in - 2, 0))
+        return i0, (pos - i0).astype(np.float32)
+
+    i_top, f_top = line_positions(r0)
+    i_bot, f_bot = line_positions(np.minimum(r0 + 1, y_t - 1))
+    top = sig[jnp.asarray(i_top)] * (1.0 - f_top) + sig[jnp.asarray(i_top) + 1] * f_top
+    bot = sig[jnp.asarray(i_bot)] * (1.0 - f_bot) + sig[jnp.asarray(i_bot) + 1] * f_bot
+    return top * (1.0 - wr) + bot * wr
+
+
+def frame_to_screen_dynamic(
+    sig: jnp.ndarray,
+    y_t: jnp.ndarray,
+    x_t: jnp.ndarray,
+    out_shape: tuple[int, int] = RENDER_SIZE,
+) -> jnp.ndarray:
+    """``frame_to_screen`` with *traced* raster geometry.
+
+    ``y_t`` / ``x_t`` are data, not trace constants, so one compiled program
+    evaluates any candidate video mode — this is what lets the multi-mode
+    hypothesis search vmap/shard candidates across devices without a
+    recompile per mode (SURVEY.md §2 "parallelism strategies", hypothesis
+    parallel).  Costs one dynamic gather instead of a constant-index gather.
+    """
+    n_in = sig.shape[0]
+    h_out, w_out = out_shape
+    y_t = jnp.asarray(y_t, jnp.float32)
+    x_t = jnp.asarray(x_t, jnp.float32)
+    ratio = n_in / (y_t * x_t)
+    ry = jnp.clip(
+        (jnp.arange(h_out, dtype=jnp.float32) + 0.5) * (y_t / h_out) - 0.5,
+        0.0, y_t - 1.0,
+    )
+    cx = jnp.clip(
+        (jnp.arange(w_out, dtype=jnp.float32) + 0.5) * (x_t / w_out) - 0.5,
+        0.0, x_t - 1.0,
+    )
+    r0 = jnp.minimum(jnp.floor(ry), jnp.maximum(y_t - 2.0, 0.0))
+    wr = (ry - r0)[:, None]
+
+    def line_sample(line_idx: jnp.ndarray) -> jnp.ndarray:
+        flat = line_idx[:, None] * x_t + cx[None, :]
+        pos = jnp.clip((flat + 0.5) * ratio - 0.5, 0.0, n_in - 1.0)
+        i0 = jnp.minimum(jnp.floor(pos).astype(jnp.int32), max(n_in - 2, 0))
+        frac = pos - i0.astype(jnp.float32)
+        return sig[i0] * (1.0 - frac) + sig[i0 + 1] * frac
+
+    top = line_sample(r0)
+    bot = line_sample(jnp.minimum(r0 + 1.0, y_t - 1.0))
+    return top * (1.0 - wr) + bot * wr
+
+
+def naive_upsample(sig: jnp.ndarray, up: int) -> jnp.ndarray:
+    """Sample-repeat upsampling (reference ``naiveResampler``,
+    ``Resampler.jl:103-110``)."""
+    return jnp.repeat(sig, up)
+
+
+def make_fft_upsampler_filter(n_fft: int, up: int) -> np.ndarray:
+    """Frequency response of a linear-phase Blackman-apodised low-pass with
+    cutoff π/up, synthesised by frequency sampling — the same *method* as the
+    reference's ``initLPF`` (``Resampler.jl:83-99``), built host-side once per
+    (n_fft, up) and folded into the jitted graph as a constant."""
+    # Ideal brick wall over the positive-frequency bins only (the reference
+    # keeps one side and recovers with 2*Re(.) afterwards; we do the same).
+    bound = int(round(n_fft / up / 2))
+    mag = np.zeros(n_fft)
+    mag[:bound] = 1.0
+    # Linear phase (group delay (N-1)/2) centres the impulse response under
+    # the Blackman window...
+    k = np.arange(n_fft)
+    h = np.fft.ifft(mag * np.exp(-1j * np.pi * (n_fft - 1) * k / n_fft))
+    h = h * np.blackman(n_fft)
+    # ...and the (-1)^k on the *frequency* response circularly shifts the
+    # windowed filter back by N/2, undoing that delay (``Resampler.jl:97``).
+    return (np.fft.fft(h) * (-1.0) ** k).astype(np.complex64)
+
+
+def upsample_fft(sig: jnp.ndarray, up: int) -> jnp.ndarray:
+    """Integer upsampling by zero-stuffing + frequency-domain low-pass
+    (reference ``init_resampler`` closure, ``Resampler.jl:42-60``): output is
+    ``2 * up * Re(ifft(fft(stuffed) * H))``."""
+    n_fft = sig.shape[0] * up
+    stuffed = jnp.zeros((n_fft,), sig.dtype).at[::up].set(sig)
+    h = jnp.asarray(make_fft_upsampler_filter(n_fft, up))
+    out = jnp.fft.ifft(jnp.fft.fft(stuffed) * h)
+    return 2.0 * up * jnp.real(out)
+
+
+def polyphase_filter_bank(
+    num_phases: int = 64, taps_per_phase: int = 8, cutoff: float = 1.0
+) -> np.ndarray:
+    """Windowed-sinc polyphase bank: (num_phases, taps_per_phase) float32.
+
+    Phase ``p`` holds the interpolation filter for fractional offset
+    ``p / num_phases``; ``cutoff`` ≤ 1 scales the passband (set to
+    ``min(1, out_rate/in_rate)`` when decimating, for anti-aliasing).
+    """
+    half = taps_per_phase // 2
+    taps = np.empty((num_phases, taps_per_phase), np.float64)
+    for p in range(num_phases):
+        frac = p / num_phases
+        t = np.arange(-half + 1, half + 1) - frac  # offsets of contributing samples
+        x = cutoff * t
+        s = cutoff * np.sinc(x)
+        # Blackman window over the tap support.
+        w = np.blackman(2 * taps_per_phase + 1)
+        win = np.interp(t, np.linspace(-half, half, 2 * taps_per_phase + 1), w)
+        taps[p] = s * win
+        total = taps[p].sum()
+        if abs(total) > 1e-9:
+            taps[p] /= total  # unity DC gain per phase
+    return taps.astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("n_out", "num_phases", "taps_per_phase"))
+def _polyphase_apply(
+    sig: jnp.ndarray,
+    ratio: jnp.ndarray,
+    bank: jnp.ndarray,
+    n_out: int,
+    num_phases: int,
+    taps_per_phase: int,
+) -> jnp.ndarray:
+    half = taps_per_phase // 2
+    # Tap j of phase p weights input sample base - (half-1) + j (the bank's
+    # sinc argument grid is arange(-half+1, half+1) - frac).
+    pad = jnp.pad(sig, (half - 1, half + 1), mode="edge")
+    # Fractional input position of every output sample; ratio may be traced
+    # (pixel-clock lock) — only positions depend on it, shapes are static.
+    pos = jnp.arange(n_out, dtype=jnp.float32) * ratio
+    base = jnp.floor(pos).astype(jnp.int32)
+    frac = pos - base
+    phase = jnp.clip((frac * num_phases).astype(jnp.int32), 0, num_phases - 1)
+    # (n_out, taps) windows + matching phase filters, contracted on taps.
+    offs = jnp.arange(taps_per_phase, dtype=jnp.int32)[None, :]
+    windows = pad[base[:, None] + offs]
+    return jnp.sum(windows * bank[phase], axis=-1)
+
+
+def polyphase_resample(
+    sig: jnp.ndarray,
+    n_out: int,
+    ratio: jnp.ndarray | float,
+    num_phases: int = 64,
+    taps_per_phase: int = 8,
+    cutoff: float | None = None,
+) -> jnp.ndarray:
+    """Fractional resampling: output sample ``i`` interpolates the input at
+    position ``i * ratio`` through a windowed-sinc polyphase bank.
+
+    ``ratio`` (input samples per output sample) may be a traced scalar, so the
+    pipeline can lock the resampling ratio to the *estimated* pixel clock
+    without recompiling (SURVEY.md §7 "hard parts" (1)).  ``n_out`` is static.
+    """
+    if cutoff is None:
+        r = float(ratio) if not isinstance(ratio, jnp.ndarray) else None
+        cutoff = 1.0 if r is None or r <= 1.0 else 1.0 / r
+    bank = jnp.asarray(polyphase_filter_bank(num_phases, taps_per_phase, cutoff))
+    return _polyphase_apply(
+        sig,
+        jnp.asarray(ratio, jnp.float32),
+        bank,
+        n_out,
+        num_phases,
+        taps_per_phase,
+    )

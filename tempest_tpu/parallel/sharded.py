@@ -1,0 +1,224 @@
+"""Multi-chip pipelines: time-block data parallelism with ICI halo exchange,
+cross-shard frame averaging, and sharded video-mode hypothesis search.
+
+This is the TPU-native generalisation of the reference's 3-thread pipeline
+(SURVEY.md §2): instead of producer/consumer threads around a lock-based ring
+buffer, the IQ timeline is laid out as ``(n_shards, samples_per_shard)`` and
+sharded across the ``"blocks"`` mesh axis.  Each device reconstructs the frames
+inside its shard; the only cross-device traffic is
+
+* a *halo exchange* (``lax.ppermute`` over ICI) handing each device the first
+  ``overlap`` samples of its right neighbour, so frame cuts that straddle a
+  shard boundary see contiguous signal (overlap-save; SURVEY.md §5
+  "long-context/sequence parallelism" — the reference instead cuts frames
+  buffer-aligned and drifts, ``GUI.jl:165-166``), and
+* an EMA *combine*: the exponential average is a linear recurrence
+  ``e' = α e + (1-α) f``, so a shard of k frames acts on the carried image as
+  ``e' = A e + B`` with ``A = α^k`` and ``B`` the shard's zero-initialised
+  EMA.  Shards compose associatively in time order; we ``all_gather`` the
+  per-shard ``(A, B)`` (one image each) and fold — O(log) depth collective +
+  n tiny fmas, instead of serialising all frames through one device.
+
+The mode search shards *candidate video modes* instead of time: every device
+scores a slice of the hypothesis set on the same signal using the
+dynamic-geometry resampler, and one ``argmax`` over the gathered scores picks
+the mode — automating what the reference leaves to a human click on the
+correlation plot (``GUI.jl:512-523``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.demod import am_demod
+from ..ops.framesync import align_frame, frame_sync
+from ..ops.resample import RENDER_SIZE, frame_to_screen, frame_to_screen_dynamic
+from ..pipeline.offline import ReconstructionConfig
+from ..video.modes import VideoMode
+
+__all__ = [
+    "sharded_reconstruct_fn",
+    "sharded_mode_search",
+    "ModeSearchResult",
+]
+
+
+def sharded_reconstruct_fn(
+    config: ReconstructionConfig,
+    mesh: Mesh,
+    axis: str = "blocks",
+):
+    """Build the jitted multi-chip reconstruction step.
+
+    Returns ``step(iq_shards, ema, alpha)`` with ``iq_shards`` of shape
+    ``(n_shards, shard_samples)`` sharded over ``axis`` — consecutive,
+    *non-overlapping* spans of the IQ timeline (the halo travels over ICI, the
+    host never duplicates samples).  ``n_shards`` must equal the mesh axis
+    size.  The timeline is treated as circular (file replay loops), so the
+    last shard's halo wraps to the first — matching the ``:radiosim``
+    steady state.
+
+    Per shard: AM demod → fractional frame cuts → fused resample to the render
+    size → frame sync → align → local EMA; then the (A, B) EMA combine across
+    shards.  Output: (ema_image, frames, sync, score) with frames/sync/score
+    sharded over the leading axis.
+    """
+    n_shards = mesh.shape[axis]
+    fs = config.sample_rate
+    mode = config.mode
+    n_frames = config.n_frames  # frames *per shard*
+    h, w = config.render_size
+    spf = fs / mode.refresh
+    frame_len = int(np.floor(spf))
+    starts = np.round(np.arange(n_frames) * spf).astype(np.int32)
+    # Right-halo size: frame cuts within a shard may overrun by < one frame.
+    shard_samples_min = int(np.ceil(starts[-1] + frame_len))
+    overlap = frame_len + 1
+
+    def local_step(iq_local, ema, alpha):
+        # iq_local: (1, shard_samples) — this shard's span of the timeline.
+        sig = iq_local[0]
+        if sig.shape[0] < shard_samples_min:
+            raise ValueError(
+                f"shard has {sig.shape[0]} samples; need ≥ {shard_samples_min} "
+                f"for {n_frames} frames"
+            )
+        # Halo exchange: receive the start of the right neighbour (circular).
+        halo = sig[:overlap]
+        perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+        halo_from_right = jax.lax.ppermute(halo, axis, perm)
+        ext = jnp.concatenate([sig, halo_from_right])
+
+        env = am_demod(ext).astype(jnp.float32)
+        if config.invert:
+            env = 1.0 - env / jnp.max(env)
+
+        def one_frame(start):
+            fsig = jax.lax.dynamic_slice(env, (start,), (frame_len,))
+            screen = frame_to_screen(fsig, mode.height, mode.width, (h, w))
+            if config.do_align:
+                s_y, s_x, score = frame_sync(screen)
+                return align_frame(screen, s_y, s_x), jnp.stack([s_y, s_x]), score
+            zero = jnp.zeros((), jnp.int32)
+            return screen, jnp.stack([zero, zero]), jnp.zeros(())
+
+        frames, sync, score = jax.vmap(one_frame)(jnp.asarray(starts))
+
+        # Local EMA from zero → B; decay over the shard → A = alpha^k.
+        def ema_step(carry, frame):
+            return alpha * carry + (1.0 - alpha) * frame, None
+
+        zero = jax.lax.pcast(jnp.zeros((h, w), jnp.float32), (axis,), to="varying")
+        b_local, _ = jax.lax.scan(ema_step, zero, frames)
+        a_local = alpha ** n_frames
+
+        # Compose shards in time order: e_d = A_d e_{d-1} + B_d.
+        b_all = jax.lax.all_gather(b_local, axis)          # (n_shards, h, w)
+        ema_out = ema
+        for d in range(n_shards):
+            ema_out = a_local * ema_out + b_all[d]
+        return ema_out[None], frames[None], sync[None], score[None]
+
+    shard_step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+    )
+
+    @jax.jit
+    def step(iq_shards, ema, alpha):
+        ema_shards, frames, sync, score = shard_step(iq_shards, ema, alpha)
+        # Every shard computed the same fold; take the first replica.
+        return ema_shards[0], frames.reshape(-1, h, w), sync.reshape(-1, 2), score.reshape(-1)
+
+    step.n_shards = n_shards
+    step.shard_samples_min = shard_samples_min
+    return step
+
+
+@dataclasses.dataclass
+class ModeSearchResult:
+    best_index: int
+    best_mode: VideoMode
+    scores: np.ndarray       # (n_candidates,) sync contrast per hypothesis
+    names: list[str]
+
+
+def sharded_mode_search(
+    iq: np.ndarray | jnp.ndarray,
+    fs: float,
+    refresh_hz: float,
+    candidates: list[tuple[str, VideoMode]],
+    mesh: Mesh,
+    axis: str = "blocks",
+    n_frames: int = 2,
+    render_size: tuple[int, int] = RENDER_SIZE,
+) -> ModeSearchResult:
+    """Score every candidate video mode on the same signal, candidates sharded
+    across the mesh; the best sync contrast wins.
+
+    One compiled program handles all geometries via the dynamic-geometry
+    resampler, so the hypothesis set is pure data: shard it, vmap it, argmax.
+    """
+    if not candidates:
+        raise ValueError("empty candidate set")
+    n_dev = mesh.shape[axis]
+    names = [n for n, _ in candidates]
+    y_arr = np.array([m.height for _, m in candidates], np.float32)
+    x_arr = np.array([m.width for _, m in candidates], np.float32)
+    n_cand = len(candidates)
+    pad = (-n_cand) % n_dev
+    if pad:
+        y_arr = np.concatenate([y_arr, np.repeat(y_arr[-1:], pad)])
+        x_arr = np.concatenate([x_arr, np.repeat(x_arr[-1:], pad)])
+
+    spf = fs / refresh_hz
+    frame_len = int(np.floor(spf))
+    starts = np.round(np.arange(n_frames) * spf).astype(np.int32)
+    need = int(starts[-1]) + frame_len
+    iq = jnp.asarray(iq)
+    if iq.shape[0] < need:
+        raise ValueError(f"need {need} samples for the mode search, got {iq.shape[0]}")
+    iq = iq[:need]
+
+    def score_one(env, y_t, x_t):
+        def per_frame(start):
+            sig = jax.lax.dynamic_slice(env, (start,), (frame_len,))
+            screen = frame_to_screen_dynamic(sig, y_t, x_t, render_size)
+            _, _, score = frame_sync(screen)
+            return score
+
+        return jnp.mean(jax.vmap(per_frame)(jnp.asarray(starts)))
+
+    def local(env, y_loc, x_loc):
+        return jax.vmap(lambda y, x: score_one(env, y, x))(y_loc, x_loc)
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+
+    @jax.jit
+    def run(iq_in, y_in, x_in):
+        env = am_demod(iq_in).astype(jnp.float32)
+        return sharded(env, y_in, x_in)
+
+    y_dev = jax.device_put(y_arr, NamedSharding(mesh, P(axis)))
+    x_dev = jax.device_put(x_arr, NamedSharding(mesh, P(axis)))
+    scores = np.asarray(run(iq, y_dev, x_dev))[:n_cand]
+    best = int(np.argmax(scores))
+    return ModeSearchResult(
+        best_index=best,
+        best_mode=candidates[best][1],
+        scores=scores,
+        names=names,
+    )

@@ -1,0 +1,209 @@
+"""Offline end-to-end reconstruction pipeline — the framework's flagship chain.
+
+Automates the reference's canonical offline analysis
+(``/root/reference/production/investigate_data.jl:37-206``) and live consumer
+loop (``coreProcessing``, ``/root/reference/src/GUI.jl:120-205``) as two jitted
+stages:
+
+1. ``estimate_timing`` — envelope power → FFT autocorrelation → refresh rate
+   fv and total line count y_t (sub-sample refined).
+2. ``reconstruct`` — envelope → per-frame signal slices → fused
+   signal→screen resampling → frame synchronisation → alignment →
+   exponentially-averaged frame.
+
+A thin host orchestrator (``auto_reconstruct``) runs stage 1, snaps the
+estimates to the video-mode database (a host-side table lookup, as in
+``GUI.jl:568-580``), then runs stage 2 with the chosen static geometry.  Stage
+boundaries are where static shapes change, so this is the natural XLA
+decomposition — *not* a port of the reference's reactive Observable graph.
+
+TPU-native details:
+* The whole of stage 2 is one fusion chain per frame batch; the EMA across
+  frames is a ``lax.scan`` carrying the averaged image (the reference's
+  ``imageOut = α·imageOut + (1-α)·image``, ``GUI.jl:175``).
+* Frames are cut by *fractional* frame period: frame n starts at
+  ``round(n * fs / fv)`` rather than ``n * round(fs / fv)``, fixing the
+  cumulative drift of the reference's integer rounding
+  (``GUI.jl:98,108`` — SURVEY.md §7 hard part (3)).
+* Per-frame blanking offsets are detected independently (vmapped) and the
+  roll is applied with dynamic shifts; all shapes stay static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.autocorr import autocorrelation, estimate_line_count, estimate_refresh
+from ..ops.demod import am_demod
+from ..ops.framesync import align_frame, frame_sync
+from ..ops.resample import RENDER_SIZE, frame_to_screen
+from ..video.modes import VideoMode, find_closest_mode
+
+__all__ = [
+    "TimingEstimate",
+    "ReconstructionConfig",
+    "Reconstruction",
+    "estimate_timing",
+    "make_reconstruct_fn",
+    "reconstruct_frames",
+    "auto_reconstruct",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class TimingEstimate:
+    refresh_hz: float
+    line_count: float
+    mode_name: str
+    mode: VideoMode
+
+
+@dataclasses.dataclass(frozen=True)
+class ReconstructionConfig:
+    """Static parameters of a reconstruction program.  A distinct config is a
+    distinct XLA executable (cached by jit)."""
+
+    sample_rate: float
+    mode: VideoMode
+    n_frames: int
+    render_size: tuple[int, int] = RENDER_SIZE
+    invert: bool = False      # blanking dark (False) or use inverted envelope
+    do_align: bool = True     # per-frame blanking alignment (GUI.jl:170-173)
+
+    @property
+    def samples_per_frame(self) -> float:
+        return self.sample_rate / self.mode.refresh
+
+    @property
+    def block_samples(self) -> int:
+        """IQ samples consumed per call: n_frames frame periods (plus one
+        frame of slack for fractional cuts)."""
+        return int(np.ceil(self.samples_per_frame * self.n_frames)) + 1
+
+
+@dataclasses.dataclass
+class Reconstruction:
+    image: np.ndarray        # EMA-averaged aligned frame (render_size)
+    frames: np.ndarray       # per-frame aligned screens (n_frames, *render_size)
+    sync: np.ndarray         # per-frame (s_y, s_x)
+    score: np.ndarray        # per-frame sync contrast score
+
+
+@partial(jax.jit, static_argnames=("fs", "corr_seconds"))
+def _timing_kernel(iq: jnp.ndarray, fs: float, corr_seconds: float):
+    env = jnp.real(iq) ** 2 + jnp.imag(iq) ** 2  # |z|^2 envelope (GUI.jl:70)
+    gamma, _ = autocorrelation(env, fs, 0.0, corr_seconds)
+    fv = estimate_refresh(gamma, fs, 50.0, 90.0)
+    y_t = estimate_line_count(gamma, fs, fv)
+    return fv, y_t
+
+
+def estimate_timing(
+    iq: np.ndarray | jnp.ndarray, fs: float, corr_seconds: float = 0.1
+) -> TimingEstimate:
+    """Stage 1: refresh rate + line count from ~``corr_seconds`` of signal,
+    snapped to the closest known video mode (automates ``GUI.jl:49-88`` +
+    the interactive y_t pick)."""
+    fv, y_t = _timing_kernel(jnp.asarray(iq), float(fs), float(corr_seconds))
+    fv_f, y_f = float(fv), float(y_t)
+    name, mode = find_closest_mode(y_f, fv_f)
+    # Keep the *measured* refresh (the true pixel clock differs from nominal —
+    # e.g. 60.14 Hz on the reference's demo capture, docs/src/gui.md:29) but
+    # the mode's pixel geometry.
+    refined = VideoMode(mode.width, mode.height, fv_f)
+    return TimingEstimate(fv_f, y_f, name, refined)
+
+
+def make_reconstruct_fn(config: ReconstructionConfig):
+    """Build the jitted stage-2 program for a fixed config.
+
+    Returns ``step(iq, ema, alpha) -> (ema', frames, sync, score)`` where
+    ``iq`` has ``config.block_samples`` complex samples and ``ema`` carries the
+    averaged image across calls (the streaming state pytree).
+    """
+    fs = config.sample_rate
+    mode = config.mode
+    n_frames = config.n_frames
+    h, w = config.render_size
+    spf = config.samples_per_frame
+    frame_len = int(np.floor(spf))  # samples fed to the resampler per frame
+    # Fractional frame-start offsets (static table, no cumulative drift).
+    starts = np.round(np.arange(n_frames) * spf).astype(np.int32)
+
+    @jax.jit
+    def step(iq: jnp.ndarray, ema: jnp.ndarray, alpha: jnp.ndarray):
+        env = am_demod(iq).astype(jnp.float32)
+        if config.invert:
+            env = 1.0 - env / jnp.max(env)
+
+        def one_frame(start):
+            sig = jax.lax.dynamic_slice(env, (start,), (frame_len,))
+            screen = frame_to_screen(sig, mode.height, mode.width, (h, w))
+            if config.do_align:
+                s_y, s_x, score = frame_sync(screen)
+                return align_frame(screen, s_y, s_x), jnp.stack([s_y, s_x]), score
+            zero = jnp.zeros((), jnp.int32)
+            return screen, jnp.stack([zero, zero]), jnp.zeros(())
+
+        frames, sync, score = jax.vmap(one_frame)(jnp.asarray(starts))
+
+        def ema_step(carry, frame):
+            out = alpha * carry + (1.0 - alpha) * frame
+            return out, None
+
+        ema_out, _ = jax.lax.scan(ema_step, ema, frames)
+        return ema_out, frames, sync, score
+
+    return step
+
+
+def reconstruct_frames(
+    iq: np.ndarray | jnp.ndarray,
+    config: ReconstructionConfig,
+    alpha: float = 0.1,
+    ema: np.ndarray | None = None,
+) -> Reconstruction:
+    """Run stage 2 over one IQ block."""
+    step = make_reconstruct_fn(config)
+    h, w = config.render_size
+    if ema is None:
+        ema0 = jnp.zeros((h, w), jnp.float32)
+    else:
+        ema0 = jnp.asarray(ema, jnp.float32)
+    n = config.block_samples
+    iq = jnp.asarray(iq)
+    if iq.shape[0] < n:
+        raise ValueError(f"need {n} samples for {config.n_frames} frames, got {iq.shape[0]}")
+    ema_out, frames, sync, score = step(iq[:n], ema0, jnp.float32(alpha))
+    return Reconstruction(
+        image=np.asarray(ema_out),
+        frames=np.asarray(frames),
+        sync=np.asarray(sync),
+        score=np.asarray(score),
+    )
+
+
+def auto_reconstruct(
+    iq: np.ndarray,
+    fs: float,
+    n_frames: int | None = None,
+    alpha: float = 0.1,
+    invert: bool = False,
+    corr_seconds: float = 0.1,
+) -> tuple[TimingEstimate, Reconstruction]:
+    """Fully automatic capture → image: the end-to-end equivalent of the
+    reference's offline script (``production/investigate_data.jl``), with the
+    interactive steps (refresh pick, line-count click) automated."""
+    timing = estimate_timing(iq, fs, corr_seconds)
+    spf = fs / timing.mode.refresh
+    if n_frames is None:
+        n_frames = max(int((len(iq) - 1) / spf), 1)
+    config = ReconstructionConfig(
+        sample_rate=fs, mode=timing.mode, n_frames=n_frames, invert=invert
+    )
+    return timing, reconstruct_frames(iq, config, alpha=alpha)

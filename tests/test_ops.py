@@ -1,0 +1,263 @@
+"""Golden-signal unit tests for the DSP kernels (SURVEY.md §4 test pyramid):
+each kernel is checked against a NumPy oracle and/or the synthetic generator's
+ground truth."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tempest_tpu.io.synthetic import generate_iq
+from tempest_tpu.ops.autocorr import (
+    autocorrelation,
+    estimate_line_count,
+    estimate_refresh,
+    zoom_autocorr,
+)
+from tempest_tpu.ops.demod import am_demod, am_demod_power, fm_demod, invert_am_demod
+from tempest_tpu.ops.framesync import (
+    align_frame,
+    blank_scores,
+    frame_sync,
+    sync_spec_for_axis,
+)
+from tempest_tpu.ops.resample import (
+    downgrade_image,
+    frame_to_screen,
+    linear_resample,
+    naive_upsample,
+    polyphase_resample,
+    sig_to_image,
+    upsample_fft,
+)
+from tempest_tpu.ops.spectrum import get_spectrum, get_waterfall, get_welch
+from tempest_tpu.video.modes import ALL_VIDEO_MODES
+
+RNG = np.random.default_rng(42)
+
+
+# ---------------------------------------------------------------- demodulation
+def test_am_demod():
+    z = (RNG.standard_normal(1000) + 1j * RNG.standard_normal(1000)).astype(
+        np.complex64
+    )
+    np.testing.assert_allclose(np.asarray(am_demod(z)), np.abs(z), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(am_demod_power(z)), np.abs(z) ** 2, rtol=1e-5
+    )
+
+
+def test_invert_am_demod():
+    z = (RNG.standard_normal(512) + 1j * RNG.standard_normal(512)).astype(np.complex64)
+    out = np.asarray(invert_am_demod(z))
+    expected = 1.0 - np.abs(z) / np.abs(z).max()
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
+    assert out.min() >= -1e-6
+
+
+def test_fm_demod_recovers_tone():
+    """FM discriminator of a pure tone = constant 2*pi*f/fs."""
+    fs, f = 1e6, 12345.0
+    n = 4096
+    z = np.exp(2j * np.pi * f / fs * np.arange(n)).astype(np.complex64)
+    out = np.asarray(fm_demod(z))
+    assert out[0] == 0.0
+    np.testing.assert_allclose(out[1:], 2 * np.pi * f / fs, rtol=1e-3)
+
+
+# -------------------------------------------------------------------- spectrum
+def test_spectrum_tone_peak():
+    fs = 1e6
+    n = 4096
+    f = fs / 8
+    z = np.exp(2j * np.pi * f / fs * np.arange(n)).astype(np.complex64)
+    freq, power = get_spectrum(fs, jnp.asarray(z))
+    peak = float(freq[int(np.argmax(np.asarray(power)))])
+    assert abs(peak - f) < fs / n
+
+
+def test_welch_tone_peak():
+    fs = 1e6
+    f = fs / 4
+    z = np.exp(2j * np.pi * f / fs * np.arange(16384)).astype(np.complex64)
+    freq, power = get_welch(fs, jnp.asarray(z), fft_size=1024)
+    assert abs(float(freq[int(np.argmax(np.asarray(power)))]) - f) < fs / 1024
+
+
+def test_waterfall_shapes():
+    z = (RNG.standard_normal(8192) + 1j * RNG.standard_normal(8192)).astype(
+        np.complex64
+    )
+    t_ax, f_ax, mat = get_waterfall(1e6, jnp.asarray(z), fft_size=1024)
+    assert mat.shape == (1024, 8)
+    assert t_ax.shape == (8,) and f_ax.shape == (1024,)
+
+
+# ------------------------------------------------------------- autocorrelation
+def test_autocorrelation_matches_numpy_oracle():
+    fs = 1e5
+    x = RNG.standard_normal(8192).astype(np.float32)
+    gamma, lags = autocorrelation(jnp.asarray(x), fs, 0.0, 0.01)
+    i_hi = round(0.01 * fs)
+    n = min(2 * i_hi, len(x))
+    spec = np.fft.fft(x[:n])
+    corr = np.fft.ifft(spec * np.conj(spec))
+    expected = 10 * np.log10(np.abs(corr[:i_hi]) ** 2 + 1e-30)
+    np.testing.assert_allclose(np.asarray(gamma), expected, rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(lags), np.arange(i_hi) / fs)
+
+
+def test_autocorrelation_periodic_signal_peak():
+    """A periodic pulse train must produce a correlation peak at its period."""
+    fs = 1e5
+    period = 400
+    x = np.zeros(40000, np.float32)
+    x[::period] = 1.0
+    gamma, _ = autocorrelation(jnp.asarray(x), fs, 0.0, 0.02, scale="linear")
+    g = np.asarray(gamma)
+    assert abs(int(np.argmax(g[period // 2 : 3 * period // 2])) + period // 2
+               - period) <= 1
+
+
+def test_zoom_autocorr_axis():
+    fs = 1e5
+    gamma = jnp.asarray(RNG.standard_normal(5000).astype(np.float32))
+    rates, sl = zoom_autocorr(gamma, fs, rate_min=50, rate_max=90)
+    r = np.asarray(rates)
+    assert r[0] == pytest.approx(fs / round(fs / 90))
+    assert r[-1] == pytest.approx(fs / round(fs / 50))
+    assert sl.shape == r.shape
+
+
+def test_refresh_and_line_count_from_synthetic():
+    """End-to-end estimator check on the generator's ground truth."""
+    mode = ALL_VIDEO_MODES["1024x768 @ 60Hz"]  # 1344x806 total
+    fs = 16e6
+    n = int(fs * 0.35)  # ~21 frames
+    cap = generate_iq(mode, fs, n, snr_db=20.0, seed=7)
+    env = am_demod_power(jnp.asarray(cap.iq))
+    gamma, _ = autocorrelation(env, fs, 0.0, 0.1)
+    fv = float(estimate_refresh(gamma, fs, 50.0, 90.0))
+    assert abs(fv - 60.0) < 0.05
+    y_t = float(estimate_line_count(gamma, fs, fv))
+    assert abs(y_t - mode.height) < 3.0
+
+
+# ------------------------------------------------------------------ resampling
+def test_linear_resample_identity_and_line():
+    x = jnp.arange(100, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(linear_resample(x, 100)), np.asarray(x))
+    up = np.asarray(linear_resample(x, 400))
+    # A linear ramp must stay (piecewise) linear under linear interpolation.
+    assert np.max(np.abs(np.diff(up)[2:-2] - 0.25)) < 1e-5
+
+
+def test_sig_to_image_shape_and_rows():
+    """A signal that is constant per scan line maps to constant image rows."""
+    y_t, x_t = 20, 32
+    sig = np.repeat(np.arange(y_t, dtype=np.float32), x_t)
+    img = np.asarray(sig_to_image(jnp.asarray(sig), y_t, x_t))
+    assert img.shape == (y_t, x_t)
+    # Row medians must be monotone in the line index.
+    med = np.median(img, axis=1)
+    assert np.all(np.diff(med) > 0)
+
+
+def test_frame_to_screen_matches_two_stage():
+    """The fused gather must agree with sig_to_image + downgrade_image on
+    band-limited content (the two compositions are equal up to interpolation
+    error, which only vanishes for smooth signals)."""
+    y_t, x_t = 150, 200
+    t = np.arange(7000)
+    sig = (
+        np.sin(2 * np.pi * t / 800.0) + 0.5 * np.cos(2 * np.pi * t / 173.0)
+    ).astype(np.float32)
+    fused = np.asarray(frame_to_screen(jnp.asarray(sig), y_t, x_t, (60, 80)))
+    two = np.asarray(
+        downgrade_image(sig_to_image(jnp.asarray(sig), y_t, x_t), (60, 80))
+    )
+    assert fused.shape == two.shape == (60, 80)
+    err = np.abs(fused - two) / (np.abs(two).max() + 1e-9)
+    assert np.percentile(err, 95) < 0.02
+    assert err.max() < 0.06
+
+
+def test_naive_upsample():
+    x = jnp.asarray([1.0, 2.0, 3.0])
+    np.testing.assert_array_equal(
+        np.asarray(naive_upsample(x, 3)), [1, 1, 1, 2, 2, 2, 3, 3, 3]
+    )
+
+
+def test_upsample_fft_tone():
+    """FFT upsampling of a tone must reproduce the denser tone."""
+    n, up = 256, 4
+    t = np.arange(n)
+    x = np.cos(2 * np.pi * 5 * t / n).astype(np.float32)
+    out = np.asarray(upsample_fft(jnp.asarray(x), up))
+    dense = np.cos(2 * np.pi * 5 * np.arange(n * up) / (n * up))
+    # Ignore edge taper from the windowed filter.
+    core = slice(n, n * up - n)
+    assert np.max(np.abs(out[core] - dense[core])) < 0.05
+
+
+def test_polyphase_resample_tone():
+    """Fractional resampling of a tone by an irrational-ish ratio."""
+    fs = 1000.0
+    f = 40.0
+    n_in = 4096
+    ratio = 0.7371
+    x = np.sin(2 * np.pi * f / fs * np.arange(n_in)).astype(np.float32)
+    n_out = int((n_in - 16) / ratio)
+    out = np.asarray(polyphase_resample(jnp.asarray(x), n_out, ratio))
+    expected = np.sin(2 * np.pi * f / fs * ratio * np.arange(n_out))
+    core = slice(32, n_out - 32)
+    assert np.max(np.abs(out[core] - expected[core])) < 0.02
+
+
+# ------------------------------------------------------------------ frame sync
+def _image_with_blank(y_t, x_t, blank_row, blank_col, bw_y=12, bw_x=24, seed=0):
+    """Bright content with a dark wrap-around blanking cross, then inverted
+    (blanking bright) as after invert_amDemod."""
+    rng = np.random.default_rng(seed)
+    img = 0.5 + 0.2 * rng.standard_normal((y_t, x_t)).astype(np.float32)
+    rows = (np.arange(-bw_y, bw_y + 1) + blank_row) % y_t
+    cols = (np.arange(-bw_x, bw_x + 1) + blank_col) % x_t
+    img[rows, :] = 1.0
+    img[:, cols] = 1.0
+    return img
+
+
+def test_blank_scores_matches_reference_oracle():
+    """blank_scores must equal a direct O(n*w) transcription of fill_β!."""
+    n = 64
+    profile = RNG.standard_normal(n).astype(np.float32)
+    spec = sync_spec_for_axis(n, 0.05)
+    beta = np.asarray(blank_scores(jnp.asarray(profile), spec))
+    total = profile.sum()
+    expected = np.zeros_like(beta)
+    for ci in range(n):
+        for wi, w in enumerate(range(spec.w_min, spec.w_max + 1)):
+            s = 2 * sum(profile[(ci + k) % n] for k in range(-w, w + 1))
+            expected[wi, ci] = ((total - s) / (2 * (n - w)) + s / (2 * w)) ** 2
+    np.testing.assert_allclose(beta, expected, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("blank_row,blank_col", [(37, 101), (0, 0), (580, 790)])
+def test_frame_sync_finds_blanking(blank_row, blank_col):
+    img = _image_with_blank(600, 800, blank_row, blank_col)
+    s_y, s_x, score = frame_sync(jnp.asarray(img))
+    # Any position inside the (synthetically flat) blanking band is a valid
+    # lock — the contrast score ties across windows fully inside the band.
+    d_y = min((int(s_y) - blank_row) % 600, (blank_row - int(s_y)) % 600)
+    d_x = min((int(s_x) - blank_col) % 800, (blank_col - int(s_x)) % 800)
+    assert d_y <= 12 and d_x <= 24
+    assert float(score) > 0
+
+
+def test_align_frame_rolls_blank_to_border():
+    img = _image_with_blank(120, 160, 30, 50, bw_y=5, bw_x=8)
+    s_y, s_x, _ = frame_sync(jnp.asarray(img))
+    aligned = np.asarray(align_frame(jnp.asarray(img), s_y, s_x))
+    # After alignment the blanking centre sits at (0, 0).
+    assert aligned[0].mean() > np.median(aligned)
+    assert aligned[:, 0].mean() > np.median(aligned)

@@ -1,0 +1,100 @@
+"""Integration tests: single-chip end-to-end reconstruction and the sharded
+multi-device pipelines on the virtual 8-device CPU mesh (SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import tempest_tpu as tt
+from tempest_tpu.ops.resample import downgrade_image
+from tempest_tpu.parallel.mesh import make_mesh
+from tempest_tpu.parallel.sharded import sharded_mode_search, sharded_reconstruct_fn
+from tempest_tpu.pipeline.offline import (
+    ReconstructionConfig,
+    auto_reconstruct,
+    estimate_timing,
+    reconstruct_frames,
+)
+from tempest_tpu.video.modes import candidate_modes
+
+MODE = tt.ALL_VIDEO_MODES["640x480 @ 60Hz"]  # 800x525 total — small and fast
+FS = 4e6
+
+
+def _capture(n_seconds=0.8, snr_db=20.0, seed=3):
+    return tt.generate_iq(MODE, FS, int(FS * n_seconds), snr_db=snr_db, seed=seed)
+
+
+def _norm(a):
+    a = a - a.mean()
+    return a / (a.std() + 1e-9)
+
+
+def _best_corr(truth, img):
+    """Correlation after the best circular alignment (reconstruction is
+    defined up to a circular shift of the blanking position)."""
+    xc = np.fft.ifft2(np.fft.fft2(_norm(truth)) * np.conj(np.fft.fft2(_norm(img)))).real
+    sh = np.unravel_index(xc.argmax(), xc.shape)
+    return float(
+        np.corrcoef(_norm(truth).ravel(), _norm(np.roll(img, sh, axis=(0, 1))).ravel())[
+            0, 1
+        ]
+    )
+
+
+def test_estimate_timing_exact_mode():
+    cap = _capture(0.4)
+    timing = estimate_timing(cap.iq, FS)
+    assert timing.mode_name == "640x480 @ 60Hz"
+    assert abs(timing.refresh_hz - 60.0) < 0.01
+    assert abs(timing.line_count - MODE.height) < 3
+
+
+def test_auto_reconstruct_fidelity():
+    cap = _capture(0.5, snr_db=18.0)
+    timing, recon = auto_reconstruct(cap.iq, FS, alpha=0.6)
+    truth = np.asarray(downgrade_image(jnp.asarray(cap.frame)))
+    corr = _best_corr(truth, recon.image)
+    assert corr > 0.85, f"reconstruction corr {corr}"
+    # Per-frame sync may *drift* slowly (it tracks the residual refresh-rate
+    # error) but must not jump — jumps smear the EMA.
+    assert np.abs(np.diff(recon.sync[:, 0])).max() <= 8
+    assert np.abs(np.diff(recon.sync[:, 1])).max() <= 8
+
+
+def test_reconstruct_low_snr_still_locks():
+    cap = _capture(0.5, snr_db=5.0, seed=9)
+    timing = estimate_timing(cap.iq, FS)
+    assert timing.mode_name == "640x480 @ 60Hz"
+
+
+def test_sharded_reconstruct_matches_single_chip():
+    cap = _capture(0.8)
+    mesh = make_mesh(8)
+    n_frames_per_shard = 5
+    cfg = ReconstructionConfig(sample_rate=FS, mode=MODE, n_frames=n_frames_per_shard)
+    step = sharded_reconstruct_fn(cfg, mesh)
+    shard_samples = int(np.ceil(FS / MODE.refresh * n_frames_per_shard)) + 1
+    iq = cap.iq[: 8 * shard_samples].reshape(8, shard_samples)
+    iq_dev = jax.device_put(jnp.asarray(iq), NamedSharding(mesh, P("blocks", None)))
+    ema, frames, sync, score = step(
+        iq_dev, jnp.zeros((600, 800), jnp.float32), jnp.float32(0.5)
+    )
+    assert frames.shape == (40, 600, 800)
+    cfg1 = ReconstructionConfig(sample_rate=FS, mode=MODE, n_frames=40)
+    rec1 = reconstruct_frames(cap.iq, cfg1, alpha=0.5)
+    # Same timeline, same maths; differences are per-shard fractional frame
+    # starts + the circular halo at the stream tail.
+    diff = np.abs(np.asarray(ema) - rec1.image)
+    assert diff.mean() < 0.05 * (rec1.image.max() - rec1.image.min())
+
+
+def test_sharded_mode_search_finds_true_mode():
+    cap = _capture(0.2)
+    mesh = make_mesh(8)
+    cands = candidate_modes(60.0, tol_hz=0.5)
+    assert len(cands) > 8  # real fan-out across devices
+    res = sharded_mode_search(cap.iq, FS, 60.0, cands, mesh, n_frames=2)
+    assert res.names[res.best_index] == "640x480 @ 60Hz"
+    assert res.scores.shape == (len(cands),)
