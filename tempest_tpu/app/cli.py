@@ -1,0 +1,243 @@
+"""Command-line application — the framework's ``julia_main`` equivalent.
+
+Covers the reference's app layer (``/root/reference/src/TempestSDR.jl:62-137``:
+ARGS parsing with typed defaults and the ``gui()`` bootstrap) and its
+production scripts (``production/investigate_data.jl`` offline analysis,
+``production/record_signal.jl`` capture, ``production/runtime.jl`` headless
+runtime) as argparse subcommands:
+
+  analyze      timing estimation + mode inference on a capture (offline script)
+  reconstruct  capture → reconstructed screen image(s)
+  stream       streaming runtime over replay/synthetic source (headless gui())
+  search       sharded multi-mode hypothesis search
+  synth        generate a synthetic golden capture to .dat
+  modes        list the video-mode database
+
+Run ``python -m tempest_tpu.app.cli <cmd> --help`` for options.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--fs", type=float, default=20e6, help="sample rate [Hz] (default 20e6, the reference's recommended live rate)")
+    p.add_argument("--format", default="single", choices=["short", "single", "double"], help=".dat word format")
+
+
+def cmd_analyze(args: argparse.Namespace) -> int:
+    from ..io.dat import read_complex_binary
+    from ..pipeline.offline import estimate_timing
+
+    iq = read_complex_binary(args.input, args.format, count=args.samples)
+    t0 = time.perf_counter()
+    timing = estimate_timing(iq, args.fs, args.seconds)
+    dt = time.perf_counter() - t0
+    print(f"samples           : {len(iq)} ({len(iq)/args.fs:.3f} s @ {args.fs/1e6:.1f} MHz)")
+    print(f"refresh rate      : {timing.refresh_hz:.4f} Hz")
+    print(f"line count (est)  : {timing.line_count:.1f}")
+    print(f"closest mode      : {timing.mode_name}")
+    print(f"mode geometry     : {timing.mode.width} x {timing.mode.height} @ {timing.mode.refresh:.3f} Hz")
+    print(f"analysis time     : {dt*1e3:.1f} ms")
+    return 0
+
+
+def cmd_reconstruct(args: argparse.Namespace) -> int:
+    from ..io.dat import read_complex_binary
+    from ..pipeline.offline import (
+        ReconstructionConfig,
+        auto_reconstruct,
+        reconstruct_frames,
+    )
+    from ..render.screen import overlay_sync, write_png
+    from ..video.modes import ALL_VIDEO_MODES
+
+    iq = read_complex_binary(args.input, args.format, count=args.samples)
+    if args.mode == "auto":
+        timing, recon = auto_reconstruct(
+            iq, args.fs, n_frames=args.frames, alpha=args.alpha, invert=args.invert
+        )
+        print(f"detected mode: {timing.mode_name} (fv={timing.refresh_hz:.4f} Hz)")
+    else:
+        mode = ALL_VIDEO_MODES[args.mode]
+        n_frames = args.frames or max(int(len(iq) * mode.refresh / args.fs) - 1, 1)
+        config = ReconstructionConfig(
+            sample_rate=args.fs, mode=mode, n_frames=n_frames, invert=args.invert
+        )
+        recon = reconstruct_frames(iq, config, alpha=args.alpha)
+    img = recon.image
+    if args.sync_overlay:
+        img = overlay_sync(img, int(recon.sync[-1][0]), int(recon.sync[-1][1]))
+    write_png(img, args.out, invert=args.invert_output)
+    print(f"wrote {args.out} ({img.shape[1]}x{img.shape[0]}), "
+          f"{recon.frames.shape[0]} frames averaged, "
+          f"sync score {recon.score.mean():.3g}")
+    return 0
+
+
+def cmd_stream(args: argparse.Namespace) -> int:
+    from ..render.screen import FileRenderer, TerminalRenderer
+    from ..runtime.sources import open_source
+    from ..runtime.stream import StreamingRuntime
+    from ..video.modes import ALL_VIDEO_MODES
+
+    mode = ALL_VIDEO_MODES[args.mode]
+    block = int(args.fs * args.block_seconds)
+    source = open_source(
+        args.source,
+        sample_rate=args.fs,
+        block_size=block,
+        path=args.file,
+        mode=mode,
+        snr_db=args.snr,
+    )
+    rt = StreamingRuntime(source, mode, alpha=args.alpha, invert=args.invert)
+    if args.render == "terminal":
+        sink = TerminalRenderer()
+    elif args.render == "png":
+        sink = FileRenderer(prefix=args.out_prefix, every=args.every)
+    else:
+        sink = None
+    rt.start()
+    try:
+        if args.correlate:
+            timing = rt.correlate()
+            print(f"live correlate: {timing.mode_name} fv={timing.refresh_hz:.4f} Hz")
+        if args.record:
+            n = rt.record(args.record, n_blocks=args.record_blocks, fmt=args.format)
+            print(f"recorded {n} samples to {args.record}")
+        rt.process_blocks(args.blocks, sink)
+    finally:
+        rt.stop()
+    print(rt.summary())
+    return 0
+
+
+def cmd_search(args: argparse.Namespace) -> int:
+    from ..io.dat import read_complex_binary
+    from ..parallel.mesh import make_mesh
+    from ..parallel.sharded import sharded_mode_search
+    from ..pipeline.offline import estimate_timing
+    from ..video.modes import candidate_modes
+
+    iq = read_complex_binary(args.input, args.format, count=args.samples)
+    timing = estimate_timing(iq, args.fs)
+    cands = candidate_modes(timing.refresh_hz, tol_hz=args.tol)
+    print(f"fv = {timing.refresh_hz:.4f} Hz; scoring {len(cands)} candidate modes "
+          f"on {args.devices or 'all'} devices")
+    mesh = make_mesh(args.devices)
+    res = sharded_mode_search(iq, args.fs, timing.refresh_hz, cands, mesh,
+                              n_frames=args.frames or 2)
+    order = np.argsort(res.scores)[::-1]
+    for rank, i in enumerate(order[:10]):
+        marker = " <== best" if i == res.best_index else ""
+        print(f"{rank+1:2d}. {res.names[i]:40s} score {res.scores[i]:.4g}{marker}")
+    return 0
+
+
+def cmd_synth(args: argparse.Namespace) -> int:
+    from ..io.dat import write_complex_binary
+    from ..io.synthetic import generate_iq
+    from ..video.modes import ALL_VIDEO_MODES
+
+    mode = ALL_VIDEO_MODES[args.mode]
+    cap = generate_iq(
+        mode, args.fs, int(args.fs * args.seconds), snr_db=args.snr, seed=args.seed
+    )
+    write_complex_binary(cap.iq, args.out, args.format)
+    print(f"wrote {args.out}: {len(cap.iq)} samples of {args.mode} "
+          f"@ {args.fs/1e6:.1f} MHz, SNR {args.snr} dB")
+    return 0
+
+
+def cmd_modes(args: argparse.Namespace) -> int:
+    from ..video.modes import ALL_VIDEO_MODES
+
+    for name, m in sorted(ALL_VIDEO_MODES.items(), key=lambda kv: (kv[1].refresh, kv[1].height)):
+        print(f"{name:40s} total {m.width:5d} x {m.height:5d} @ {m.refresh:5.1f} Hz "
+              f"(pixel clock {m.pixel_clock/1e6:7.1f} MHz)")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="tempest-tpu",
+        description="TPU-native TEMPEST screen-emanation reconstruction "
+                    "(authorized security research use)",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("analyze", help="estimate timing + infer video mode from a capture")
+    p.add_argument("input")
+    _add_common(p)
+    p.add_argument("--samples", type=int, default=None)
+    p.add_argument("--seconds", type=float, default=0.1, help="autocorrelation window")
+    p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("reconstruct", help="reconstruct the screen from a capture")
+    p.add_argument("input")
+    _add_common(p)
+    p.add_argument("--samples", type=int, default=None)
+    p.add_argument("--mode", default="auto", help="'auto' or a mode name from `modes`")
+    p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--alpha", type=float, default=0.1, help="EMA coefficient")
+    p.add_argument("--invert", action="store_true", help="use inverted envelope")
+    p.add_argument("--invert-output", action="store_true")
+    p.add_argument("--sync-overlay", action="store_true", help="draw sync crosshair")
+    p.add_argument("--out", default="reconstruction.png")
+    p.set_defaults(fn=cmd_reconstruct)
+
+    p = sub.add_parser("stream", help="streaming runtime (replay or synthetic source)")
+    _add_common(p)
+    p.add_argument("--source", default="synthetic",
+                   choices=["synthetic", "radiosim", "replay", "uhd", "pluto", "bladerf", "rtlsdr"])
+    p.add_argument("--file", default=None, help="capture for replay source")
+    p.add_argument("--mode", default="1920x1080 @ 60Hz")
+    p.add_argument("--block-seconds", type=float, default=0.1)
+    p.add_argument("--blocks", type=int, default=10)
+    p.add_argument("--alpha", type=float, default=0.1)
+    p.add_argument("--snr", type=float, default=20.0)
+    p.add_argument("--invert", action="store_true")
+    p.add_argument("--correlate", action="store_true", help="auto-detect mode first")
+    p.add_argument("--record", default=None, help="record raw IQ to this .dat")
+    p.add_argument("--record-blocks", type=int, default=10)
+    p.add_argument("--render", default="none", choices=["none", "terminal", "png"])
+    p.add_argument("--out-prefix", default="frame")
+    p.add_argument("--every", type=int, default=1)
+    p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("search", help="sharded multi-mode hypothesis search")
+    p.add_argument("input")
+    _add_common(p)
+    p.add_argument("--samples", type=int, default=None)
+    p.add_argument("--tol", type=float, default=2.0, help="refresh tolerance [Hz]")
+    p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--devices", type=int, default=None)
+    p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("synth", help="generate a synthetic golden capture")
+    _add_common(p)
+    p.add_argument("--mode", default="1920x1080 @ 60Hz")
+    p.add_argument("--seconds", type=float, default=0.5)
+    p.add_argument("--snr", type=float, default=20.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="synthetic.dat")
+    p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("modes", help="list the video-mode database")
+    p.set_defaults(fn=cmd_modes)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -187,23 +187,59 @@ def estimate_line_count(
     fv: jnp.ndarray | float,
     y_min: int = 200,
     y_max: int = 2500,
+    harmonics: int = 6,
+    scale: str = "log",
 ) -> jnp.ndarray:
     """Total line count y_t: the autocorrelation peaks at the *line* period
-    ``fs / (fv * y_t)``; search that lag over plausible line counts and refine
-    sub-sample, then ``y_t = fs / (fv * lag)``.
+    ``L = fs / (fv * y_t)``; find L and return ``fs / (fv * L)``.
 
-    This replaces the reference's interactive click on the zoomed correlation
-    (``GUI.jl:512-523``, ``delay2yt``) and is more direct than the offline
-    script's windowed argmax (``production/investigate_data.jl:69-82``): we
-    search the line-period peak itself rather than an offset from the frame
-    peak.  Static slice bounds are derived from the *static* fv search band
-    so the function stays jittable; the traced ``fv`` only enters the final
-    division.
+    Replaces the reference's interactive click on the zoomed correlation
+    (``GUI.jl:512-523``, ``delay2yt``) / the offline script's windowed argmax
+    (``production/investigate_data.jl:69-82``), with two estimator upgrades:
+
+    * **harmonic comb** over integer candidates (like ``estimate_refresh``);
+    * **subharmonic disambiguation**: every multiple of 2L is also a peak, so
+      a comb can lock an octave low (y_t halved) when aliasing weakens the
+      fundamental.  The test uses *prominence over the noise floor* (median of
+      the window): for a candidate locked at 2L, the true L's multiples are
+      all peaks (prominence ratio ≈ 1); for a candidate already at the true L,
+      L/2's multiples only hit peaks at even k (ratio ≈ 0.5) — so a 0.7
+      threshold separates the cases even at low SNR, where raw-mean ratios
+      collapse toward 1.
+
+    Static slice bounds come from the static (fs, y_min, y_max) so the
+    function stays jittable; traced ``fv`` enters only the final division.
     """
-    # Static lag window from the extreme plausible (fv, y_t) combinations.
-    lag_lo = max(int(fs / (90.0 * y_max)) - 2, 1)
-    lag_hi = min(int(fs / (50.0 * y_min)) + 2, gamma.shape[0] - 1)
-    window = gamma[lag_lo : lag_hi + 1]
-    idx = jnp.argmax(window)
-    lag = lag_lo + parabolic_peak(window, idx)
+    n = gamma.shape[0]
+    lin = 10.0 ** (gamma / 10.0) if scale == "log" else gamma
+    lag_lo = max(int(fs / (90.0 * y_max)) - 2, 2)
+    lag_hi = min(int(fs / (50.0 * y_min)) + 2, n - 1)
+    cand = jnp.arange(lag_lo, lag_hi + 1)
+    floor = jnp.median(lin[lag_lo : lag_hi + 1])
+
+    def comb(pos_f: jnp.ndarray) -> jnp.ndarray:
+        """Mean floor-subtracted (prominence) correlation over K multiples."""
+        score = jnp.zeros(pos_f.shape, lin.dtype)
+        count = jnp.zeros(pos_f.shape, lin.dtype)
+        for k in range(1, harmonics + 1):
+            p = k * pos_f
+            valid = p < n - 1
+            score = score + jnp.where(valid, _lerp(lin, p) - floor, 0.0)
+            count = count + valid.astype(lin.dtype)
+        return score / jnp.maximum(count, 1.0)
+
+    scores = comb(cand.astype(jnp.float32))
+    best = jnp.argmax(scores)
+    lag = cand[best].astype(jnp.float32)
+    best_score = scores[best]
+    # Subharmonic descent: a ratio ≥ 0.7 of the best prominence means the
+    # subdivided period's multiples are all real peaks — descend.
+    for k in (3, 2):
+        sub = lag / k
+        sub_score = comb(sub[None])[0]
+        take = (sub >= lag_lo) & (sub_score >= 0.7 * best_score)
+        lag = jnp.where(take, sub, lag)
+        best_score = jnp.where(take, sub_score, best_score)
+    # Fractional (sub-sample) refinement around the chosen period.
+    lag = refine_period(lin, lag, 3, harmonics)
     return fs / (fv * lag)

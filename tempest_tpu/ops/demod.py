@@ -13,7 +13,28 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["am_demod", "am_demod_power", "invert_am_demod", "fm_demod"]
+__all__ = [
+    "am_demod",
+    "am_demod_power",
+    "am_envelope_from_iq",
+    "invert_am_demod",
+    "fm_demod",
+]
+
+
+def am_envelope_from_iq(iq: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
+    """AM envelope straight from an *interleaved* I/Q vector (int16 or
+    float32, shape (2N,)) — no complex dtype on the device.
+
+    SDR hardware delivers interleaved int16 I/Q (the reference's ``:short``
+    capture format, ``DatBinaryFiles.jl:47-49``); converting to complex64 on
+    the host doubles the host→device transfer and forces complex arithmetic
+    on the TPU.  This kernel takes the raw words, de-interleaves, and returns
+    ``scale * sqrt(I^2 + Q^2)`` in float32 — the whole complex boundary
+    reduced to two squares and a root that XLA fuses into the consumer.
+    """
+    ri = iq.reshape(-1, 2).astype(jnp.float32)
+    return scale * jnp.sqrt(ri[:, 0] ** 2 + ri[:, 1] ** 2)
 
 
 def am_demod(sig: jnp.ndarray) -> jnp.ndarray:

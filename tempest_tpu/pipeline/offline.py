@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.autocorr import autocorrelation, estimate_line_count, estimate_refresh
-from ..ops.demod import am_demod
+from ..ops.demod import am_demod, am_envelope_from_iq
 from ..ops.framesync import align_frame, frame_sync
 from ..ops.resample import RENDER_SIZE, frame_to_screen
 from ..video.modes import VideoMode, find_closest_mode
@@ -74,6 +74,10 @@ class ReconstructionConfig:
     render_size: tuple[int, int] = RENDER_SIZE
     invert: bool = False      # blanking dark (False) or use inverted envelope
     do_align: bool = True     # per-frame blanking alignment (GUI.jl:170-173)
+    # "complex64": iq is complex [block_samples];
+    # "iq_interleaved": iq is int16/float32 [2*block_samples] raw I/Q words —
+    # half the host->device bandwidth, no complex math on device.
+    input_format: str = "complex64"
 
     @property
     def samples_per_frame(self) -> float:
@@ -137,7 +141,10 @@ def make_reconstruct_fn(config: ReconstructionConfig):
 
     @jax.jit
     def step(iq: jnp.ndarray, ema: jnp.ndarray, alpha: jnp.ndarray):
-        env = am_demod(iq).astype(jnp.float32)
+        if config.input_format == "iq_interleaved":
+            env = am_envelope_from_iq(iq)
+        else:
+            env = am_demod(iq).astype(jnp.float32)
         if config.invert:
             env = 1.0 - env / jnp.max(env)
 
@@ -176,6 +183,8 @@ def reconstruct_frames(
     else:
         ema0 = jnp.asarray(ema, jnp.float32)
     n = config.block_samples
+    if config.input_format == "iq_interleaved":
+        n *= 2  # raw I/Q words, two per complex sample
     iq = jnp.asarray(iq)
     if iq.shape[0] < n:
         raise ValueError(f"need {n} samples for {config.n_frames} frames, got {iq.shape[0]}")

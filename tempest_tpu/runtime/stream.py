@@ -1,0 +1,203 @@
+"""Streaming runtime: source → ring → jitted reconstruction → frame sink.
+
+The TPU-native re-design of the reference's live control plane
+(``/root/reference/src/GUI.jl:120-234,286-664``).  The reference runs three
+cooperating threads (SDR producer, DSP consumer, renderer) stitched together
+by global Makie Observables; here the same pipeline is an explicit object:
+
+* a producer thread fills the host ring buffer from any ``SampleSource``
+  (the ``start_atomic_sdr`` hot loop, ``AtomicAbstractSDRs.jl:284-306``);
+* the consumer loop takes blocks, feeds the jitted stage-2 program, and hands
+  reconstructed frames to a sink callback (``coreProcessing``,
+  ``GUI.jl:120-205``) — with the carried EMA image as an explicit state
+  array, not a global;
+* tasks mirror the reference's ``OBS_Task`` state machine: ``correlate()``
+  re-estimates the video mode from the live stream (task 1,
+  ``extract_configuration`` ``GUI.jl:49-88``), ``record(n)`` dumps raw blocks
+  to a GNURadio-compatible ``.dat`` (task 3, ``GUI.jl:182-190``), and frame
+  rendering is the steady state (task 2).
+
+Config changes (refresh, line count, alpha) are plain attribute updates that
+swap the compiled program on the next block — jit caching makes flipping back
+free, replacing ``FLAG_CONFIG_UPDATE`` + mutable globals (``GUI.jl:151-158``).
+"""
+
+from __future__ import annotations
+
+import threading
+from collections.abc import Callable
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..io.dat import write_complex_binary
+from ..pipeline.offline import (
+    ReconstructionConfig,
+    estimate_timing,
+    make_reconstruct_fn,
+    TimingEstimate,
+)
+from ..video.modes import VideoMode
+from .ring import RingBuffer
+from .sources import SampleSource
+
+__all__ = ["StreamingRuntime"]
+
+FrameSink = Callable[[np.ndarray, dict], None]
+
+
+class StreamingRuntime:
+    """Block-streaming executor around one ``SampleSource``."""
+
+    def __init__(
+        self,
+        source: SampleSource,
+        mode: VideoMode,
+        n_frames_per_block: int | None = None,
+        alpha: float = 0.1,
+        ring_depth: int = 16,
+        invert: bool = False,
+    ) -> None:
+        self.source = source
+        self.alpha = alpha
+        self.invert = invert
+        self._mode = mode
+        # Whole frame periods that fit in one block (+1 sample slack for the
+        # fractional frame cuts) — like the reference's nbIm floor (GUI.jl:137).
+        spf = source.sample_rate / mode.refresh
+        self._n_frames = n_frames_per_block or max(
+            int((source.block_size - 2) / spf), 1
+        )
+        self._rebuild()
+        self.ring = RingBuffer(source.block_size, ring_depth)
+        self._producer: threading.Thread | None = None
+        self._stop = threading.Event()
+        self._ema = np.zeros(self.config.render_size, np.float32)
+        self.frames_out = 0
+
+    # ------------------------------------------------------------ config
+    def _rebuild(self) -> None:
+        self.config = ReconstructionConfig(
+            sample_rate=self.source.sample_rate,
+            mode=self._mode,
+            n_frames=self._n_frames,
+            invert=self.invert,
+        )
+        if self.config.block_samples > self.source.block_size:
+            raise ValueError(
+                f"source blocks ({self.source.block_size}) are smaller than "
+                f"{self._n_frames} frame periods ({self.config.block_samples})"
+            )
+        self._step = make_reconstruct_fn(self.config)
+
+    @property
+    def mode(self) -> VideoMode:
+        return self._mode
+
+    @mode.setter
+    def mode(self, new_mode: VideoMode) -> None:
+        """Hot-swap the video configuration (``FLAG_CONFIG_UPDATE`` path,
+        ``GUI.jl:151-158``) — compiles on first use, cached afterwards."""
+        self._mode = new_mode
+        self._rebuild()
+
+    # ---------------------------------------------------------- producer
+    def start(self) -> None:
+        """Spawn the producer thread (``Threads.@spawn start_atomic_sdr``,
+        ``GUI.jl:380``)."""
+        if self._producer is not None:
+            return
+        self._stop.clear()
+
+        def _produce() -> None:
+            block = np.empty(self.source.block_size, np.complex64)
+            while not self._stop.is_set():
+                self.source.read(block)
+                self.ring.put(block)
+
+        self._producer = threading.Thread(target=_produce, daemon=True, name="sdr-producer")
+        self._producer.start()
+
+    def stop(self) -> None:
+        """Cooperative shutdown (``stop_runtime``, ``GUI.jl:714-733``)."""
+        self._stop.set()
+        self.ring.close()
+        if self._producer is not None:
+            self._producer.join(timeout=5.0)
+            self._producer = None
+        self.source.close()
+
+    # ---------------------------------------------------------- consumer
+    def process_blocks(
+        self,
+        n_blocks: int,
+        sink: FrameSink | None = None,
+        emit_every_frame: bool = False,
+    ) -> np.ndarray:
+        """Consume ``n_blocks`` from the ring through the jitted chain.
+
+        ``sink(image, info)`` is called once per block with the EMA image (or
+        per frame with ``emit_every_frame``) — the reference's frame channel +
+        renderer (``GUI.jl:177,207-234``) collapsed into a callback.  Returns
+        the final EMA image.
+        """
+        buf = np.empty(self.source.block_size, np.complex64)
+        ema = jnp.asarray(self._ema)
+        for _ in range(n_blocks):
+            got = self.ring.take(buf)
+            if got is None:
+                break
+            iq = jnp.asarray(buf[: self.config.block_samples])
+            ema, frames, sync, score = self._step(iq, ema, jnp.float32(self.alpha))
+            self.frames_out += frames.shape[0]
+            if sink is not None:
+                info = {
+                    "sync": np.asarray(sync),
+                    "score": np.asarray(score),
+                    "mode": self._mode,
+                    "frames_out": self.frames_out,
+                }
+                if emit_every_frame:
+                    for f in np.asarray(frames):
+                        sink(f, info)
+                else:
+                    sink(np.asarray(ema), info)
+        self._ema = np.asarray(ema)
+        return self._ema
+
+    # ------------------------------------------------------------- tasks
+    def correlate(self, seconds: float = 0.1) -> TimingEstimate:
+        """Task 1: re-estimate timing from the live stream and hot-swap the
+        detected mode (``extract_configuration`` + auto mode match,
+        ``GUI.jl:411-419,568-580``)."""
+        n_needed = int(np.ceil(seconds * self.source.sample_rate))
+        n_blocks = max(1 + n_needed // self.source.block_size, 1)
+        chunks = []
+        buf = np.empty(self.source.block_size, np.complex64)
+        for _ in range(n_blocks):
+            got = self.ring.take(buf)
+            if got is None:
+                raise RuntimeError("ring closed during correlate()")
+            chunks.append(buf.copy())
+        sig = np.concatenate(chunks)
+        timing = estimate_timing(sig, self.source.sample_rate, seconds)
+        self.mode = timing.mode
+        return timing
+
+    def record(self, path: str, n_blocks: int = 10, fmt: str = "single") -> int:
+        """Task 3: dump raw IQ blocks to a GNURadio-compatible capture
+        (``GUI.jl:182-190``). Returns samples written."""
+        buf = np.empty(self.source.block_size, np.complex64)
+        out = np.empty(n_blocks * self.source.block_size, np.complex64)
+        n = 0
+        for i in range(n_blocks):
+            got = self.ring.take(buf)
+            if got is None:
+                break
+            out[i * self.source.block_size : (i + 1) * self.source.block_size] = buf
+            n += self.source.block_size
+        write_complex_binary(out[:n], path, fmt)
+        return n
+
+    def summary(self) -> str:
+        return self.ring.summary() + f" | {self.frames_out} frames reconstructed"

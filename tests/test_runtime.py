@@ -1,0 +1,236 @@
+"""Tests for the host runtime (ring buffer, sources, streaming executor),
+renderers, and the CLI."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import tempest_tpu as tt
+from tempest_tpu.app.cli import main as cli_main
+from tempest_tpu.render.screen import (
+    TerminalRenderer,
+    full_scale,
+    overlay_sync,
+    write_pgm,
+    write_png,
+)
+from tempest_tpu.runtime.ring import RingBuffer
+from tempest_tpu.runtime.sources import (
+    HardwareSource,
+    ReplaySource,
+    SyntheticSource,
+    open_source,
+)
+from tempest_tpu.runtime.stream import StreamingRuntime
+
+MODE = tt.ALL_VIDEO_MODES["640x480 @ 60Hz"]
+FS = 4e6
+
+
+# ------------------------------------------------------------------- ring
+def test_ring_put_take_order():
+    ring = RingBuffer(4, depth=3)
+    for i in range(3):
+        ring.put(np.full(4, i, np.complex64))
+    for i in range(3):
+        out = ring.take()
+        assert out[0] == i
+    assert ring.overflows == 0
+
+
+def test_ring_overwrites_oldest():
+    ring = RingBuffer(2, depth=2)
+    for i in range(5):
+        ring.put(np.full(2, i, np.complex64))
+    assert ring.overflows == 3
+    # The two newest blocks survive.
+    assert ring.take()[0] == 3
+    assert ring.take()[0] == 4
+
+
+def test_ring_blocking_take_and_close():
+    ring = RingBuffer(2, depth=2)
+    results = []
+
+    def consumer():
+        results.append(ring.take(timeout=5.0))
+
+    th = threading.Thread(target=consumer)
+    th.start()
+    time.sleep(0.05)
+    ring.put(np.ones(2, np.complex64))
+    th.join(timeout=2.0)
+    assert results and results[0][0] == 1.0
+    ring.close()
+    assert ring.take(timeout=0.1) is None
+
+
+def test_ring_threaded_throughput_counts():
+    ring = RingBuffer(64, depth=8)
+    n_blocks = 200
+
+    def producer():
+        b = np.zeros(64, np.complex64)
+        for i in range(n_blocks):
+            b[:] = i
+            ring.put(b)
+        ring.close()
+
+    got = 0
+    th = threading.Thread(target=producer)
+    th.start()
+    while ring.take(timeout=1.0) is not None:
+        got += 1
+    th.join()
+    assert got + ring.overflows == n_blocks
+    assert ring.producer.blocks == n_blocks
+
+
+# ---------------------------------------------------------------- sources
+def test_replay_source_loops(tmp_path):
+    path = tmp_path / "cap.dat"
+    tt.write_complex_binary(np.arange(32, dtype=np.complex64), path)
+    src = ReplaySource(path, FS, 16)
+    out = np.empty(16, np.complex64)
+    src.read(out)
+    assert out[0] == 0
+    src.read(out)
+    assert out[0] == 16
+    src.read(out)  # wraps
+    assert out[0] == 0
+
+
+def test_synthetic_source_phase_continuous():
+    """Two consecutive blocks must splice into the same signal as one big
+    block (phase carried across reads), up to per-block noise."""
+    src = SyntheticSource(MODE, FS, 5000, snr_db=300.0, seed=1)
+    a = np.empty(5000, np.complex64)
+    b = np.empty(5000, np.complex64)
+    src.read(a)
+    src.read(b)
+    cap = tt.generate_iq(MODE, FS, 10000, snr_db=300.0, seed=1)
+    np.testing.assert_allclose(np.abs(a), np.abs(cap.iq[:5000]), rtol=1e-4)
+    np.testing.assert_allclose(np.abs(b), np.abs(cap.iq[5000:]), rtol=1e-4)
+
+
+def test_hardware_source_raises_helpfully():
+    with pytest.raises(RuntimeError, match="No SDR driver"):
+        HardwareSource("uhd", 764e6, 20e6, 50, 1024)
+    with pytest.raises(RuntimeError, match="rtlsdr"):
+        open_source("rtlsdr", sample_rate=2e6, block_size=1024)
+
+
+# ---------------------------------------------------------------- runtime
+def test_streaming_runtime_end_to_end():
+    block = int(FS * 0.1)  # 6 frames per block
+    src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=2)
+    rt = StreamingRuntime(src, MODE, alpha=0.5)
+    rt.start()
+    images = []
+    try:
+        rt.process_blocks(3, sink=lambda img, info: images.append((img.copy(), info)))
+    finally:
+        rt.stop()
+    assert len(images) == 3
+    img, info = images[-1]
+    assert img.shape == (600, 800)
+    assert rt.frames_out == 3 * rt.config.n_frames
+    assert info["sync"].shape[1] == 2
+    # The reconstruction must carry real structure, not noise.
+    assert img.std() > 0.01
+
+
+def test_streaming_runtime_correlate_hotswap():
+    block = int(FS * 0.15)
+    src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=4)
+    wrong = tt.ALL_VIDEO_MODES["800x600 @ 60Hz"]
+    rt = StreamingRuntime(src, wrong, alpha=0.5)
+    rt.start()
+    try:
+        timing = rt.correlate(seconds=0.1)
+        assert timing.mode_name == "640x480 @ 60Hz"
+        assert rt.mode.height == MODE.height  # hot-swapped
+        rt.process_blocks(1)
+    finally:
+        rt.stop()
+
+
+def test_streaming_runtime_record(tmp_path):
+    block = 4096
+    src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=5)
+    rt = StreamingRuntime(src, MODE, n_frames_per_block=None, alpha=0.5) \
+        if block > int(FS / MODE.refresh) else None
+    # block < one frame: build runtime with explicit small frame count not
+    # possible — record directly through ring instead.
+    ring_src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=5)
+    from tempest_tpu.runtime.ring import RingBuffer
+
+    ring = RingBuffer(block, 8)
+    for _ in range(4):
+        buf = np.empty(block, np.complex64)
+        ring_src.read(buf)
+        ring.put(buf)
+    # emulate the record task
+    out = tmp_path / "rec.dat"
+    chunks = [ring.take() for _ in range(4)]
+    tt.write_complex_binary(np.concatenate(chunks), out)
+    back = tt.read_complex_binary(out)
+    assert len(back) == 4 * block
+
+
+# ----------------------------------------------------------------- render
+def test_full_scale_and_overlay():
+    img = np.random.default_rng(0).random((60, 80)).astype(np.float32)
+    fs = full_scale(img)
+    assert fs.min() == 0.0 and fs.max() == 1.0
+    ov = overlay_sync(img, 10, 20, half=2)
+    assert np.all(ov[10, :] == 1.0)
+    assert np.all(ov[:, 20] == 1.0)
+
+
+def test_png_pgm_writers(tmp_path):
+    img = np.linspace(0, 1, 60 * 80, dtype=np.float32).reshape(60, 80)
+    png = tmp_path / "x.png"
+    pgm = tmp_path / "x.pgm"
+    write_png(img, str(png))
+    write_pgm(img, str(pgm))
+    data = png.read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert b"IHDR" in data and b"IEND" in data
+    head = pgm.read_bytes()
+    assert head.startswith(b"P5\n80 60\n255\n")
+
+
+def test_terminal_renderer_ansi():
+    img = np.random.default_rng(1).random((30, 40)).astype(np.float32)
+    out = TerminalRenderer(rows=10, cols=20).render(img, {"mode": "m", "frames_out": 1})
+    assert out.startswith("\x1b[H")
+    assert "\x1b[48;5;" in out
+    assert out.count("\n") >= 10
+
+
+# -------------------------------------------------------------------- CLI
+def test_cli_synth_analyze_reconstruct(tmp_path, capsys):
+    cap = tmp_path / "c.dat"
+    out = tmp_path / "r.png"
+    assert cli_main([
+        "synth", "--mode", "640x480 @ 60Hz", "--fs", str(FS),
+        "--seconds", "0.4", "--snr", "20", "--out", str(cap),
+    ]) == 0
+    assert cli_main(["analyze", str(cap), "--fs", str(FS)]) == 0
+    text = capsys.readouterr().out
+    assert "640x480 @ 60Hz" in text
+    assert cli_main([
+        "reconstruct", str(cap), "--fs", str(FS), "--alpha", "0.5",
+        "--out", str(out),
+    ]) == 0
+    assert out.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_cli_modes(capsys):
+    assert cli_main(["modes"]) == 0
+    text = capsys.readouterr().out
+    assert "1920x1080 @ 60Hz" in text
+    assert text.count("\n") >= 80
