@@ -5,6 +5,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is the real-time factor against the reference's recommended
 20 Msps live bandwidth (docs/src/install.md:24) — 1.0 means the chain keeps up
 with a 20 MHz SDR in real time, the reference's own operating point.
+
+Measurement notes:
+* Input is raw interleaved int16 I/Q (the SDR wire format) — the production
+  ingest path; demod happens on device.
+* The EMA image threads through every iteration, so reading back the final
+  EMA forces the whole chain to have executed; ``block_until_ready`` alone is
+  not a reliable fence on the tunnelled TPU backend used in this environment.
 """
 
 import json
@@ -25,34 +32,39 @@ def main() -> None:
         sample_rate=fs,
         mode=ALL_VIDEO_MODES["1920x1080 @ 60Hz"],
         n_frames=6,
+        input_format="iq_interleaved",
     )
     step = make_reconstruct_fn(config)
 
     rng = np.random.default_rng(0)
     n = config.block_samples
-    iq = jax.device_put(
-        (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
-    )
+    iq = jax.device_put(rng.integers(-16384, 16384, 2 * n, dtype=np.int16))
     ema = jnp.zeros(config.render_size, jnp.float32)
     alpha = jnp.float32(0.1)
 
-    # Warm-up / compile.
-    ema, *_ = step(iq, ema, alpha)
-    jax.block_until_ready(ema)
+    # Warm-up / compile, with a readback fence.
+    ema1, *_ = step(iq, ema, alpha)
+    _ = np.asarray(ema1[:1, :8])
 
+    def timed(iters: int) -> float:
+        e = ema
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            e, frames, sync, score = step(iq, e, alpha)
+        # The EMA dependency chain serialises all iterations; materialising a
+        # slice of the final image is therefore a full fence.
+        _ = np.asarray(e[:1, :8])
+        return time.perf_counter() - t0
+
+    timed(2)  # settle
     iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        ema, frames, sync, score = step(iq, ema, alpha)
-    jax.block_until_ready(ema)
-    dt = time.perf_counter() - t0
+    dt = timed(iters)
 
-    samples_per_s = n * iters / dt
-    msps = samples_per_s / 1e6
+    msps = n * iters / dt / 1e6
     print(
         json.dumps(
             {
-                "metric": "full-chain IQ throughput at 1080p60 (demod+resample+sync+EMA)",
+                "metric": "full-chain IQ throughput at 1080p60 (int16 ingest + demod + resample + sync + EMA)",
                 "value": round(msps, 2),
                 "unit": "Msamples/s/chip",
                 "vs_baseline": round(msps / 20.0, 2),

@@ -78,6 +78,12 @@ class ReconstructionConfig:
     # "iq_interleaved": iq is int16/float32 [2*block_samples] raw I/Q words —
     # half the host->device bandwidth, no complex math on device.
     input_format: str = "complex64"
+    # With carry_phase, step() takes an extra traced fractional sample offset
+    # of the first frame boundary inside the block, so a streaming caller can
+    # keep frame cuts continuous across block boundaries (the reference cuts
+    # buffer-aligned and drifts, GUI.jl:165-166; SURVEY.md §5).  The block
+    # must then hold one extra frame period of slack.
+    carry_phase: bool = False
 
     @property
     def samples_per_frame(self) -> float:
@@ -85,9 +91,11 @@ class ReconstructionConfig:
 
     @property
     def block_samples(self) -> int:
-        """IQ samples consumed per call: n_frames frame periods (plus one
-        frame of slack for fractional cuts)."""
-        return int(np.ceil(self.samples_per_frame * self.n_frames)) + 1
+        """IQ samples consumed per call: n_frames frame periods plus slack —
+        one sample for fractional cuts, plus a whole frame period of phase
+        headroom when ``carry_phase`` is on."""
+        slack = 1 + (int(np.ceil(self.samples_per_frame)) if self.carry_phase else 0)
+        return int(np.ceil(self.samples_per_frame * self.n_frames)) + slack
 
 
 @dataclasses.dataclass
@@ -98,9 +106,14 @@ class Reconstruction:
     score: np.ndarray        # per-frame sync contrast score
 
 
-@partial(jax.jit, static_argnames=("fs", "corr_seconds"))
-def _timing_kernel(iq: jnp.ndarray, fs: float, corr_seconds: float):
-    env = jnp.real(iq) ** 2 + jnp.imag(iq) ** 2  # |z|^2 envelope (GUI.jl:70)
+@partial(jax.jit, static_argnames=("fs", "corr_seconds", "interleaved"))
+def _timing_kernel(iq: jnp.ndarray, fs: float, corr_seconds: float,
+                   interleaved: bool = False):
+    if interleaved:
+        ri = iq.reshape(-1, 2).astype(jnp.float32)
+        env = ri[:, 0] ** 2 + ri[:, 1] ** 2
+    else:
+        env = jnp.real(iq) ** 2 + jnp.imag(iq) ** 2  # |z|^2 envelope (GUI.jl:70)
     gamma, _ = autocorrelation(env, fs, 0.0, corr_seconds)
     fv = estimate_refresh(gamma, fs, 50.0, 90.0)
     y_t = estimate_line_count(gamma, fs, fv)
@@ -112,8 +125,19 @@ def estimate_timing(
 ) -> TimingEstimate:
     """Stage 1: refresh rate + line count from ~``corr_seconds`` of signal,
     snapped to the closest known video mode (automates ``GUI.jl:49-88`` +
-    the interactive y_t pick)."""
-    fv, y_t = _timing_kernel(jnp.asarray(iq), float(fs), float(corr_seconds))
+    the interactive y_t pick).
+
+    ``iq`` may be complex64 or raw interleaved I/Q words (int16/float32, even
+    length).  Host complex input is reinterpreted as interleaved float32
+    (zero-copy view) before the device transfer, keeping every host→device
+    boundary real — required on TPU backends without complex transfer support
+    and cheaper everywhere.
+    """
+    if isinstance(iq, np.ndarray) and np.iscomplexobj(iq):
+        iq = np.ascontiguousarray(iq, np.complex64).view(np.float32)
+    iq = jnp.asarray(iq)
+    interleaved = not jnp.iscomplexobj(iq)
+    fv, y_t = _timing_kernel(iq, float(fs), float(corr_seconds), interleaved)
     fv_f, y_f = float(fv), float(y_t)
     name, mode = find_closest_mode(y_f, fv_f)
     # Keep the *measured* refresh (the true pixel clock differs from nominal —
@@ -139,8 +163,8 @@ def make_reconstruct_fn(config: ReconstructionConfig):
     # Fractional frame-start offsets (static table, no cumulative drift).
     starts = np.round(np.arange(n_frames) * spf).astype(np.int32)
 
-    @jax.jit
-    def step(iq: jnp.ndarray, ema: jnp.ndarray, alpha: jnp.ndarray):
+    def _body(iq: jnp.ndarray, ema: jnp.ndarray, alpha: jnp.ndarray,
+              frame_starts: jnp.ndarray):
         if config.input_format == "iq_interleaved":
             env = am_envelope_from_iq(iq)
         else:
@@ -157,7 +181,7 @@ def make_reconstruct_fn(config: ReconstructionConfig):
             zero = jnp.zeros((), jnp.int32)
             return screen, jnp.stack([zero, zero]), jnp.zeros(())
 
-        frames, sync, score = jax.vmap(one_frame)(jnp.asarray(starts))
+        frames, sync, score = jax.vmap(one_frame)(frame_starts)
 
         def ema_step(carry, frame):
             out = alpha * carry + (1.0 - alpha) * frame
@@ -165,6 +189,23 @@ def make_reconstruct_fn(config: ReconstructionConfig):
 
         ema_out, _ = jax.lax.scan(ema_step, ema, frames)
         return ema_out, frames, sync, score
+
+    if config.carry_phase:
+
+        @jax.jit
+        def step(iq, ema, alpha, phase):
+            # phase: fractional sample offset (float32) of the first frame
+            # boundary within this block, in [0, spf).
+            fstarts = jnp.floor(
+                phase + spf * jnp.arange(n_frames, dtype=jnp.float32) + 0.5
+            ).astype(jnp.int32)
+            return _body(iq, ema, alpha, fstarts)
+
+    else:
+
+        @jax.jit
+        def step(iq, ema, alpha):
+            return _body(iq, ema, alpha, jnp.asarray(starts))
 
     return step
 
@@ -175,7 +216,18 @@ def reconstruct_frames(
     alpha: float = 0.1,
     ema: np.ndarray | None = None,
 ) -> Reconstruction:
-    """Run stage 2 over one IQ block."""
+    """Run stage 2 over one IQ block.
+
+    Host complex64 input is reinterpreted as interleaved float32 (zero-copy
+    view) and run through the interleaved kernel, keeping the host→device
+    boundary real (see ``estimate_timing``)."""
+    if (
+        config.input_format == "complex64"
+        and isinstance(iq, np.ndarray)
+        and np.iscomplexobj(iq)
+    ):
+        iq = np.ascontiguousarray(iq, np.complex64).view(np.float32)
+        config = dataclasses.replace(config, input_format="iq_interleaved")
     step = make_reconstruct_fn(config)
     h, w = config.render_size
     if ema is None:

@@ -62,11 +62,12 @@ class StreamingRuntime:
         self.alpha = alpha
         self.invert = invert
         self._mode = mode
-        # Whole frame periods that fit in one block (+1 sample slack for the
-        # fractional frame cuts) — like the reference's nbIm floor (GUI.jl:137).
+        # Whole frame periods that fit in one block after a frame period of
+        # phase headroom + fractional-cut slack (cf. the reference's nbIm
+        # floor, GUI.jl:137 — which has no headroom and drifts).
         spf = source.sample_rate / mode.refresh
         self._n_frames = n_frames_per_block or max(
-            int((source.block_size - 2) / spf), 1
+            int((source.block_size - 2 - spf) / spf), 1
         )
         self._rebuild()
         self.ring = RingBuffer(source.block_size, ring_depth)
@@ -82,7 +83,11 @@ class StreamingRuntime:
             mode=self._mode,
             n_frames=self._n_frames,
             invert=self.invert,
+            carry_phase=True,
+            input_format="iq_interleaved",
         )
+        self._spf = self.source.sample_rate / self._mode.refresh
+        self._abs_pos = 0  # absolute sample index of the next block's start
         if self.config.block_samples > self.source.block_size:
             raise ValueError(
                 f"source blocks ({self.source.block_size}) are smaller than "
@@ -147,8 +152,17 @@ class StreamingRuntime:
             got = self.ring.take(buf)
             if got is None:
                 break
-            iq = jnp.asarray(buf[: self.config.block_samples])
-            ema, frames, sync, score = self._step(iq, ema, jnp.float32(self.alpha))
+            # Fractional offset of the next absolute frame boundary (frames
+            # tick at multiples of spf from stream start) inside this block.
+            phase = (-self._abs_pos) % self._spf
+            # Interleaved float32 view keeps the host->device boundary real.
+            iq = jnp.asarray(
+                buf[: self.config.block_samples].view(np.float32)
+            )
+            ema, frames, sync, score = self._step(
+                iq, ema, jnp.float32(self.alpha), jnp.float32(phase)
+            )
+            self._abs_pos += self.source.block_size
             self.frames_out += frames.shape[0]
             if sink is not None:
                 info = {

@@ -124,22 +124,32 @@ def test_hardware_source_raises_helpfully():
 
 # ---------------------------------------------------------------- runtime
 def test_streaming_runtime_end_to_end():
-    block = int(FS * 0.1)  # 6 frames per block
+    block = int(FS * 0.1)  # ~5 frames per block after phase headroom
     src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=2)
     rt = StreamingRuntime(src, MODE, alpha=0.5)
     rt.start()
-    images = []
+    images, syncs = [], []
     try:
-        rt.process_blocks(3, sink=lambda img, info: images.append((img.copy(), info)))
+        def sink(img, info):
+            images.append(img.copy())
+            syncs.append(info["sync"])
+        rt.process_blocks(3, sink=sink)
     finally:
         rt.stop()
     assert len(images) == 3
-    img, info = images[-1]
-    assert img.shape == (600, 800)
+    assert images[-1].shape == (600, 800)
     assert rt.frames_out == 3 * rt.config.n_frames
-    assert info["sync"].shape[1] == 2
+    # Phase carry: frame cuts are continuous across block boundaries, so the
+    # detected blanking position must NOT jump between blocks (it did before
+    # phase carry — each block restarted the frame grid).
+    all_sync = np.concatenate(syncs)       # (n_blocks*n_frames, 2)
+    for axis, n in ((0, 600), (1, 800)):
+        s = all_sync[:, axis].astype(int)
+        d = np.abs(np.diff(s))
+        d = np.minimum(d, n - d)           # circular distance
+        assert d.max() <= 8, f"sync jump across blocks on axis {axis}: {s}"
     # The reconstruction must carry real structure, not noise.
-    assert img.std() > 0.01
+    assert images[-1].std() > 0.01
 
 
 def test_streaming_runtime_correlate_hotswap():
