@@ -73,6 +73,7 @@ class StreamingRuntime:
         self.ring = RingBuffer(source.block_size, ring_depth)
         self._producer: threading.Thread | None = None
         self._stop = threading.Event()
+        self._producer_error: BaseException | None = None
         self._ema = np.zeros(self.config.render_size, np.float32)
         self.frames_out = 0
 
@@ -116,9 +117,14 @@ class StreamingRuntime:
 
         def _produce() -> None:
             block = np.empty(self.source.block_size, np.complex64)
-            while not self._stop.is_set():
-                self.source.read(block)
-                self.ring.put(block)
+            try:
+                while not self._stop.is_set():
+                    self.source.read(block)
+                    self.ring.put(block)
+            except BaseException as exc:  # surfaced to the consumer, not lost
+                # (the reference swallows producer errors, GUI.jl:197-200)
+                self._producer_error = exc
+                self.ring.close()
 
         self._producer = threading.Thread(target=_produce, daemon=True, name="sdr-producer")
         self._producer.start()
@@ -151,6 +157,8 @@ class StreamingRuntime:
         for _ in range(n_blocks):
             got = self.ring.take(buf)
             if got is None:
+                if self._producer_error is not None:
+                    raise RuntimeError("sample source failed") from self._producer_error
                 break
             # Fractional offset of the next absolute frame boundary (frames
             # tick at multiples of spf from stream start) inside this block.
@@ -212,6 +220,42 @@ class StreamingRuntime:
             n += self.source.block_size
         write_complex_binary(out[:n], path, fmt)
         return n
+
+    # ------------------------------------------------------- checkpointing
+    def save_checkpoint(self, path: str) -> None:
+        """Persist the streaming state (EMA image, frame phase, config) so a
+        later runtime resumes phase-continuous averaging — state persistence
+        the reference does not have (its only persistence is raw IQ
+        recording, ``GUI.jl:182-190``)."""
+        from ..utils.checkpoint import RuntimeState, save_state
+
+        save_state(
+            RuntimeState(
+                ema=self._ema,
+                abs_pos=self._abs_pos,
+                mode=self._mode,
+                sample_rate=self.source.sample_rate,
+                alpha=self.alpha,
+                frames_out=self.frames_out,
+            ),
+            path,
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        from ..utils.checkpoint import load_state
+
+        state = load_state(path)
+        if state.sample_rate != self.source.sample_rate:
+            raise ValueError(
+                f"checkpoint sample rate {state.sample_rate} != source "
+                f"{self.source.sample_rate}"
+            )
+        self._mode = state.mode
+        self.alpha = state.alpha
+        self._rebuild()
+        self._ema = state.ema
+        self._abs_pos = state.abs_pos
+        self.frames_out = state.frames_out
 
     def summary(self) -> str:
         return self.ring.summary() + f" | {self.frames_out} frames reconstructed"

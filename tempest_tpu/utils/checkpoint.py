@@ -1,0 +1,63 @@
+"""Checkpoint/resume for the streaming runtime.
+
+The reference's only persistence is raw IQ recording (``GUI.jl:182-190``);
+its processing state (EMA image, video config, Observables) dies with the
+process.  Here the streaming state is an explicit, small pytree — so we
+checkpoint it: the carried EMA image, the absolute sample position (frame
+phase), the video mode, and the tuning knobs.  A resumed runtime continues
+frame-phase-continuous averaging exactly where it stopped.
+
+Format: a single ``.npz`` (no external checkpoint dependency needed at this
+state size; the arrays are one 600×800 image and scalars).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..video.modes import VideoMode
+
+__all__ = ["RuntimeState", "save_state", "load_state"]
+
+_VERSION = 1
+
+
+@dataclasses.dataclass
+class RuntimeState:
+    ema: np.ndarray          # carried EMA image (float32)
+    abs_pos: int             # absolute sample index of the next block start
+    mode: VideoMode
+    sample_rate: float
+    alpha: float
+    frames_out: int = 0
+
+
+def save_state(state: RuntimeState, path: str) -> None:
+    np.savez_compressed(
+        path,
+        version=_VERSION,
+        ema=state.ema.astype(np.float32),
+        abs_pos=np.int64(state.abs_pos),
+        mode=np.array([state.mode.width, state.mode.height, state.mode.refresh]),
+        sample_rate=np.float64(state.sample_rate),
+        alpha=np.float32(state.alpha),
+        frames_out=np.int64(state.frames_out),
+    )
+
+
+def load_state(path: str) -> RuntimeState:
+    with np.load(path) as z:
+        version = int(z["version"])
+        if version != _VERSION:
+            raise ValueError(f"unsupported checkpoint version {version}")
+        w, h, r = z["mode"]
+        return RuntimeState(
+            ema=z["ema"].astype(np.float32),
+            abs_pos=int(z["abs_pos"]),
+            mode=VideoMode(int(w), int(h), float(r)),
+            sample_rate=float(z["sample_rate"]),
+            alpha=float(z["alpha"]),
+            frames_out=int(z["frames_out"]),
+        )

@@ -1,0 +1,92 @@
+"""Tests for checkpoints, metrics, and runtime failure propagation."""
+
+import numpy as np
+import pytest
+
+import tempest_tpu as tt
+from tempest_tpu.runtime.stream import StreamingRuntime
+from tempest_tpu.utils.checkpoint import RuntimeState, load_state, save_state
+from tempest_tpu.utils.profiling import Metrics
+
+MODE = tt.ALL_VIDEO_MODES["640x480 @ 60Hz"]
+FS = 4e6
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = RuntimeState(
+        ema=np.random.default_rng(0).random((600, 800)).astype(np.float32),
+        abs_pos=123456,
+        mode=MODE,
+        sample_rate=FS,
+        alpha=0.25,
+        frames_out=42,
+    )
+    p = str(tmp_path / "ckpt.npz")
+    save_state(state, p)
+    back = load_state(p)
+    np.testing.assert_array_equal(back.ema, state.ema)
+    assert back.abs_pos == 123456
+    assert back.mode == MODE
+    assert back.alpha == pytest.approx(0.25)
+    assert back.frames_out == 42
+
+
+def test_runtime_checkpoint_resume(tmp_path):
+    from tempest_tpu.runtime.sources import SyntheticSource
+
+    block = int(FS * 0.1)
+    src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=7)
+    rt = StreamingRuntime(src, MODE, alpha=0.5)
+    rt.start()
+    try:
+        rt.process_blocks(2)
+    finally:
+        rt.stop()
+    p = str(tmp_path / "rt.npz")
+    rt.save_checkpoint(p)
+
+    src2 = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=7)
+    rt2 = StreamingRuntime(src2, MODE, alpha=0.1)
+    rt2.load_checkpoint(p)
+    assert rt2.frames_out == rt.frames_out
+    assert rt2.alpha == 0.5
+    assert rt2._abs_pos == rt._abs_pos
+    np.testing.assert_array_equal(rt2._ema, rt._ema)
+
+
+def test_producer_error_propagates():
+    class FailingSource:
+        sample_rate = FS
+        block_size = 140000
+
+        def __init__(self):
+            self.n = 0
+
+        def read(self, out):
+            self.n += 1
+            if self.n > 2:
+                raise IOError("radio unplugged")
+            out[:] = 0
+
+        def close(self):
+            pass
+
+    rt = StreamingRuntime(FailingSource(), MODE, alpha=0.5, n_frames_per_block=1)
+    rt.start()
+    try:
+        with pytest.raises(RuntimeError, match="sample source failed"):
+            rt.process_blocks(10)
+    finally:
+        rt.stop()
+
+
+def test_metrics_registry():
+    m = Metrics()
+    m.count("frames", 30)
+    m.count("frames", 30)
+    m.gauge("alpha", 0.1)
+    snap = m.snapshot()
+    assert snap["counters"]["frames"] == 60
+    assert snap["gauges"]["alpha"] == 0.1
+    assert m.rate("frames") > 0
+    assert "frames" in m.json()
