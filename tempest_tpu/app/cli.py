@@ -155,6 +155,61 @@ def cmd_synth(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_convert(args: argparse.Namespace) -> int:
+    """Re-encode a capture between .dat word formats (the reference's
+    ``production/convert_dat32_dat64.jl``)."""
+    from ..io.dat import read_complex_binary, write_complex_binary
+
+    x = read_complex_binary(args.input, args.from_format)
+    write_complex_binary(x, args.output, args.to_format)
+    print(f"converted {len(x)} samples: {args.input} ({args.from_format}) "
+          f"-> {args.output} ({args.to_format})")
+    return 0
+
+
+def cmd_warmup(args: argparse.Namespace) -> int:
+    """Precompile the reconstruction programs for the given modes/rate so a
+    live session starts hot — the role PackageCompiler sysimages play for the
+    reference (``production/script_compilation.jl``,
+    ``docs/src/precompilation.md``).  Combine with
+    ``JAX_COMPILATION_CACHE_DIR`` to persist across processes."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..pipeline.offline import (
+        ReconstructionConfig,
+        _timing_kernel,
+        make_reconstruct_fn,
+    )
+    from ..video.modes import ALL_VIDEO_MODES
+
+    if args.cache_dir:
+        jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+    mode_names = args.modes or ["1920x1080 @ 60Hz"]
+    for name in mode_names:
+        mode = ALL_VIDEO_MODES[name]
+        cfg = ReconstructionConfig(
+            sample_rate=args.fs, mode=mode, n_frames=args.frames,
+            input_format="iq_interleaved", carry_phase=True,
+        )
+        step = make_reconstruct_fn(cfg)
+        iq = jnp.zeros(2 * cfg.block_samples, jnp.int16)
+        t0 = _time.perf_counter()
+        out = step(iq, jnp.zeros(cfg.render_size, jnp.float32),
+                   jnp.float32(0.1), jnp.float32(0.0))
+        _ = np.asarray(out[0][:1, :4])
+        print(f"compiled {name}: {_time.perf_counter()-t0:.1f} s")
+    # Timing estimator program too.
+    n = int(args.fs * 0.2)
+    t0 = _time.perf_counter()
+    fv, y_t = _timing_kernel(jnp.zeros(2 * n, jnp.float32), args.fs, 0.1, True)
+    _ = float(fv)
+    print(f"compiled timing estimator: {_time.perf_counter()-t0:.1f} s")
+    return 0
+
+
 def cmd_modes(args: argparse.Namespace) -> int:
     from ..video.modes import ALL_VIDEO_MODES
 
@@ -228,6 +283,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="synthetic.dat")
     p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("convert", help="re-encode a capture between .dat formats")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--from-format", default="single", choices=["short", "single", "double"])
+    p.add_argument("--to-format", default="double", choices=["short", "single", "double"])
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("warmup", help="precompile pipelines (sysimage analogue)")
+    _add_common(p)
+    p.add_argument("--modes", nargs="*", default=None)
+    p.add_argument("--frames", type=int, default=6)
+    p.add_argument("--cache-dir", default=None,
+                   help="persist compiled executables (JAX compilation cache)")
+    p.set_defaults(fn=cmd_warmup)
 
     p = sub.add_parser("modes", help="list the video-mode database")
     p.set_defaults(fn=cmd_modes)
