@@ -41,6 +41,8 @@ __all__ = [
     "sig_to_image",
     "downgrade_image",
     "frame_to_screen",
+    "frame_to_screen_rows",
+    "frame_to_screen_mxu",
     "frame_to_screen_dynamic",
     "naive_upsample",
     "upsample_fft",
@@ -136,6 +138,146 @@ def frame_to_screen(
     top = sig[jnp.asarray(i_top)] * (1.0 - f_top) + sig[jnp.asarray(i_top) + 1] * f_top
     bot = sig[jnp.asarray(i_bot)] * (1.0 - f_bot) + sig[jnp.asarray(i_bot) + 1] * f_bot
     return top * (1.0 - wr) + bot * wr
+
+
+def _screen_geometry(
+    n_in: int, y_t: int, x_t: int, out_shape: tuple[int, int]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, float]:
+    """Host-side geometry shared by the fast frame_to_screen variants.
+
+    For output row r and vertical tap t∈{0,1}, the source positions along the
+    scan are ``A[r,t] + c*delta`` (c = output column): an affine family whose
+    slope is constant — only the per-(row,tap) offset differs.  Returns
+    (line_start[600,2], line_frac[600,2], wr[600,1], col_offsets[800], delta)
+    with positions split as start (int) + frac∈[0,1) + c*delta.
+    """
+    h_out, w_out = out_shape
+    ratio = n_in / (y_t * x_t)  # signal samples per raster pixel
+    ry = np.clip((np.arange(h_out) + 0.5) * (y_t / h_out) - 0.5, 0.0, y_t - 1.0)
+    r0 = np.minimum(np.floor(ry).astype(np.int64), max(y_t - 2, 0))
+    wr = (ry - r0).astype(np.float32)[:, None]
+    lines = np.stack([r0, np.minimum(r0 + 1, y_t - 1)], axis=1)  # (h,2)
+    cx = np.clip((np.arange(w_out) + 0.5) * (x_t / w_out) - 0.5, 0.0, x_t - 1.0)
+    delta = (cx[1] - cx[0]) * ratio if w_out > 1 else 0.0
+    # pos(r,t,c) = (lines*x_t + cx[c] + 0.5)*ratio - 0.5
+    a = (lines * x_t + cx[0] + 0.5) * ratio - 0.5          # (h,2) offset at c=0
+    start = np.floor(a).astype(np.int64)
+    frac = (a - start).astype(np.float32)
+    cols = (np.arange(w_out) * delta).astype(np.float64)    # c*delta
+    return start, frac, wr, cols, float(ratio)
+
+
+def frame_to_screen_rows(
+    sig: jnp.ndarray,
+    y_t: int,
+    x_t: int,
+    out_shape: tuple[int, int] = RENDER_SIZE,
+) -> jnp.ndarray:
+    """``frame_to_screen`` v2: per-scanline span gather + take_along_axis.
+
+    Instead of one flat (h*w)-point gather into the whole envelope, gather
+    each needed scan line as a contiguous span (row-major slices the TPU
+    memory system handles well), then interpolate within rows where the
+    index extent is tiny.  Bit-compatible with ``frame_to_screen`` up to
+    float rounding.
+    """
+    n_in = sig.shape[0]
+    h_out, w_out = out_shape
+    start, frac, wr, cols, ratio = _screen_geometry(n_in, y_t, x_t, out_shape)
+    # Absolute positions, clipped like frame_to_screen; then per-(row,tap)
+    # span starts and in-span offsets.
+    abs_pos = np.clip(
+        start[:, :, None] + frac[:, :, None].astype(np.float64) + cols[None, None, :],
+        0.0,
+        n_in - 1.000001,
+    )
+    start_c = np.floor(abs_pos.min(axis=2)).astype(np.int64)
+    span = int(np.ceil((abs_pos - start_c[:, :, None]).max())) + 2
+    start_c = np.minimum(start_c, max(n_in - span - 1, 0))
+    pos = abs_pos - start_c[:, :, None]
+    i0 = pos.astype(np.int32)
+    f = (pos - i0).astype(np.float32)
+    spans = sig[jnp.asarray(start_c)[:, :, None] + jnp.arange(span + 1)[None, None, :]]
+    i0 = jnp.asarray(i0)
+    top_bot = jnp.take_along_axis(spans, i0, axis=2) * (1.0 - f) + \
+        jnp.take_along_axis(spans, i0 + 1, axis=2) * f       # (h, 2, w)
+    wr = jnp.asarray(wr)
+    return top_bot[:, 0, :] * (1.0 - wr) + top_bot[:, 1, :] * wr
+
+
+def frame_to_screen_mxu(
+    sig: jnp.ndarray,
+    y_t: int,
+    x_t: int,
+    out_shape: tuple[int, int] = RENDER_SIZE,
+    num_phases: int = 64,
+) -> jnp.ndarray:
+    """``frame_to_screen`` v3: scanline interpolation as batched MXU matmuls.
+
+    Within a scan line the source positions are ``frac + c*delta`` — a
+    one-parameter family in ``frac``.  Quantising ``frac`` to ``num_phases``
+    levels, all lines sharing a phase use the same (span × w_out) linear-
+    interpolation weight matrix, so the whole per-frame resample becomes one
+    span gather + one batched matmul ``(P, rows/P, span) @ (P, span, w_out)``
+    (plus static row permutations).  Trades the gather-bound inner loop for
+    MXU FLOPs; phase quantisation error ≤ 1/(2·num_phases) sample.
+    """
+    n_in = sig.shape[0]
+    h_out, w_out = out_shape
+    start, frac, wr, cols, ratio = _screen_geometry(n_in, y_t, x_t, out_shape)
+    span = int(np.ceil(cols[-1] + 1)) + 2
+    span_pad = -(-span // 128) * 128  # lane-aligned
+
+    # Quantise per-(row,tap) fracs to phases; build P weight matrices.  The
+    # signal is edge-padded by span_pad so spans never clamp; only the first
+    # row's start can go negative (clamped, ≤1-sample effect at row 0 — the
+    # same edge clip frame_to_screen applies).
+    flat_start = np.maximum(start.reshape(-1), 0)
+    flat_frac = np.clip(frac.reshape(-1).astype(np.float64), 0.0, 1.0 - 1e-9)
+    phase = np.minimum((flat_frac * num_phases).astype(np.int64), num_phases - 1)
+
+    weights = np.zeros((num_phases, span_pad, w_out), np.float32)
+    for p in range(num_phases):
+        fp = (p + 0.5) / num_phases
+        pos = fp + cols                       # (w,)
+        i0 = pos.astype(np.int64)
+        fr = (pos - i0).astype(np.float32)
+        np.add.at(weights[p], (i0, np.arange(w_out)), 1.0 - fr)
+        np.add.at(weights[p], (i0 + 1, np.arange(w_out)), fr)
+
+    # Sort the 2h lines by phase → contiguous per-phase batches (padded).
+    order = np.argsort(phase, kind="stable")
+    inv = np.argsort(order)
+    counts = np.bincount(phase, minlength=num_phases)
+    per = int(counts.max()) if counts.size else 1
+    slot = np.zeros(2 * h_out, np.int64)
+    # slot index of each sorted line within its phase batch
+    c = np.zeros(num_phases, np.int64)
+    for idx in order:
+        slot[idx] = c[phase[idx]]
+        c[phase[idx]] += 1
+    # scatter lines into (P, per) grid; empty slots read span 0 (ignored later)
+    grid_src = np.zeros((num_phases, per), np.int64)          # line index
+    valid = np.zeros((num_phases, per), bool)
+    grid_src[phase, slot] = np.arange(2 * h_out)
+    valid[phase, slot] = True
+
+    sig_pad = jnp.concatenate(
+        [sig, jnp.broadcast_to(sig[-1], (span_pad,)).astype(sig.dtype)]
+    )
+    spans = sig_pad[jnp.asarray(flat_start)[:, None] + jnp.arange(span_pad)[None, :]]
+    batched = spans[jnp.asarray(grid_src.reshape(-1))].reshape(
+        num_phases, per, span_pad
+    )
+    z = jnp.einsum(
+        "pbs,psw->pbw", batched, jnp.asarray(weights),
+        preferred_element_type=jnp.float32,
+    )
+    # Back to line order: line i lives at (phase[i], slot[i]).
+    lines_out = z[jnp.asarray(phase), jnp.asarray(slot)]      # (2h, w)
+    lines_out = lines_out.reshape(h_out, 2, w_out)
+    wr = jnp.asarray(wr)
+    return lines_out[:, 0, :] * (1.0 - wr) + lines_out[:, 1, :] * wr
 
 
 def frame_to_screen_dynamic(

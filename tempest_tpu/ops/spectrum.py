@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["get_spectrum", "get_welch", "get_waterfall"]
+__all__ = ["get_spectrum", "get_welch", "get_welch_sharded", "welch_accumulate", "get_waterfall"]
 
 _EPS = 1e-30  # keep log10 finite; 10*log10(1e-30) = -300 dB floor
 
@@ -44,6 +44,48 @@ def get_welch(
     n_seg = sig.shape[0] // fft_size
     segs = sig[: n_seg * fft_size].reshape(n_seg, fft_size)
     acc = jnp.sum(jnp.abs(jnp.fft.fft(segs, axis=-1)) ** 2, axis=0)
+    power = 10.0 * jnp.log10(jnp.fft.fftshift(acc) + _EPS)
+    return _freq_axis(fft_size, fs), power
+
+
+def welch_accumulate(segs: jnp.ndarray) -> jnp.ndarray:
+    """Sum of per-segment ``|FFT|^2`` for a (n_seg, fft_size) batch — the
+    reduction inside Welch, exposed so sharded callers can ``psum`` partial
+    accumulations across devices."""
+    return jnp.sum(jnp.abs(jnp.fft.fft(segs, axis=-1)) ** 2, axis=0)
+
+
+def get_welch_sharded(
+    fs: float,
+    sig: jnp.ndarray,
+    mesh,
+    fft_size: int = 1024,
+    axis: str = "blocks",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Welch PSD with the segment axis sharded across a device mesh: each
+    device FFTs and accumulates its local segments, one ``psum`` combines.
+    Segment counts must divide the mesh axis size (trailing samples dropped,
+    like the single-device version).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    n_seg = sig.shape[0] // fft_size
+    n_seg -= n_seg % n_dev
+    if n_seg == 0:
+        raise ValueError("signal too short for one segment per device")
+    segs = sig[: n_seg * fft_size].reshape(n_seg, fft_size)
+    segs = jax.device_put(segs, NamedSharding(mesh, P(axis, None)))
+
+    def local(s):
+        return jax.lax.psum(welch_accumulate(s), axis)[None]
+
+    acc = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis)
+        )
+    )(segs)[0]
     power = 10.0 * jnp.log10(jnp.fft.fftshift(acc) + _EPS)
     return _freq_axis(fft_size, fs), power
 

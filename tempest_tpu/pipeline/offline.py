@@ -41,7 +41,12 @@ import jax.numpy as jnp
 from ..ops.autocorr import autocorrelation, estimate_line_count, estimate_refresh
 from ..ops.demod import am_demod, am_envelope_from_iq
 from ..ops.framesync import align_frame, frame_sync
-from ..ops.resample import RENDER_SIZE, frame_to_screen
+from ..ops.resample import (
+    RENDER_SIZE,
+    frame_to_screen,
+    frame_to_screen_mxu,
+    frame_to_screen_rows,
+)
 from ..video.modes import VideoMode, find_closest_mode
 
 __all__ = [
@@ -78,6 +83,9 @@ class ReconstructionConfig:
     # "iq_interleaved": iq is int16/float32 [2*block_samples] raw I/Q words —
     # half the host->device bandwidth, no complex math on device.
     input_format: str = "complex64"
+    # Resampler variant: "gather" (flat 4-tap gather), "rows" (span gather +
+    # take_along_axis), "mxu" (phase-quantised batched matmuls).
+    resampler: str = "rows"
     # With carry_phase, step() takes an extra traced fractional sample offset
     # of the first frame boundary inside the block, so a streaming caller can
     # keep frame cuts continuous across block boundaries (the reference cuts
@@ -172,9 +180,15 @@ def make_reconstruct_fn(config: ReconstructionConfig):
         if config.invert:
             env = 1.0 - env / jnp.max(env)
 
+        resample = {
+            "gather": frame_to_screen,
+            "rows": frame_to_screen_rows,
+            "mxu": frame_to_screen_mxu,
+        }[config.resampler]
+
         def one_frame(start):
             sig = jax.lax.dynamic_slice(env, (start,), (frame_len,))
-            screen = frame_to_screen(sig, mode.height, mode.width, (h, w))
+            screen = resample(sig, mode.height, mode.width, (h, w))
             if config.do_align:
                 s_y, s_x, score = frame_sync(screen)
                 return align_frame(screen, s_y, s_x), jnp.stack([s_y, s_x]), score

@@ -98,3 +98,17 @@ def test_sharded_mode_search_finds_true_mode():
     res = sharded_mode_search(cap.iq, FS, 60.0, cands, mesh, n_frames=2)
     assert res.names[res.best_index] == "640x480 @ 60Hz"
     assert res.scores.shape == (len(cands),)
+
+
+def test_sharded_welch_matches_single():
+    from tempest_tpu.ops.spectrum import get_welch, get_welch_sharded
+
+    rng = np.random.default_rng(5)
+    sig = (rng.standard_normal(32768) + 1j * rng.standard_normal(32768)).astype(
+        np.complex64
+    )
+    mesh = make_mesh(8)
+    f1, p1 = get_welch(1e6, jnp.asarray(sig), fft_size=1024)
+    f2, p2 = get_welch_sharded(1e6, jnp.asarray(sig), mesh, fft_size=1024)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-3)
