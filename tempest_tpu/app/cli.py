@@ -60,7 +60,8 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
     iq = read_complex_binary(args.input, args.format, count=args.samples)
     if args.mode == "auto":
         timing, recon = auto_reconstruct(
-            iq, args.fs, n_frames=args.frames, alpha=args.alpha, invert=args.invert
+            iq, args.fs, n_frames=args.frames, alpha=args.alpha,
+            invert=args.invert, refine_with_search=args.search,
         )
         print(f"detected mode: {timing.mode_name} (fv={timing.refresh_hz:.4f} Hz)")
     else:
@@ -244,6 +245,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--invert", action="store_true", help="use inverted envelope")
     p.add_argument("--invert-output", action="store_true")
     p.add_argument("--sync-overlay", action="store_true", help="draw sync crosshair")
+    p.add_argument("--search", action="store_true",
+                   help="refine the detected mode by sharded sync-score search")
     p.add_argument("--out", default="reconstruction.png")
     p.set_defaults(fn=cmd_reconstruct)
 

@@ -270,11 +270,36 @@ def auto_reconstruct(
     alpha: float = 0.1,
     invert: bool = False,
     corr_seconds: float = 0.1,
+    refine_with_search: bool = False,
+    search_tol_hz: float = 1.0,
 ) -> tuple[TimingEstimate, Reconstruction]:
     """Fully automatic capture → image: the end-to-end equivalent of the
     reference's offline script (``production/investigate_data.jl``), with the
-    interactive steps (refresh pick, line-count click) automated."""
+    interactive steps (refresh pick, line-count click) automated.
+
+    ``refine_with_search=True`` additionally scores every video mode within
+    ``search_tol_hz`` of the measured refresh by sync contrast (sharded across
+    all visible devices) and keeps the winner — a safety net when the
+    line-count estimate is ambiguous at low SNR."""
     timing = estimate_timing(iq, fs, corr_seconds)
+    if refine_with_search:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded import sharded_mode_search
+        from ..video.modes import candidate_modes, find_configuration
+
+        cands = candidate_modes(timing.refresh_hz, tol_hz=search_tol_hz)
+        if len(cands) > 1:
+            res = sharded_mode_search(
+                np.abs(np.asarray(iq)) if np.iscomplexobj(iq) else iq,
+                fs, timing.refresh_hz, cands, make_mesh(),
+            )
+            best = res.best_mode
+            timing = TimingEstimate(
+                refresh_hz=timing.refresh_hz,
+                line_count=timing.line_count,
+                mode_name=res.names[res.best_index],
+                mode=VideoMode(best.width, best.height, timing.refresh_hz),
+            )
     spf = fs / timing.mode.refresh
     if n_frames is None:
         n_frames = max(int((len(iq) - 1) / spf), 1)
