@@ -84,7 +84,8 @@ class ReconstructionConfig:
     # half the host->device bandwidth, no complex math on device.
     input_format: str = "complex64"
     # Resampler variant: "gather" (flat 4-tap gather), "rows" (span gather +
-    # take_along_axis), "mxu" (phase-quantised batched matmuls).
+    # take_along_axis), "mxu" (phase-quantised batched matmuls), "pallas"
+    # (fused DMA + on-the-fly-weights MXU kernel; interpret-mode off-TPU).
     resampler: str = "rows"
     # With carry_phase, step() takes an extra traced fractional sample offset
     # of the first frame boundary inside the block, so a streaming caller can
@@ -180,11 +181,20 @@ def make_reconstruct_fn(config: ReconstructionConfig):
         if config.invert:
             env = 1.0 - env / jnp.max(env)
 
-        resample = {
-            "gather": frame_to_screen,
-            "rows": frame_to_screen_rows,
-            "mxu": frame_to_screen_mxu,
-        }[config.resampler]
+        if config.resampler == "pallas":
+            from ..ops.pallas_resample import frame_to_screen_pallas
+            import jax as _jax
+
+            interp = _jax.default_backend() != "tpu"
+
+            def resample(sig, y_t, x_t, shape):
+                return frame_to_screen_pallas(sig, y_t, x_t, shape, interpret=interp)
+        else:
+            resample = {
+                "gather": frame_to_screen,
+                "rows": frame_to_screen_rows,
+                "mxu": frame_to_screen_mxu,
+            }[config.resampler]
 
         def one_frame(start):
             sig = jax.lax.dynamic_slice(env, (start,), (frame_len,))

@@ -261,3 +261,26 @@ def test_align_frame_rolls_blank_to_border():
     # After alignment the blanking centre sits at (0, 0).
     assert aligned[0].mean() > np.median(aligned)
     assert aligned[:, 0].mean() > np.median(aligned)
+
+
+def test_frame_to_screen_variants_agree():
+    """rows / mxu / pallas variants must match the reference gather path."""
+    from tempest_tpu.ops.pallas_resample import frame_to_screen_pallas
+    from tempest_tpu.ops.resample import frame_to_screen_mxu, frame_to_screen_rows
+
+    y_t, x_t, n_in, shape = 525, 800, 66666, (600, 800)
+    t = np.arange(n_in)
+    sig = jnp.asarray(
+        (np.sin(2 * np.pi * t / 797.0) + 0.3 * np.cos(2 * np.pi * t / 91.0)).astype(
+            np.float32
+        )
+    )
+    ref = np.asarray(frame_to_screen(sig, y_t, x_t, shape))
+    scale = np.abs(ref).max()
+    rows = np.asarray(frame_to_screen_rows(sig, y_t, x_t, shape))
+    assert np.abs(ref - rows).max() / scale < 1e-5
+    pallas = np.asarray(frame_to_screen_pallas(sig, y_t, x_t, shape, interpret=True))
+    assert np.abs(ref - pallas).max() / scale < 1e-5
+    mxu = np.asarray(frame_to_screen_mxu(sig, y_t, x_t, shape))
+    # mxu quantises the scanline phase; interior accuracy bound.
+    assert np.abs(ref - mxu)[1:-1].max() / scale < 2e-2
