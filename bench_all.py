@@ -1,0 +1,132 @@
+"""Scenario benchmark suite — the five BASELINE.json configs, one JSON line
+each (``bench.py`` remains the single-line driver entry point).
+
+  1. offline AM envelope demod of a capture
+  2. FFT autocorrelation refresh+line-rate estimation
+  3. resample to the inferred pixel clock for one fixed mode
+  4. full chain at 1080p60 (same as bench.py)
+  5. sharded multi-hypothesis mode search across all devices
+
+Run with ``--device cpu`` to exercise everything on the host (virtual mesh);
+default runs on the session's accelerator.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _fence(x) -> None:
+    np.asarray(x).ravel()[:1]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--fs", type=float, default=20e6)
+    args = ap.parse_args()
+
+    import os
+
+    if args.device == "cpu":
+        os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from tempest_tpu.ops.autocorr import autocorrelation, estimate_line_count, estimate_refresh
+    from tempest_tpu.ops.demod import am_envelope_from_iq
+    from tempest_tpu.ops.resample import frame_to_screen_rows
+    from tempest_tpu.parallel.mesh import make_mesh
+    from tempest_tpu.parallel.sharded import sharded_mode_search
+    from tempest_tpu.pipeline.offline import ReconstructionConfig, make_reconstruct_fn
+    from tempest_tpu.video.modes import ALL_VIDEO_MODES, candidate_modes
+
+    fs = args.fs
+    mode = ALL_VIDEO_MODES["1920x1080 @ 60Hz"]
+    rng = np.random.default_rng(0)
+    results = []
+
+    def bench(metric: str, fn, samples_per_iter: int, baseline_msps: float = 20.0):
+        fn()  # compile
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            fn()
+        dt = time.perf_counter() - t0
+        msps = samples_per_iter * args.iters / dt / 1e6
+        results.append(
+            {
+                "metric": metric,
+                "value": round(msps, 2),
+                "unit": "Msamples/s/chip",
+                "vs_baseline": round(msps / baseline_msps, 2),
+            }
+        )
+
+    # 1. envelope demod of int16 IQ
+    n = 2_000_000
+    words = jax.device_put(rng.integers(-16384, 16384, 2 * n, dtype=np.int16))
+    demod = jax.jit(am_envelope_from_iq)
+
+    bench("AM envelope demod (int16 ingest)", lambda: _fence(demod(words)[:8]), n)
+
+    # 2. autocorrelation + timing estimation over 0.1 s
+    n2 = int(fs * 0.2)
+    env = jax.device_put(rng.random(n2).astype(np.float32))
+
+    @jax.jit
+    def timing(e):
+        gamma, _ = autocorrelation(e, fs, 0.0, 0.1)
+        fv = estimate_refresh(gamma, fs)
+        return fv, estimate_line_count(gamma, fs, fv)
+
+    bench("autocorrelation timing estimation", lambda: _fence(timing(env)[0]), n2)
+
+    # 3. resample one frame to the screen (rows variant)
+    frame_len = int(fs / 60.0)
+    sig = jax.device_put(rng.random(frame_len).astype(np.float32))
+    res = jax.jit(lambda s: frame_to_screen_rows(s, mode.height, mode.width))
+    bench("signal->screen resample (1 frame)", lambda: _fence(res(sig)[:1, :8]), frame_len)
+
+    # 4. full chain (bench.py's metric)
+    cfg = ReconstructionConfig(
+        sample_rate=fs, mode=mode, n_frames=6, input_format="iq_interleaved"
+    )
+    step = make_reconstruct_fn(cfg)
+    iq = jax.device_put(rng.integers(-16384, 16384, 2 * cfg.block_samples, dtype=np.int16))
+    ema0 = jnp.zeros(cfg.render_size, jnp.float32)
+    state = {"e": ema0}
+
+    def full():
+        state["e"], *_ = step(iq, state["e"], jnp.float32(0.1))
+        _fence(state["e"][:1, :8])
+
+    bench("full chain 1080p60", full, cfg.block_samples)
+
+    # 5. sharded mode search (all devices)
+    mesh = make_mesh()
+    cands = candidate_modes(60.0, tol_hz=0.5)
+    search_sig = rng.random(2 * frame_len + 8).astype(np.float32)
+
+    def search():
+        sharded_mode_search(search_sig, fs, 60.0, cands, mesh, n_frames=1)
+
+    bench(
+        f"sharded mode search ({len(cands)} candidates, {mesh.devices.size} dev)",
+        search,
+        2 * frame_len,
+    )
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
