@@ -42,7 +42,7 @@ def test_pattern(vis_h: int, vis_w: int, seed: int = 0) -> np.ndarray:
     img[vis_h // 3 : 2 * vis_h // 3, :] = np.linspace(0, 1, vis_w, dtype=np.float32)
     # Text-like glyph rows (bottom third): coarse random binary blocks.
     gh, gw = 4, 3
-    rows = vis_h - 2 * (vis_h // 3)
+    rows = vis_h - 2 * vis_h // 3  # rows of the target slice img[2*vis_h//3:]
     glyphs = rng.random((rows // gh + 1, vis_w // gw + 1)) > 0.55
     glyph_img = np.kron(glyphs, np.ones((gh, gw))).astype(np.float32)
     img[2 * vis_h // 3 :, :] = glyph_img[:rows, :vis_w] * 0.9

@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+import pytest
 import tempest_tpu as tt
 from tempest_tpu.ops.resample import downgrade_image
 from tempest_tpu.parallel.mesh import make_mesh
@@ -112,3 +113,21 @@ def test_sharded_welch_matches_single():
     f2, p2 = get_welch_sharded(1e6, jnp.asarray(sig), mesh, fft_size=1024)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2))
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "mode_name,fs",
+    [
+        ("800x600 @ 72Hz", 6e6),
+        ("1024x768 @ 85Hz", 12e6),
+        ("1280x1024 @ 75Hz", 14e6),
+    ],
+)
+def test_timing_estimation_other_rates(mode_name, fs):
+    """Refresh/line-count estimation must work across the mode table, not
+    just 60 Hz."""
+    mode = tt.ALL_VIDEO_MODES[mode_name]
+    cap = tt.generate_iq(mode, fs, int(fs * 0.3), snr_db=18.0, seed=21)
+    timing = estimate_timing(cap.iq, fs)
+    assert abs(timing.refresh_hz - mode.refresh) < 0.05
+    assert timing.mode.height == mode.height, timing
