@@ -44,8 +44,8 @@ from ..ops.framesync import align_frame, frame_sync
 from ..ops.resample import (
     RENDER_SIZE,
     frame_to_screen,
-    frame_to_screen_mxu,
     frame_to_screen_rows,
+    frames_to_screens_mxu,
 )
 from ..video.modes import VideoMode, find_closest_mode
 
@@ -183,31 +183,42 @@ def make_reconstruct_fn(config: ReconstructionConfig):
         if config.invert:
             env = 1.0 - env / jnp.max(env)
 
-        if config.resampler == "pallas":
-            from ..ops.pallas_resample import frame_to_screen_pallas
-            import jax as _jax
-
-            interp = _jax.default_backend() != "tpu"
-
-            def resample(sig, y_t, x_t, shape):
-                return frame_to_screen_pallas(sig, y_t, x_t, shape, interpret=interp)
+        if config.resampler == "mxu":
+            # Batched path: all frames through ONE phase-sorted einsum — the
+            # interpolation weights stream from HBM once per block instead of
+            # once per frame.
+            screens = frames_to_screens_mxu(
+                env, frame_starts, frame_len, mode.height, mode.width, (h, w)
+            )
         else:
-            resample = {
-                "gather": frame_to_screen,
-                "rows": frame_to_screen_rows,
-                "mxu": frame_to_screen_mxu,
-            }[config.resampler]
+            if config.resampler == "pallas":
+                from ..ops.pallas_resample import frame_to_screen_pallas
+                import jax as _jax
 
-        def one_frame(start):
-            sig = jax.lax.dynamic_slice(env, (start,), (frame_len,))
-            screen = resample(sig, mode.height, mode.width, (h, w))
+                interp = _jax.default_backend() != "tpu"
+
+                def resample(sig, y_t, x_t, shape):
+                    return frame_to_screen_pallas(sig, y_t, x_t, shape, interpret=interp)
+            else:
+                resample = {
+                    "gather": frame_to_screen,
+                    "rows": frame_to_screen_rows,
+                }[config.resampler]
+
+            def cut_frame(start):
+                sig = jax.lax.dynamic_slice(env, (start,), (frame_len,))
+                return resample(sig, mode.height, mode.width, (h, w))
+
+            screens = jax.vmap(cut_frame)(frame_starts)
+
+        def sync_one(screen):
             if config.do_align:
                 s_y, s_x, score = frame_sync(screen)
                 return align_frame(screen, s_y, s_x), jnp.stack([s_y, s_x]), score
             zero = jnp.zeros((), jnp.int32)
             return screen, jnp.stack([zero, zero]), jnp.zeros(())
 
-        frames, sync, score = jax.vmap(one_frame)(frame_starts)
+        frames, sync, score = jax.vmap(sync_one)(screens)
 
         def ema_step(carry, frame):
             out = alpha * carry + (1.0 - alpha) * frame

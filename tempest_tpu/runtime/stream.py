@@ -221,6 +221,26 @@ class StreamingRuntime:
         write_complex_binary(out[:n], path, fmt)
         return n
 
+    # --------------------------------------------------- failure detection
+    def health(self) -> dict:
+        """Liveness/health snapshot — the failure-detection surface the
+        reference lacks (its loops swallow errors, SURVEY.md §5): producer
+        thread state, ring backlog/overflow, source error, throughput."""
+        _, prod_msps = self.ring.producer.rates()
+        _, cons_msps = self.ring.consumer.rates()
+        return {
+            "producer_alive": self._producer is not None and self._producer.is_alive(),
+            "producer_error": repr(self._producer_error) if self._producer_error else None,
+            "ring_available": self.ring.available,
+            "ring_overflows": self.ring.overflows,
+            "producer_msps": round(prod_msps, 2),
+            "consumer_msps": round(cons_msps, 2),
+            "frames_out": self.frames_out,
+            "realtime_factor": round(
+                cons_msps * 1e6 / self.source.sample_rate, 3
+            ) if self.source.sample_rate else None,
+        }
+
     # ------------------------------------------------------- checkpointing
     def save_checkpoint(self, path: str) -> None:
         """Persist the streaming state (EMA image, frame phase, config) so a

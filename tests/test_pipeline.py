@@ -131,3 +131,20 @@ def test_timing_estimation_other_rates(mode_name, fs):
     timing = estimate_timing(cap.iq, fs)
     assert abs(timing.refresh_hz - mode.refresh) < 0.05
     assert timing.mode.height == mode.height, timing
+
+
+def test_pipeline_with_pallas_resampler():
+    """The pallas kernel slots into the jitted pipeline (interpret on CPU)."""
+    import dataclasses
+
+    cap = _capture(0.2)
+    # Compare without per-frame alignment: a few-pixel sync difference
+    # between variants would otherwise roll the images apart.
+    cfg = ReconstructionConfig(
+        sample_rate=FS, mode=MODE, n_frames=3, resampler="pallas", do_align=False
+    )
+    rec = reconstruct_frames(cap.iq, cfg, alpha=0.5)
+    cfg2 = dataclasses.replace(cfg, resampler="gather")
+    rec2 = reconstruct_frames(cap.iq, cfg2, alpha=0.5)
+    d = np.abs(rec.image - rec2.image)
+    assert d.max() < 0.02 * (rec2.image.max() - rec2.image.min() + 1e-9)

@@ -244,3 +244,19 @@ def test_cli_modes(capsys):
     text = capsys.readouterr().out
     assert "1920x1080 @ 60Hz" in text
     assert text.count("\n") >= 80
+
+
+def test_runtime_health_snapshot():
+    block = int(FS * 0.1)
+    src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=8)
+    rt = StreamingRuntime(src, MODE, alpha=0.5)
+    rt.start()
+    try:
+        rt.process_blocks(2)
+        h = rt.health()
+    finally:
+        rt.stop()
+    assert h["producer_alive"] is True
+    assert h["producer_error"] is None
+    assert h["frames_out"] == rt.frames_out > 0
+    assert h["consumer_msps"] > 0
