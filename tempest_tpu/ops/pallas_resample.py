@@ -1,28 +1,28 @@
-"""Pallas TPU kernel: fused scanline resampling (signal → screen).
+"""Pallas TPU kernel: fused multi-frame scanline resampling (signal → screens).
 
 The signal→screen mapping (see ``ops/resample.py``) reads, for every output
 row, a short contiguous span of the envelope and interpolates it at affine
 positions ``frac + c·delta``.  The XLA formulations express the interpolation
-as gathers; this Pallas kernel instead:
+as gathers or one batched einsum; this Pallas kernel instead:
 
-* tiles the output over (row-tile) grid steps, 8 rows per step (f32 sublane);
-* for each of the tile's 16 scanline spans (8 rows × 2 vertical taps), copies
-  ``span_pad`` envelope samples HBM→VMEM with explicit async DMA, double-
-  buffer style;
+* runs a grid over (frame, 8-row tile) — all frames of a block in ONE
+  pallas_call, no vmap (the TPU lowering rejects batched ``ANY``-space
+  operands, so the frame axis lives in the grid);
+* per tile, copies the 16 scanline spans (8 rows × 2 vertical taps)
+  HBM→VMEM with explicit async DMA;
 * builds the (span_pad × w_out) linear-interpolation weight matrix *in VMEM*
-  from ``broadcasted_iota`` (``W[i,c] = max(0, 1 - |i - (frac + c·delta)|)``)
-  — the one-hot-matmul trick: interpolation as MXU work, no gathers, no
-  multi-MB weight constants in HBM;
-* contracts span @ W on the MXU and accumulates the two vertical taps with
-  their bilinear weights.
+  from ``broadcasted_iota`` (``W[i,c] = max(0, 1 - |i - pos(c)|)``) — the
+  one-hot-matmul trick: interpolation as MXU work, no gathers and no
+  multi-MB weight constants streaming from HBM;
+* contracts span @ W on the MXU and blends the two vertical taps.
 
-Geometry (span starts, fracs, vertical weights) is precomputed host-side per
-``(n_in, y_t, x_t, out_shape)`` — identical to ``_screen_geometry`` — and fed
-as scalar-prefetch arrays so DMA addresses are known before the kernel body
-runs (``PrefetchScalarGridSpec``).
+Line geometry is precomputed host-side (shared ``_screen_geometry``); the
+per-line span starts arrive as scalar-prefetch arrays so DMA addresses are
+known before the body runs, and *traced* frame starts (streaming phase carry)
+are supported — they just add to the prefetch array.
 
-Runs compiled on TPU; ``interpret=True`` (used on CPU in tests) validates
-numerics against the XLA ``frame_to_screen`` reference path.
+Compiled on TPU; ``interpret=True`` (CPU tests) matches the XLA reference
+path to float rounding.
 """
 
 from __future__ import annotations
@@ -37,44 +37,40 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .resample import RENDER_SIZE, _screen_geometry
 
-__all__ = ["frame_to_screen_pallas"]
+__all__ = ["frames_to_screens_pallas", "frame_to_screen_pallas"]
 
 _ROWS_PER_TILE = 8
 
 
 def _kernel(start_ref, frac_ref, wr_ref, sig_ref, out_ref, span_buf, sem,
-            *, span_pad: int, w_out: int, delta: float):
-    tile = pl.program_id(0)
-    base = tile * _ROWS_PER_TILE
+            *, span_pad: int, w_out: int, delta: float, h_out: int):
+    frame = pl.program_id(0)
+    tile = pl.program_id(1)
+    base = tile * _ROWS_PER_TILE          # first output row of this tile
+    lbase = frame * 2 * h_out + 2 * base  # first line index in prefetch arrays
 
-    # DMA all 16 spans of this tile (8 rows x 2 vertical taps) HBM -> VMEM.
-    for i in range(_ROWS_PER_TILE):
-        for t in range(2):
-            line = 2 * (base + i) + t
-            dma = pltpu.make_async_copy(
-                sig_ref.at[pl.ds(start_ref[line], span_pad)],
-                span_buf.at[2 * i + t],
-                sem.at[2 * i + t],
-            )
-            dma.start()
+    # Start all 16 span DMAs (HBM -> VMEM) up front.
+    for i in range(2 * _ROWS_PER_TILE):
+        pltpu.make_async_copy(
+            sig_ref.at[pl.ds(start_ref[lbase + i], span_pad)],
+            span_buf.at[i],
+            sem.at[i],
+        ).start()
 
-    # Interpolation positions shared by all rows up to the per-line frac:
-    # pos[c] = frac + c*delta; weight W[s, c] = max(0, 1 - |s - pos[c]|).
     s_idx = jax.lax.broadcasted_iota(jnp.float32, (span_pad, w_out), 0)
     c_pos = jax.lax.broadcasted_iota(jnp.float32, (span_pad, w_out), 1) * delta
 
     for i in range(_ROWS_PER_TILE):
-        line_t = 2 * (base + i)
         for t in range(2):
             pltpu.make_async_copy(
-                sig_ref.at[pl.ds(start_ref[line_t + t], span_pad)],
+                sig_ref.at[pl.ds(start_ref[lbase + 2 * i + t], span_pad)],
                 span_buf.at[2 * i + t],
                 sem.at[2 * i + t],
             ).wait()
         w_r = wr_ref[base + i]
-        f_top = frac_ref[line_t]
-        f_bot = frac_ref[line_t + 1]
-        # Lower-clip positions to 0 (the upper end is edge-padded) — the same
+        f_top = frac_ref[lbase + 2 * i]
+        f_bot = frac_ref[lbase + 2 * i + 1]
+        # Lower-clip positions to 0 (upper end is edge-padded) — the same
         # boundary behaviour as the XLA reference path.
         pos_top = jnp.maximum(c_pos + f_top, 0.0)
         pos_bot = jnp.maximum(c_pos + f_bot, 0.0)
@@ -90,50 +86,56 @@ def _kernel(start_ref, frac_ref, wr_ref, sig_ref, out_ref, span_buf, sem,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        out_ref[i, :] = ((1.0 - w_r) * top + w_r * bot)[0]
+        out_ref[0, i, :] = ((1.0 - w_r) * top + w_r * bot)[0]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("y_t", "x_t", "out_shape", "interpret")
+    jax.jit,
+    static_argnames=("frame_len", "y_t", "x_t", "out_shape", "interpret"),
 )
-def frame_to_screen_pallas(
-    sig: jnp.ndarray,
+def frames_to_screens_pallas(
+    env: jnp.ndarray,
+    frame_starts: jnp.ndarray,
+    frame_len: int,
     y_t: int,
     x_t: int,
     out_shape: tuple[int, int] = RENDER_SIZE,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Pallas-fused equivalent of ``frame_to_screen`` (same geometry/clipping
-    as ``frame_to_screen_rows`` up to float rounding)."""
-    n_in = sig.shape[0]
+    """All frames of a block → (n_frames, h, w) screens in one pallas_call.
+
+    ``frame_starts`` may be static or traced (integer sample offsets)."""
     h_out, w_out = out_shape
     if h_out % _ROWS_PER_TILE:
         raise ValueError(f"output height must be a multiple of {_ROWS_PER_TILE}")
-    start, frac, wr, cols, ratio = _screen_geometry(n_in, y_t, x_t, out_shape)
+    n_frames = int(frame_starts.shape[0])
+    start, frac, wr, cols, ratio = _screen_geometry(frame_len, y_t, x_t, out_shape)
     delta = float(cols[1]) if w_out > 1 else 0.0
     span = int(np.ceil(cols[-1] + 1)) + 2
     span_pad = -(-span // 128) * 128
 
-    # Edge-pad so spans never clamp at the end; a negative start (row 0 only)
-    # is clamped to 0 with the shift folded into frac — the triangular weights
-    # evaluate negative positions as partial weight on sample 0, matching the
-    # reference path's edge clip to within one tap.
     raw_start = start.reshape(-1)
-    flat_start = np.maximum(raw_start, 0).astype(np.int32)
-    flat_frac = (
-        frac.reshape(-1) + (raw_start - flat_start)
-    ).astype(np.float32)
-    sig_pad = jnp.concatenate(
-        [sig.astype(jnp.float32), jnp.broadcast_to(sig[-1], (span_pad,)).astype(jnp.float32)]
+    line_start = np.maximum(raw_start, 0)
+    line_frac = (frac.reshape(-1) + (raw_start - line_start)).astype(np.float32)
+    # Per-(frame, line) DMA start = frame start + line start (clamped ≥ 0).
+    starts_all = (
+        jnp.asarray(frame_starts, jnp.int32)[:, None]
+        + jnp.asarray(line_start, jnp.int32)[None, :]
+    ).reshape(-1)
+    fracs_all = jnp.tile(jnp.asarray(line_frac), n_frames)
+
+    env_pad = jnp.concatenate(
+        [env.astype(jnp.float32),
+         jnp.broadcast_to(env[-1], (span_pad,)).astype(jnp.float32)]
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # starts, fracs, wr
-        grid=(h_out // _ROWS_PER_TILE,),
+        grid=(n_frames, h_out // _ROWS_PER_TILE),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (_ROWS_PER_TILE, w_out),
-            lambda i, *_: (i, 0),
+            (1, _ROWS_PER_TILE, w_out),
+            lambda f, i, *_: (f, i, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -141,17 +143,41 @@ def frame_to_screen_pallas(
             pltpu.SemaphoreType.DMA((2 * _ROWS_PER_TILE,)),
         ],
     )
-    kernel = functools.partial(
-        _kernel, span_pad=span_pad, w_out=w_out, delta=delta
-    )
+
+    def kernel(start_ref, frac_ref, wr_ref, sig_ref, out_ref, span_buf, sem):
+        _kernel(
+            start_ref, frac_ref, wr_ref, sig_ref, out_ref, span_buf, sem,
+            span_pad=span_pad, w_out=w_out, delta=delta, h_out=h_out,
+        )
+
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((h_out, w_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_frames, h_out, w_out), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
-        jnp.asarray(flat_start),
-        jnp.asarray(flat_frac),
+        starts_all,
+        fracs_all,
         jnp.asarray(wr[:, 0]),
-        sig_pad,
+        env_pad,
     )
+
+
+def frame_to_screen_pallas(
+    sig: jnp.ndarray,
+    y_t: int,
+    x_t: int,
+    out_shape: tuple[int, int] = RENDER_SIZE,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Single-frame convenience wrapper over ``frames_to_screens_pallas``."""
+    out = frames_to_screens_pallas(
+        sig,
+        jnp.zeros((1,), jnp.int32),
+        sig.shape[0],
+        y_t,
+        x_t,
+        out_shape,
+        interpret=interpret,
+    )
+    return out[0]

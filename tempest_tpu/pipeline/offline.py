@@ -44,6 +44,7 @@ from ..ops.framesync import align_frame, frame_sync
 from ..ops.resample import (
     RENDER_SIZE,
     frame_to_screen,
+    frame_to_screen_mxu,
     frame_to_screen_rows,
     frames_to_screens_mxu,
 )
@@ -83,11 +84,12 @@ class ReconstructionConfig:
     # "iq_interleaved": iq is int16/float32 [2*block_samples] raw I/Q words —
     # half the host->device bandwidth, no complex math on device.
     input_format: str = "complex64"
-    # Resampler variant: "mxu" (phase-quantised batched matmuls — fastest
-    # measured on TPU v5e: 12.3 ms vs 21.1 gather / 28.1 rows per 6-frame
-    # 1080p60 block), "gather" (flat 4-tap gather), "rows" (span gather +
-    # take_along_axis), "pallas" (fused DMA + on-the-fly-weights MXU kernel;
-    # interpret-mode off-TPU).
+    # Resampler variant, by measured speed on TPU v5e (ms per 6-frame
+    # 1080p60 block): "mxu" per-frame phase-quantised matmuls (12.3),
+    # "gather" flat 4-tap gather (21.1), "rows" span gather +
+    # take_along_axis (28.1), "mxu_batched" one cross-frame einsum (31.8 —
+    # relayouts dominate), "pallas" fused DMA + on-the-fly-weights MXU
+    # kernel (interpret-mode off-TPU).
     resampler: str = "mxu"
     # With carry_phase, step() takes an extra traced fractional sample offset
     # of the first frame boundary inside the block, so a streaming caller can
@@ -183,27 +185,28 @@ def make_reconstruct_fn(config: ReconstructionConfig):
         if config.invert:
             env = 1.0 - env / jnp.max(env)
 
-        if config.resampler == "mxu":
-            # Batched path: all frames through ONE phase-sorted einsum — the
-            # interpolation weights stream from HBM once per block instead of
-            # once per frame.
+        if config.resampler == "mxu_batched":
+            # All frames through ONE phase-sorted einsum.  NOTE: measured
+            # *slower* than per-frame "mxu" on v5e (31.8 vs 12.3 ms per
+            # 6-frame 1080p60 block) — the cross-frame relayouts cost more
+            # than the weight re-reads they save; kept for larger-block
+            # experiments.
             screens = frames_to_screens_mxu(
                 env, frame_starts, frame_len, mode.height, mode.width, (h, w)
             )
+        elif config.resampler == "pallas":
+            from ..ops.pallas_resample import frames_to_screens_pallas
+
+            screens = frames_to_screens_pallas(
+                env, frame_starts, frame_len, mode.height, mode.width, (h, w),
+                interpret=jax.default_backend() != "tpu",
+            )
         else:
-            if config.resampler == "pallas":
-                from ..ops.pallas_resample import frame_to_screen_pallas
-                import jax as _jax
-
-                interp = _jax.default_backend() != "tpu"
-
-                def resample(sig, y_t, x_t, shape):
-                    return frame_to_screen_pallas(sig, y_t, x_t, shape, interpret=interp)
-            else:
-                resample = {
-                    "gather": frame_to_screen,
-                    "rows": frame_to_screen_rows,
-                }[config.resampler]
+            resample = {
+                "gather": frame_to_screen,
+                "rows": frame_to_screen_rows,
+                "mxu": frame_to_screen_mxu,
+            }[config.resampler]
 
             def cut_frame(start):
                 sig = jax.lax.dynamic_slice(env, (start,), (frame_len,))
