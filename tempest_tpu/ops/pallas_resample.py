@@ -57,8 +57,13 @@ def _kernel(start_ref, frac_ref, wr_ref, sig_ref, out_ref, span_buf, sem,
             sem.at[i],
         ).start()
 
-    s_idx = jax.lax.broadcasted_iota(jnp.float32, (span_pad, w_out), 0)
-    c_pos = jax.lax.broadcasted_iota(jnp.float32, (span_pad, w_out), 1) * delta
+    # Mosaic requires integer iota; cast to f32 afterwards.
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (span_pad, w_out), 0).astype(
+        jnp.float32
+    )
+    c_pos = jax.lax.broadcasted_iota(jnp.int32, (span_pad, w_out), 1).astype(
+        jnp.float32
+    ) * delta
 
     for i in range(_ROWS_PER_TILE):
         for t in range(2):

@@ -24,9 +24,34 @@ __all__ = [
     "to_uint8",
     "write_pgm",
     "write_png",
+    "psnr",
+    "aligned_psnr",
     "TerminalRenderer",
     "FileRenderer",
 ]
+
+
+def psnr(reference: np.ndarray, image: np.ndarray) -> float:
+    """Peak signal-to-noise ratio between two images after min-max
+    normalisation of each (reconstruction amplitude is arbitrary)."""
+    a = full_scale(reference)
+    b = full_scale(image)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0:
+        return float("inf")
+    return -10.0 * np.log10(mse)
+
+
+def aligned_psnr(reference: np.ndarray, image: np.ndarray) -> tuple[float, tuple[int, int]]:
+    """PSNR after the best circular alignment (a reconstruction is defined up
+    to a circular shift of the blanking position).  Returns (psnr_db, shift).
+    The fidelity metric used by the test suite / BASELINE comparisons."""
+    a = full_scale(reference) - 0.5
+    b = full_scale(image) - 0.5
+    xc = np.fft.ifft2(np.fft.fft2(a) * np.conj(np.fft.fft2(b))).real
+    shift = np.unravel_index(int(xc.argmax()), xc.shape)
+    rolled = np.roll(image, shift, axis=(0, 1))
+    return psnr(reference, rolled), (int(shift[0]), int(shift[1]))
 
 
 def full_scale(img: np.ndarray) -> np.ndarray:

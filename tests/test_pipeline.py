@@ -150,3 +150,21 @@ def test_pipeline_with_pallas_resampler():
     # Bottom rows differ by boundary semantics: the pallas kernel reads real
     # subsequent samples past the frame end where the gather path clamps.
     assert d[:-2].max() < 0.02 * (rec2.image.max() - rec2.image.min() + 1e-9)
+
+
+def test_fidelity_1080p60_20msps():
+    """The primary judged configuration (BASELINE.md): 1920x1080@60 from a
+    20 Msps stream — reconstruction must match the generator's ground truth."""
+    from tempest_tpu.render.screen import aligned_psnr
+
+    mode = tt.ALL_VIDEO_MODES["1920x1080 @ 60Hz"]
+    fs = 20e6
+    cap = tt.generate_iq(mode, fs, int(fs * 0.25), snr_db=18.0, seed=33)
+    timing, recon = auto_reconstruct(cap.iq, fs, alpha=0.5)
+    assert timing.mode_name == "1920x1080 @ 60Hz", timing
+    truth = np.asarray(downgrade_image(jnp.asarray(cap.frame)))
+    db, shift = aligned_psnr(truth, recon.image)
+    # The information-theoretic ceiling at 20 Msps (≈296 samples/line against
+    # 2576 raster px) is ~15.3 dB (noiseless, exact-parameter oracle); the
+    # full auto pipeline at 18 dB SNR must come within ~3 dB of it.
+    assert db > 12.0, f"1080p60 reconstruction PSNR {db:.1f} dB"
