@@ -57,7 +57,7 @@ def main() -> None:
         return time.perf_counter() - t0
 
     timed(2)  # settle
-    iters = 10
+    iters = 24  # amortises the tunnel's ~24 ms per-sync round trip
     dt = timed(iters)
 
     msps = n * iters / dt / 1e6

@@ -118,6 +118,25 @@ class Reconstruction:
     sync: np.ndarray         # per-frame (s_y, s_x)
     score: np.ndarray        # per-frame sync contrast score
 
+    @property
+    def blanking_is_dark(self) -> bool:
+        """Detected blanking polarity: after alignment the blanking interval
+        sits along the top/left border; compare its level to the interior.
+        True ⇒ blanking darker than content (display the image as-is);
+        False ⇒ blanking brighter (real TEMPEST intermodulation often inverts
+        video — render with ``invert=True`` for a natural-looking screen).
+        The reference leaves this choice to a hardcoded ``findmax`` + manual
+        squinting (``FrameSynchronisation.jl:51-53``)."""
+        h, w = self.image.shape
+        bh, bw = max(h // 40, 2), max(w // 40, 2)
+        border = float(
+            np.concatenate(
+                [self.image[:bh].ravel(), self.image[:, :bw].ravel()]
+            ).mean()
+        )
+        interior = float(self.image[h // 4 : -h // 4, w // 4 : -w // 4].mean())
+        return border < interior
+
 
 @partial(jax.jit, static_argnames=("fs", "corr_seconds", "interleaved"))
 def _timing_kernel(iq: jnp.ndarray, fs: float, corr_seconds: float,

@@ -62,13 +62,7 @@ class StreamingRuntime:
         self.alpha = alpha
         self.invert = invert
         self._mode = mode
-        # Whole frame periods that fit in one block after a frame period of
-        # phase headroom + fractional-cut slack (cf. the reference's nbIm
-        # floor, GUI.jl:137 — which has no headroom and drifts).
-        spf = source.sample_rate / mode.refresh
-        self._n_frames = n_frames_per_block or max(
-            int((source.block_size - 2 - spf) / spf), 1
-        )
+        self._n_frames_fixed = n_frames_per_block
         self._rebuild()
         self.ring = RingBuffer(source.block_size, ring_depth)
         self._producer: threading.Thread | None = None
@@ -79,6 +73,18 @@ class StreamingRuntime:
 
     # ------------------------------------------------------------ config
     def _rebuild(self) -> None:
+        # Whole frame periods that fit in one block after a frame period of
+        # phase headroom + fractional-cut slack (cf. the reference's nbIm
+        # floor, GUI.jl:137 — which has no headroom and drifts).  Re-derived
+        # on every mode change: a slower refresh may fit one frame less.
+        spf = self.source.sample_rate / self._mode.refresh
+        if self._n_frames_fixed is None:
+            n = max(int((self.source.block_size - 2 - spf) / spf), 1)
+            while n > 1 and int(np.ceil(spf * n)) + 1 + int(np.ceil(spf)) > self.source.block_size:
+                n -= 1
+            self._n_frames = n
+        else:
+            self._n_frames = self._n_frames_fixed
         self.config = ReconstructionConfig(
             sample_rate=self.source.sample_rate,
             mode=self._mode,
@@ -220,6 +226,42 @@ class StreamingRuntime:
             n += self.source.block_size
         write_complex_binary(out[:n], path, fmt)
         return n
+
+    # ----------------------------------------------------- drift feedback
+    @staticmethod
+    def _median_circular_step(values: np.ndarray, n: int) -> float:
+        """Median per-frame step of a circular quantity (sync offsets)."""
+        if len(values) < 2:
+            return 0.0
+        d = np.diff(values.astype(np.float64))
+        d = (d + n / 2) % n - n / 2  # wrap to [-n/2, n/2)
+        return float(np.median(d))
+
+    def refine_refresh_from_drift(self, sync_history: np.ndarray) -> float:
+        """Closed-loop refresh refinement: a residual error in the assumed
+        frame period makes the detected blanking position drift linearly
+        across frames; converting that drift (render px/frame on each axis)
+        back to samples/frame gives the period correction directly.
+
+        ``sync_history``: (n_frames, 2) recent per-frame (s_y, s_x).  Returns
+        the refined refresh [Hz] and hot-swaps the runtime's mode to it.  The
+        reference has no such loop — the user retypes fv until the image
+        stops rolling (``GUI.jl:463-484``).
+        """
+        h, w = self.config.render_size
+        x_t, y_t = self._mode.width, self._mode.height
+        dy = self._median_circular_step(sync_history[:, 0], h)
+        dx = self._median_circular_step(sync_history[:, 1], w)
+        spf = self._spf
+        samples_per_raster_px = spf / (x_t * y_t)
+        # Render px -> raster px; a row of drift is a whole line of raster px.
+        drift_samples = (
+            dx * (x_t / w) + dy * (y_t / h) * x_t
+        ) * samples_per_raster_px
+        new_spf = spf + drift_samples
+        new_fv = self.source.sample_rate / new_spf
+        self.mode = VideoMode(x_t, y_t, float(new_fv))
+        return float(new_fv)
 
     # --------------------------------------------------- failure detection
     def health(self) -> dict:

@@ -260,3 +260,31 @@ def test_runtime_health_snapshot():
     assert h["producer_error"] is None
     assert h["frames_out"] == rt.frames_out > 0
     assert h["consumer_msps"] > 0
+
+
+def test_refresh_drift_feedback_locks():
+    """Start with a deliberately wrong refresh; the sync-drift feedback must
+    recover the true rate."""
+    from tempest_tpu.video.modes import VideoMode
+
+    block = int(FS * 0.2)
+    src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=12)  # true 60 Hz
+    wrong = VideoMode(MODE.width, MODE.height, 60.02)  # 20 mHz off
+    rt = StreamingRuntime(src, wrong, alpha=0.5)
+    rt.start()
+    syncs = []
+    try:
+        rt.process_blocks(3, sink=lambda img, info: syncs.append(info["sync"]))
+        fv = rt.refine_refresh_from_drift(np.concatenate(syncs))
+    finally:
+        rt.stop()
+    assert abs(fv - 60.0) < abs(60.02 - 60.0) / 4, f"refined fv {fv}"
+
+
+def test_blanking_polarity_detection():
+    from tempest_tpu.pipeline.offline import auto_reconstruct
+
+    cap = tt.generate_iq(MODE, FS, int(FS * 0.3), snr_db=20.0, seed=13)
+    _, recon = auto_reconstruct(cap.iq, FS, alpha=0.5)
+    # Generator blanking level is 0 (dark), content bright.
+    assert recon.blanking_is_dark is True
