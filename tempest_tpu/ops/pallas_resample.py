@@ -94,6 +94,46 @@ def _kernel(start_ref, frac_ref, wr_ref, sig_ref, out_ref, span_buf, sem,
         out_ref[0, i, :] = ((1.0 - w_r) * top + w_r * bot)[0]
 
 
+def _kernel_vmem(start_ref, frac_ref, wr_ref, sig_ref, out_ref,
+                 *, span_pad: int, w_out: int, delta: float, h_out: int):
+    """DMA-free variant: the whole envelope block lives in VMEM; spans are
+    direct dynamic slices.  Simpler lowering (no semaphores), used when the
+    block fits the VMEM budget."""
+    frame = pl.program_id(0)
+    tile = pl.program_id(1)
+    base = tile * _ROWS_PER_TILE
+    lbase = frame * 2 * h_out + 2 * base
+
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (span_pad, w_out), 0).astype(
+        jnp.float32
+    )
+    c_pos = jax.lax.broadcasted_iota(jnp.int32, (span_pad, w_out), 1).astype(
+        jnp.float32
+    ) * delta
+
+    for i in range(_ROWS_PER_TILE):
+        w_r = wr_ref[base + i]
+        f_top = frac_ref[lbase + 2 * i]
+        f_bot = frac_ref[lbase + 2 * i + 1]
+        span_top = sig_ref[pl.ds(start_ref[lbase + 2 * i], span_pad)]
+        span_bot = sig_ref[pl.ds(start_ref[lbase + 2 * i + 1], span_pad)]
+        pos_top = jnp.maximum(c_pos + f_top, 0.0)
+        pos_bot = jnp.maximum(c_pos + f_bot, 0.0)
+        w_top = jnp.maximum(0.0, 1.0 - jnp.abs(s_idx - pos_top))
+        w_bot = jnp.maximum(0.0, 1.0 - jnp.abs(s_idx - pos_bot))
+        top = jax.lax.dot_general(
+            span_top[None, :], w_top,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        bot = jax.lax.dot_general(
+            span_bot[None, :], w_bot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, i, :] = ((1.0 - w_r) * top + w_r * bot)[0]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("frame_len", "y_t", "x_t", "out_shape", "interpret"),
@@ -134,26 +174,49 @@ def frames_to_screens_pallas(
          jnp.broadcast_to(env[-1], (span_pad,)).astype(jnp.float32)]
     )
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # starts, fracs, wr
-        grid=(n_frames, h_out // _ROWS_PER_TILE),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, _ROWS_PER_TILE, w_out),
-            lambda f, i, *_: (f, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2 * _ROWS_PER_TILE, span_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA((2 * _ROWS_PER_TILE,)),
-        ],
-    )
-
-    def kernel(start_ref, frac_ref, wr_ref, sig_ref, out_ref, span_buf, sem):
-        _kernel(
-            start_ref, frac_ref, wr_ref, sig_ref, out_ref, span_buf, sem,
-            span_pad=span_pad, w_out=w_out, delta=delta, h_out=h_out,
+    # Prefer the DMA-free VMEM-resident variant when the envelope block fits
+    # comfortably (≤ 8 MB); fall back to explicit DMA double-buffering.
+    vmem_resident = env_pad.size * 4 <= 8 * 1024 * 1024
+    if vmem_resident:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_frames, h_out // _ROWS_PER_TILE),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(
+                (1, _ROWS_PER_TILE, w_out),
+                lambda f, i, *_: (f, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[],
         )
+
+        def kernel(start_ref, frac_ref, wr_ref, sig_ref, out_ref):
+            _kernel_vmem(
+                start_ref, frac_ref, wr_ref, sig_ref, out_ref,
+                span_pad=span_pad, w_out=w_out, delta=delta, h_out=h_out,
+            )
+
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # starts, fracs, wr
+            grid=(n_frames, h_out // _ROWS_PER_TILE),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, _ROWS_PER_TILE, w_out),
+                lambda f, i, *_: (f, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2 * _ROWS_PER_TILE, span_pad), jnp.float32),
+                pltpu.SemaphoreType.DMA((2 * _ROWS_PER_TILE,)),
+            ],
+        )
+
+        def kernel(start_ref, frac_ref, wr_ref, sig_ref, out_ref, span_buf, sem):
+            _kernel(
+                start_ref, frac_ref, wr_ref, sig_ref, out_ref, span_buf, sem,
+                span_pad=span_pad, w_out=w_out, delta=delta, h_out=h_out,
+            )
 
     return pl.pallas_call(
         kernel,
