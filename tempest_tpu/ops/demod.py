@@ -17,6 +17,7 @@ __all__ = [
     "am_demod",
     "am_demod_power",
     "am_envelope_from_iq",
+    "fm_demod_from_iq",
     "invert_am_demod",
     "fm_demod",
 ]
@@ -54,6 +55,19 @@ def invert_am_demod(sig: jnp.ndarray) -> jnp.ndarray:
     (reference ``invert_amDemod``, ``Demodulation.jl:31-35``)."""
     env = jnp.abs(sig)
     return 1.0 - env / jnp.max(env)
+
+
+def fm_demod_from_iq(iq: jnp.ndarray) -> jnp.ndarray:
+    """FM discriminator straight from interleaved I/Q words (real ops only):
+    ``arg(z[n] conj(z[n-1])) = atan2(im_n re_{n-1} - re_n im_{n-1},
+    re_n re_{n-1} + im_n im_{n-1})``, out[0] = 0.  The real-boundary
+    counterpart of ``fm_demod`` for the device pipeline."""
+    ri = iq.reshape(-1, 2).astype(jnp.float32)
+    re, im = ri[:, 0], ri[:, 1]
+    re0, im0 = re[:-1], im[:-1]
+    re1, im1 = re[1:], im[1:]
+    disc = jnp.arctan2(im1 * re0 - re1 * im0, re1 * re0 + im1 * im0)
+    return jnp.concatenate([jnp.zeros((1,), disc.dtype), disc])
 
 
 def fm_demod(sig: jnp.ndarray) -> jnp.ndarray:

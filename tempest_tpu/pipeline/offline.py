@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.autocorr import autocorrelation, estimate_line_count, estimate_refresh
-from ..ops.demod import am_demod, am_envelope_from_iq
+from ..ops.demod import am_demod, am_envelope_from_iq, fm_demod, fm_demod_from_iq
 from ..ops.framesync import align_frame, frame_sync
 from ..ops.resample import (
     RENDER_SIZE,
@@ -84,6 +84,9 @@ class ReconstructionConfig:
     # "iq_interleaved": iq is int16/float32 [2*block_samples] raw I/Q words —
     # half the host->device bandwidth, no complex math on device.
     input_format: str = "complex64"
+    # Demodulator: "am" envelope (the TEMPEST standard) or "fm"
+    # discriminator (reference defines fmDemod, Demodulation.jl:17-23).
+    demod: str = "am"
     # Resampler variant, by measured speed on TPU v5e (ms per 6-frame
     # 1080p60 block): "mxu" per-frame phase-quantised matmuls (12.3),
     # "gather" flat 4-tap gather (21.1), "rows" span gather +
@@ -198,9 +201,15 @@ def make_reconstruct_fn(config: ReconstructionConfig):
     def _body(iq: jnp.ndarray, ema: jnp.ndarray, alpha: jnp.ndarray,
               frame_starts: jnp.ndarray):
         if config.input_format == "iq_interleaved":
-            env = am_envelope_from_iq(iq)
+            env = (
+                fm_demod_from_iq(iq) if config.demod == "fm"
+                else am_envelope_from_iq(iq)
+            )
         else:
-            env = am_demod(iq).astype(jnp.float32)
+            env = (
+                fm_demod(iq) if config.demod == "fm"
+                else am_demod(iq)
+            ).astype(jnp.float32)
         if config.invert:
             env = 1.0 - env / jnp.max(env)
 

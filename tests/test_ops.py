@@ -284,3 +284,14 @@ def test_frame_to_screen_variants_agree():
     mxu = np.asarray(frame_to_screen_mxu(sig, y_t, x_t, shape))
     # mxu quantises the scanline phase; interior accuracy bound.
     assert np.abs(ref - mxu)[1:-1].max() / scale < 2e-2
+
+
+def test_fm_demod_from_iq_matches_complex():
+    from tempest_tpu.ops.demod import fm_demod_from_iq
+
+    z = (RNG.standard_normal(512) + 1j * RNG.standard_normal(512)).astype(
+        np.complex64
+    )
+    ref = np.asarray(fm_demod(jnp.asarray(z)))
+    got = np.asarray(fm_demod_from_iq(jnp.asarray(z.view(np.float32))))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
