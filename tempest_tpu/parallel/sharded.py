@@ -37,9 +37,14 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.demod import am_demod
-from ..ops.framesync import align_frame, frame_sync
-from ..ops.resample import RENDER_SIZE, frame_to_screen, frame_to_screen_dynamic
-from ..pipeline.offline import ReconstructionConfig
+from ..ops.framesync import frame_sync
+from ..ops.resample import RENDER_SIZE, frame_to_screen_dynamic
+from ..pipeline.offline import (
+    ReconstructionConfig,
+    demodulate,
+    ema_fold,
+    process_frames,
+)
 from ..video.modes import VideoMode
 
 __all__ = [
@@ -95,27 +100,14 @@ def sharded_reconstruct_fn(
         halo_from_right = jax.lax.ppermute(halo, axis, perm)
         ext = jnp.concatenate([sig, halo_from_right])
 
-        env = am_demod(ext).astype(jnp.float32)
-        if config.invert:
-            env = 1.0 - env / jnp.max(env)
-
-        def one_frame(start):
-            fsig = jax.lax.dynamic_slice(env, (start,), (frame_len,))
-            screen = frame_to_screen(fsig, mode.height, mode.width, (h, w))
-            if config.do_align:
-                s_y, s_x, score = frame_sync(screen)
-                return align_frame(screen, s_y, s_x), jnp.stack([s_y, s_x]), score
-            zero = jnp.zeros((), jnp.int32)
-            return screen, jnp.stack([zero, zero]), jnp.zeros(())
-
-        frames, sync, score = jax.vmap(one_frame)(jnp.asarray(starts))
+        env = demodulate(ext, config)
+        frames, sync, score = process_frames(
+            env, jnp.asarray(starts), config, frame_len
+        )
 
         # Local EMA from zero → B; decay over the shard → A = alpha^k.
-        def ema_step(carry, frame):
-            return alpha * carry + (1.0 - alpha) * frame, None
-
         zero = jax.lax.pcast(jnp.zeros((h, w), jnp.float32), (axis,), to="varying")
-        b_local, _ = jax.lax.scan(ema_step, zero, frames)
+        b_local = ema_fold(zero, frames, alpha)
         a_local = alpha ** n_frames
 
         # Compose shards in time order: e_d = A_d e_{d-1} + B_d.

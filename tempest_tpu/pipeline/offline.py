@@ -182,6 +182,84 @@ def estimate_timing(
     return TimingEstimate(fv_f, y_f, name, refined)
 
 
+def demodulate(iq: jnp.ndarray, config: ReconstructionConfig) -> jnp.ndarray:
+    """Demodulation stage shared by the single-chip and sharded pipelines."""
+    if config.input_format == "iq_interleaved":
+        env = (
+            fm_demod_from_iq(iq) if config.demod == "fm"
+            else am_envelope_from_iq(iq)
+        )
+    else:
+        env = (
+            fm_demod(iq) if config.demod == "fm"
+            else am_demod(iq)
+        ).astype(jnp.float32)
+    if config.invert:
+        env = 1.0 - env / jnp.max(env)
+    return env
+
+
+def process_frames(
+    env: jnp.ndarray,
+    frame_starts: jnp.ndarray,
+    config: ReconstructionConfig,
+    frame_len: int,
+):
+    """Resample + sync + align all frames of one envelope block — the stage-2
+    core shared by the single-chip and sharded pipelines.  Returns
+    ``(frames, sync, score)`` with shapes ((F,h,w), (F,2), (F,))."""
+    mode = config.mode
+    h, w = config.render_size
+    if config.resampler == "mxu_batched":
+        # All frames through ONE phase-sorted einsum.  NOTE: measured
+        # *slower* than per-frame "mxu" on v5e (31.8 vs 12.3 ms per
+        # 6-frame 1080p60 block) — the cross-frame relayouts cost more
+        # than the weight re-reads they save; kept for larger-block
+        # experiments.
+        screens = frames_to_screens_mxu(
+            env, frame_starts, frame_len, mode.height, mode.width, (h, w)
+        )
+    elif config.resampler == "pallas":
+        from ..ops.pallas_resample import frames_to_screens_pallas
+
+        screens = frames_to_screens_pallas(
+            env, frame_starts, frame_len, mode.height, mode.width, (h, w),
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        resample = {
+            "gather": frame_to_screen,
+            "rows": frame_to_screen_rows,
+            "mxu": frame_to_screen_mxu,
+        }[config.resampler]
+
+        def cut_frame(start):
+            sig = jax.lax.dynamic_slice(env, (start,), (frame_len,))
+            return resample(sig, mode.height, mode.width, (h, w))
+
+        screens = jax.vmap(cut_frame)(frame_starts)
+
+    def sync_one(screen):
+        if config.do_align:
+            s_y, s_x, score = frame_sync(screen)
+            return align_frame(screen, s_y, s_x), jnp.stack([s_y, s_x]), score
+        zero = jnp.zeros((), jnp.int32)
+        return screen, jnp.stack([zero, zero]), jnp.zeros(())
+
+    return jax.vmap(sync_one)(screens)
+
+
+def ema_fold(ema: jnp.ndarray, frames: jnp.ndarray, alpha) -> jnp.ndarray:
+    """EMA over the frame axis (``imageOut = α·imageOut + (1-α)·image``,
+    GUI.jl:175) as a scan."""
+
+    def ema_step(carry, frame):
+        return alpha * carry + (1.0 - alpha) * frame, None
+
+    out, _ = jax.lax.scan(ema_step, ema, frames)
+    return out
+
+
 def make_reconstruct_fn(config: ReconstructionConfig):
     """Build the jitted stage-2 program for a fixed config.
 
@@ -189,74 +267,16 @@ def make_reconstruct_fn(config: ReconstructionConfig):
     ``iq`` has ``config.block_samples`` complex samples and ``ema`` carries the
     averaged image across calls (the streaming state pytree).
     """
-    fs = config.sample_rate
-    mode = config.mode
     n_frames = config.n_frames
-    h, w = config.render_size
     spf = config.samples_per_frame
     frame_len = int(np.floor(spf))  # samples fed to the resampler per frame
     # Fractional frame-start offsets (static table, no cumulative drift).
     starts = np.round(np.arange(n_frames) * spf).astype(np.int32)
 
-    def _body(iq: jnp.ndarray, ema: jnp.ndarray, alpha: jnp.ndarray,
-              frame_starts: jnp.ndarray):
-        if config.input_format == "iq_interleaved":
-            env = (
-                fm_demod_from_iq(iq) if config.demod == "fm"
-                else am_envelope_from_iq(iq)
-            )
-        else:
-            env = (
-                fm_demod(iq) if config.demod == "fm"
-                else am_demod(iq)
-            ).astype(jnp.float32)
-        if config.invert:
-            env = 1.0 - env / jnp.max(env)
-
-        if config.resampler == "mxu_batched":
-            # All frames through ONE phase-sorted einsum.  NOTE: measured
-            # *slower* than per-frame "mxu" on v5e (31.8 vs 12.3 ms per
-            # 6-frame 1080p60 block) — the cross-frame relayouts cost more
-            # than the weight re-reads they save; kept for larger-block
-            # experiments.
-            screens = frames_to_screens_mxu(
-                env, frame_starts, frame_len, mode.height, mode.width, (h, w)
-            )
-        elif config.resampler == "pallas":
-            from ..ops.pallas_resample import frames_to_screens_pallas
-
-            screens = frames_to_screens_pallas(
-                env, frame_starts, frame_len, mode.height, mode.width, (h, w),
-                interpret=jax.default_backend() != "tpu",
-            )
-        else:
-            resample = {
-                "gather": frame_to_screen,
-                "rows": frame_to_screen_rows,
-                "mxu": frame_to_screen_mxu,
-            }[config.resampler]
-
-            def cut_frame(start):
-                sig = jax.lax.dynamic_slice(env, (start,), (frame_len,))
-                return resample(sig, mode.height, mode.width, (h, w))
-
-            screens = jax.vmap(cut_frame)(frame_starts)
-
-        def sync_one(screen):
-            if config.do_align:
-                s_y, s_x, score = frame_sync(screen)
-                return align_frame(screen, s_y, s_x), jnp.stack([s_y, s_x]), score
-            zero = jnp.zeros((), jnp.int32)
-            return screen, jnp.stack([zero, zero]), jnp.zeros(())
-
-        frames, sync, score = jax.vmap(sync_one)(screens)
-
-        def ema_step(carry, frame):
-            out = alpha * carry + (1.0 - alpha) * frame
-            return out, None
-
-        ema_out, _ = jax.lax.scan(ema_step, ema, frames)
-        return ema_out, frames, sync, score
+    def _body(iq, ema, alpha, frame_starts):
+        env = demodulate(iq, config)
+        frames, sync, score = process_frames(env, frame_starts, config, frame_len)
+        return ema_fold(ema, frames, alpha), frames, sync, score
 
     if config.carry_phase:
 
