@@ -158,9 +158,12 @@ class StreamingRuntime:
         renderer (``GUI.jl:177,207-234``) collapsed into a callback.  Returns
         the final EMA image.
         """
-        buf = np.empty(self.source.block_size, np.complex64)
+        # Two host buffers: while block k's host->device transfer is still in
+        # flight (JAX transfers are async), block k+1 fills the other buffer.
+        bufs = [np.empty(self.source.block_size, np.complex64) for _ in range(2)]
         ema = jnp.asarray(self._ema)
-        for _ in range(n_blocks):
+        for i in range(n_blocks):
+            buf = bufs[i % 2]
             got = self.ring.take(buf)
             if got is None:
                 if self._producer_error is not None:
