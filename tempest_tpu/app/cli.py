@@ -104,6 +104,9 @@ def cmd_stream(args: argparse.Namespace) -> int:
         sink = FileRenderer(prefix=args.out_prefix, every=args.every)
     else:
         sink = None
+    if args.resume:
+        rt.load_checkpoint(args.resume)
+        print(f"resumed from {args.resume} ({rt.frames_out} frames so far)")
     rt.start()
     try:
         if args.correlate:
@@ -112,10 +115,23 @@ def cmd_stream(args: argparse.Namespace) -> int:
         if args.record:
             n = rt.record(args.record, n_blocks=args.record_blocks, fmt=args.format)
             print(f"recorded {n} samples to {args.record}")
-        rt.process_blocks(args.blocks, sink)
+        if args.drift_lock:
+            # Warm-up pass, then close the refresh loop on the observed drift.
+            syncs = []
+            warm = max(args.blocks // 4, 2)
+            rt.process_blocks(warm, sink=lambda img, info: syncs.append(info["sync"]))
+            fv = rt.refine_refresh_from_drift(np.concatenate(syncs))
+            print(f"drift lock: refined refresh to {fv:.5f} Hz")
+            rt.process_blocks(args.blocks - warm, sink)
+        else:
+            rt.process_blocks(args.blocks, sink)
     finally:
         rt.stop()
+    if args.checkpoint:
+        rt.save_checkpoint(args.checkpoint)
+        print(f"checkpointed streaming state to {args.checkpoint}")
     print(rt.summary())
+    print("health:", rt.health())
     return 0
 
 
@@ -265,6 +281,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--record", default=None, help="record raw IQ to this .dat")
     p.add_argument("--record-blocks", type=int, default=10)
     p.add_argument("--render", default="none", choices=["none", "terminal", "png"])
+    p.add_argument("--drift-lock", action="store_true",
+                   help="refine the refresh rate from observed sync drift")
+    p.add_argument("--checkpoint", default=None, help="save streaming state here on exit")
+    p.add_argument("--resume", default=None, help="resume streaming state from checkpoint")
     p.add_argument("--out-prefix", default="frame")
     p.add_argument("--every", type=int, default=1)
     p.set_defaults(fn=cmd_stream)
