@@ -44,6 +44,17 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     print(f"closest mode      : {timing.mode_name}")
     print(f"mode geometry     : {timing.mode.width} x {timing.mode.height} @ {timing.mode.refresh:.3f} Hz")
     print(f"analysis time     : {dt*1e3:.1f} ms")
+    if args.waterfall:
+        import jax.numpy as jnp
+
+        from ..ops.spectrum import get_waterfall
+        from ..render.screen import write_png
+
+        _, _, mat = get_waterfall(args.fs, jnp.asarray(iq[: 1 << 21]), fft_size=1024)
+        power_db = 10.0 * np.log10(np.asarray(mat) + 1e-30)
+        write_png(power_db, args.waterfall)
+        print(f"waterfall         : wrote {args.waterfall} "
+              f"({power_db.shape[1]} slices x {power_db.shape[0]} bins)")
     return 0
 
 
@@ -249,6 +260,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(p)
     p.add_argument("--samples", type=int, default=None)
     p.add_argument("--seconds", type=float, default=0.1, help="autocorrelation window")
+    p.add_argument("--waterfall", default=None, help="write a waterfall PNG here")
     p.set_defaults(fn=cmd_analyze)
 
     p = sub.add_parser("reconstruct", help="reconstruct the screen from a capture")

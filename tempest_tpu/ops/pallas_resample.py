@@ -72,9 +72,9 @@ def _kernel(start_ref, frac_ref, wr_ref, sig_ref, out_ref, span_buf, sem,
                 span_buf.at[2 * i + t],
                 sem.at[2 * i + t],
             ).wait()
-        w_r = wr_ref[base + i]
-        f_top = frac_ref[lbase + 2 * i]
-        f_bot = frac_ref[lbase + 2 * i + 1]
+        w_r = wr_ref[base + i].astype(jnp.float32) / 65536.0
+        f_top = frac_ref[lbase + 2 * i].astype(jnp.float32) / 65536.0
+        f_bot = frac_ref[lbase + 2 * i + 1].astype(jnp.float32) / 65536.0
         # Lower-clip positions to 0 (upper end is edge-padded) — the same
         # boundary behaviour as the XLA reference path.
         pos_top = jnp.maximum(c_pos + f_top, 0.0)
@@ -112,9 +112,11 @@ def _kernel_vmem(start_ref, frac_ref, wr_ref, sig_ref, out_ref,
     ) * delta
 
     for i in range(_ROWS_PER_TILE):
-        w_r = wr_ref[base + i]
-        f_top = frac_ref[lbase + 2 * i]
-        f_bot = frac_ref[lbase + 2 * i + 1]
+        # Scalar-prefetch arrays are int32 (Mosaic requirement); fracs and
+        # vertical weights travel as 16.16 fixed point.
+        w_r = wr_ref[base + i].astype(jnp.float32) / 65536.0
+        f_top = frac_ref[lbase + 2 * i].astype(jnp.float32) / 65536.0
+        f_bot = frac_ref[lbase + 2 * i + 1].astype(jnp.float32) / 65536.0
         span_top = sig_ref[pl.ds(start_ref[lbase + 2 * i], span_pad)]
         span_bot = sig_ref[pl.ds(start_ref[lbase + 2 * i + 1], span_pad)]
         pos_top = jnp.maximum(c_pos + f_top, 0.0)
@@ -167,7 +169,9 @@ def frames_to_screens_pallas(
         jnp.asarray(frame_starts, jnp.int32)[:, None]
         + jnp.asarray(line_start, jnp.int32)[None, :]
     ).reshape(-1)
-    fracs_all = jnp.tile(jnp.asarray(line_frac), n_frames)
+    # 16.16 fixed point for the int32-only scalar-prefetch path.
+    frac_fix = np.round(line_frac * 65536.0).astype(np.int32)
+    fracs_all = jnp.tile(jnp.asarray(frac_fix), n_frames)
 
     env_pad = jnp.concatenate(
         [env.astype(jnp.float32),
@@ -226,7 +230,7 @@ def frames_to_screens_pallas(
     )(
         starts_all,
         fracs_all,
-        jnp.asarray(wr[:, 0]),
+        jnp.asarray(np.round(wr[:, 0] * 65536.0).astype(np.int32)),
         env_pad,
     )
 

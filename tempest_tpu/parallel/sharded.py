@@ -29,7 +29,6 @@ correlation plot (``GUI.jl:512-523``).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import numpy as np
 import jax
