@@ -44,6 +44,7 @@ __all__ = [
     "frame_to_screen_rows",
     "frame_to_screen_mxu",
     "frames_to_screens_mxu",
+    "frames_to_screens_aligned",
     "frame_to_screen_dynamic",
     "naive_upsample",
     "upsample_fft",
@@ -395,6 +396,70 @@ def frames_to_screens_mxu(
     lines = lines.transpose(1, 0, 2).reshape(n_frames, h_out, 2, w_out)
     wr = jnp.asarray(plan["wr"])[None]                         # (1, h, 1)
     return lines[:, :, 0, :] * (1.0 - wr) + lines[:, :, 1, :] * wr
+
+
+def frames_to_screens_aligned(
+    env: jnp.ndarray,
+    frame_starts: jnp.ndarray | np.ndarray,
+    frame_len: int,
+    y_t: int,
+    x_t: int,
+    out_shape: tuple[int, int] = RENDER_SIZE,
+) -> jnp.ndarray:
+    """Aligned-chunk resampler: (n_frames,) starts → (n_frames, h, w) screens.
+
+    TPU gathers with arbitrary element offsets are pathologically slow
+    (micro-benchmarked at ~800 B of effective traffic per element), but
+    gathers of 128-lane-aligned rows run at near-streaming speed (13× faster
+    for the same data).  So: gather each scanline's span as whole 128-sample
+    chunks of the envelope (alignment offset absorbed into the in-row
+    position), then interpolate within rows with ``take_along_axis`` (small
+    extent) and blend the two vertical taps.  Bit-compatible with
+    ``frame_to_screen`` away from frame edges.
+    """
+    h_out, w_out = out_shape
+    start, frac, wr, cols, ratio = _screen_geometry(frame_len, y_t, x_t, out_shape)
+    span = int(np.ceil(cols[-1] + 1)) + 2
+    n_chunks = (span + 127) // 128 + 1          # covers span + max offset 127
+    span_w = 128 * n_chunks
+    n_lines = 2 * h_out
+
+    raw_start = start.reshape(-1)
+    line_start = np.maximum(raw_start, 0)
+    line_frac = (frac.reshape(-1) + (raw_start - line_start)).astype(np.float32)
+
+    fstarts = jnp.asarray(frame_starts, jnp.int32)
+    n_frames = int(fstarts.shape[0])
+    abs_start = (fstarts[:, None] + jnp.asarray(line_start, jnp.int32)[None, :]).reshape(-1)
+    base_chunk = abs_start // 128
+    off = (abs_start % 128).astype(jnp.float32)
+
+    # Envelope as aligned chunk rows, padded so the last spans stay in range.
+    pad_to = (int(env.shape[0]) + 128 * (n_chunks + 1) + 127) // 128 * 128
+    env_pad = jnp.concatenate(
+        [env.astype(jnp.float32),
+         jnp.broadcast_to(env[-1], (pad_to - env.shape[0],)).astype(jnp.float32)]
+    )
+    ch = env_pad.reshape(-1, 128)
+    blocks = ch[base_chunk[:, None] + jnp.arange(n_chunks)[None, :]]
+    spans = blocks.reshape(n_frames * n_lines, span_w)
+
+    # In-span fractional positions: alignment offset + line frac + c*delta.
+    pos = (
+        off[:, None]
+        + jnp.tile(jnp.asarray(line_frac), n_frames)[:, None]
+        + jnp.asarray(cols.astype(np.float32))[None, :]
+    )
+    pos = jnp.clip(pos, 0.0, span_w - 1.001)
+    i0 = pos.astype(jnp.int32)
+    fr = pos - i0.astype(jnp.float32)
+    lines = (
+        jnp.take_along_axis(spans, i0, axis=1) * (1.0 - fr)
+        + jnp.take_along_axis(spans, i0 + 1, axis=1) * fr
+    )
+    lines = lines.reshape(n_frames, h_out, 2, w_out)
+    wrj = jnp.asarray(wr)[None]
+    return lines[:, :, 0, :] * (1.0 - wrj) + lines[:, :, 1, :] * wrj
 
 
 def frame_to_screen_dynamic(

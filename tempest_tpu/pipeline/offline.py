@@ -46,6 +46,7 @@ from ..ops.resample import (
     frame_to_screen,
     frame_to_screen_mxu,
     frame_to_screen_rows,
+    frames_to_screens_aligned,
     frames_to_screens_mxu,
 )
 from ..video.modes import VideoMode, find_closest_mode
@@ -210,7 +211,14 @@ def process_frames(
     ``(frames, sync, score)`` with shapes ((F,h,w), (F,2), (F,))."""
     mode = config.mode
     h, w = config.render_size
-    if config.resampler == "mxu_batched":
+    if config.resampler == "aligned":
+        # Chunk-aligned gather + small-extent take_along_axis: TPU gathers of
+        # 128-lane-aligned rows are ~13x faster than arbitrary-offset element
+        # gathers (see docs/performance.md micro-benchmarks).
+        screens = frames_to_screens_aligned(
+            env, frame_starts, frame_len, mode.height, mode.width, (h, w)
+        )
+    elif config.resampler == "mxu_batched":
         # All frames through ONE phase-sorted einsum.  NOTE: measured
         # *slower* than per-frame "mxu" on v5e (31.8 vs 12.3 ms per
         # 6-frame 1080p60 block) — the cross-frame relayouts cost more

@@ -295,3 +295,28 @@ def test_fm_demod_from_iq_matches_complex():
     ref = np.asarray(fm_demod(jnp.asarray(z)))
     got = np.asarray(fm_demod_from_iq(jnp.asarray(z.view(np.float32))))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_frames_to_screens_aligned_matches_reference():
+    from tempest_tpu.ops.resample import frames_to_screens_aligned
+
+    y_t, x_t, spf = 525, 800, 66666.7
+    rng = np.random.default_rng(3)
+    env = rng.random(int(spf * 3) + 2000).astype(np.float32)
+    spec = np.fft.rfft(env)
+    spec[len(spec) // 6 :] = 0
+    env = np.fft.irfft(spec).astype(np.float32)
+    starts = np.round(np.arange(3) * spf).astype(np.int32)
+    frame_len = int(spf)
+    outs = np.asarray(
+        frames_to_screens_aligned(jnp.asarray(env), starts, frame_len, y_t, x_t)
+    )
+    for f in range(3):
+        ref = np.asarray(
+            frame_to_screen(
+                jnp.asarray(env[starts[f] : starts[f] + frame_len]), y_t, x_t
+            )
+        )
+        d = np.abs(outs[f] - ref) / np.abs(ref).max()
+        # Interior exact; first/last 2 rows differ by edge-clip semantics.
+        assert d[2:-2].max() < 1e-5
