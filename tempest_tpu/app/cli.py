@@ -85,7 +85,12 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
     img = recon.image
     if args.sync_overlay:
         img = overlay_sync(img, int(recon.sync[-1][0]), int(recon.sync[-1][1]))
-    write_png(img, args.out, invert=args.invert_output)
+    invert_out = args.invert_output
+    if args.auto_polarity:
+        invert_out = not recon.blanking_is_dark
+        print(f"polarity: blanking is {'dark' if recon.blanking_is_dark else 'bright'}"
+              f" -> {'inverting' if invert_out else 'keeping'} output")
+    write_png(img, args.out, invert=invert_out)
     print(f"wrote {args.out} ({img.shape[1]}x{img.shape[0]}), "
           f"{recon.frames.shape[0]} frames averaged, "
           f"sync score {recon.score.mean():.3g}")
@@ -272,6 +277,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alpha", type=float, default=0.1, help="EMA coefficient")
     p.add_argument("--invert", action="store_true", help="use inverted envelope")
     p.add_argument("--invert-output", action="store_true")
+    p.add_argument("--auto-polarity", action="store_true",
+                   help="invert the output automatically if blanking is bright")
     p.add_argument("--sync-overlay", action="store_true", help="draw sync crosshair")
     p.add_argument("--search", action="store_true",
                    help="refine the detected mode by sharded sync-score search")
