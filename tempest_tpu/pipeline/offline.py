@@ -57,6 +57,7 @@ __all__ = [
     "Reconstruction",
     "estimate_timing",
     "make_reconstruct_fn",
+    "make_batched_reconstruct_fn",
     "reconstruct_frames",
     "auto_reconstruct",
 ]
@@ -304,6 +305,21 @@ def make_reconstruct_fn(config: ReconstructionConfig):
             return _body(iq, ema, alpha, jnp.asarray(starts))
 
     return step
+
+
+def make_batched_reconstruct_fn(config: ReconstructionConfig):
+    """Multi-stream variant: vmap the stage-2 program over a leading stream
+    axis, so B independent IQ channels (different carriers, antennas, or
+    targets) reconstruct concurrently on one chip — production serving
+    batching with no reference counterpart.
+
+    Returns ``step(iq[B, ...], ema[B, h, w], alpha) -> (ema', frames, sync,
+    score)`` (alpha shared; add a per-stream alpha by vmapping it too).
+    """
+    inner = make_reconstruct_fn(config)
+    if config.carry_phase:
+        return jax.jit(jax.vmap(inner, in_axes=(0, 0, None, 0)))
+    return jax.jit(jax.vmap(inner, in_axes=(0, 0, None)))
 
 
 def reconstruct_frames(

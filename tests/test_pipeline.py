@@ -168,3 +168,28 @@ def test_fidelity_1080p60_20msps():
     # 2576 raster px) is ~15.3 dB (noiseless, exact-parameter oracle); the
     # full auto pipeline at 18 dB SNR must come within ~3 dB of it.
     assert db > 12.0, f"1080p60 reconstruction PSNR {db:.1f} dB"
+
+
+def test_batched_multi_stream_reconstruction():
+    """B independent IQ channels reconstruct concurrently (vmapped step)."""
+    from tempest_tpu.pipeline.offline import make_batched_reconstruct_fn
+
+    caps = [
+        tt.generate_iq(MODE, FS, int(FS * 0.15), snr_db=25.0, seed=s)
+        for s in (41, 42, 43)
+    ]
+    cfg = ReconstructionConfig(
+        sample_rate=FS, mode=MODE, n_frames=3, input_format="iq_interleaved"
+    )
+    step = make_batched_reconstruct_fn(cfg)
+    n = cfg.block_samples
+    iq = jnp.asarray(
+        np.stack([c.iq[:n].view(np.float32) for c in caps])
+    )
+    ema0 = jnp.zeros((3, 600, 800), jnp.float32)
+    ema, frames, sync, score = step(iq, ema0, jnp.float32(0.5))
+    assert ema.shape == (3, 600, 800)
+    assert frames.shape == (3, 3, 600, 800)
+    # Each stream must match its own single-stream reconstruction.
+    single = reconstruct_frames(caps[1].iq[:n].view(np.float32), cfg, alpha=0.5)
+    np.testing.assert_allclose(np.asarray(ema)[1], single.image, atol=1e-4)
