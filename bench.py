@@ -21,7 +21,20 @@ import numpy as np
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # Persist compiled executables next to the repo: remote TPU compiles here
+    # take minutes, and the benchmark program is identical across runs.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimisation, never a requirement
+
     import jax.numpy as jnp
 
     from tempest_tpu.pipeline.offline import ReconstructionConfig, make_reconstruct_fn
