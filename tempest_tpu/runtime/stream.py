@@ -57,6 +57,7 @@ class StreamingRuntime:
         alpha: float = 0.1,
         ring_depth: int = 16,
         invert: bool = False,
+        ring_impl: str = "python",
     ) -> None:
         self.source = source
         self.alpha = alpha
@@ -64,7 +65,14 @@ class StreamingRuntime:
         self._mode = mode
         self._n_frames_fixed = n_frames_per_block
         self._rebuild()
-        self.ring = RingBuffer(source.block_size, ring_depth)
+        if ring_impl == "native":
+            # GIL-free C++ SPSC ring (tempest_tpu/native); same overwrite-
+            # oldest semantics, built on demand with g++.
+            from ..native import NativeRing
+
+            self.ring = NativeRing(source.block_size, ring_depth)
+        else:
+            self.ring = RingBuffer(source.block_size, ring_depth)
         self._producer: threading.Thread | None = None
         self._stop = threading.Event()
         self._producer_error: BaseException | None = None
@@ -271,8 +279,11 @@ class StreamingRuntime:
         """Liveness/health snapshot — the failure-detection surface the
         reference lacks (its loops swallow errors, SURVEY.md §5): producer
         thread state, ring backlog/overflow, source error, throughput."""
-        _, prod_msps = self.ring.producer.rates()
-        _, cons_msps = self.ring.consumer.rates()
+        if hasattr(self.ring, "producer"):
+            _, prod_msps = self.ring.producer.rates()
+            _, cons_msps = self.ring.consumer.rates()
+        else:  # native ring: counters only
+            prod_msps = cons_msps = float("nan")
         return {
             "producer_alive": self._producer is not None and self._producer.is_alive(),
             "producer_error": repr(self._producer_error) if self._producer_error else None,
@@ -323,4 +334,9 @@ class StreamingRuntime:
         self.frames_out = state.frames_out
 
     def summary(self) -> str:
-        return self.ring.summary() + f" | {self.frames_out} frames reconstructed"
+        base = (
+            self.ring.summary()
+            if hasattr(self.ring, "summary")
+            else f"NativeRing: {self.ring.overflows} overflows"
+        )
+        return base + f" | {self.frames_out} frames reconstructed"

@@ -288,3 +288,21 @@ def test_blanking_polarity_detection():
     _, recon = auto_reconstruct(cap.iq, FS, alpha=0.5)
     # Generator blanking level is 0 (dark), content bright.
     assert recon.blanking_is_dark is True
+
+
+def test_streaming_with_native_ring():
+    from tempest_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    block = int(FS * 0.1)
+    src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=31)
+    rt = StreamingRuntime(src, MODE, alpha=0.5, ring_impl="native")
+    rt.start()
+    try:
+        out = rt.process_blocks(2)
+    finally:
+        rt.stop()
+    assert out.shape == (600, 800)
+    assert rt.frames_out > 0
+    assert "NativeRing" in rt.summary()
