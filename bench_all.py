@@ -124,6 +124,41 @@ def main() -> None:
         2 * frame_len,
     )
 
+    # 6. host ring throughput (python vs native C++) — host-side real-time
+    # headroom for the producer path (no reference equivalent measured).
+    from tempest_tpu.runtime.ring import RingBuffer
+
+    block = 1 << 20  # 1M complex samples
+    data = (rng.standard_normal(block) + 1j * rng.standard_normal(block)).astype(
+        np.complex64
+    )
+    out = np.empty(block, np.complex64)
+
+    def ring_bench(ring, label):
+        n_iter = 50
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            ring.put(data)
+            ring.take(out)
+        dt = time.perf_counter() - t0
+        msps = block * n_iter / dt / 1e6
+        results.append(
+            {
+                "metric": f"host ring put+take ({label})",
+                "value": round(msps, 1),
+                "unit": "Msamples/s",
+                "vs_baseline": round(msps / 20.0, 2),
+            }
+        )
+
+    ring_bench(RingBuffer(block, 4), "python")
+    try:
+        from tempest_tpu.native import NativeRing
+
+        ring_bench(NativeRing(block, 4), "C++ native")
+    except Exception:
+        pass
+
     for r in results:
         print(json.dumps(r))
 
