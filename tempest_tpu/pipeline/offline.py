@@ -90,11 +90,12 @@ class ReconstructionConfig:
     # discriminator (reference defines fmDemod, Demodulation.jl:17-23).
     demod: str = "am"
     # Resampler variant, by measured speed on TPU v5e (ms per 6-frame
-    # 1080p60 block): "mxu" per-frame phase-quantised matmuls (12.3),
-    # "gather" flat 4-tap gather (21.1), "rows" span gather +
+    # 1080p60 block): "mxu" per-frame phase-quantised matmuls (10.3-12.3,
+    # DEFAULT), "gather" flat 4-tap gather (21.1), "rows" span gather +
     # take_along_axis (28.1), "mxu_batched" one cross-frame einsum (31.8 —
-    # relayouts dominate), "pallas" fused DMA + on-the-fly-weights MXU
-    # kernel (interpret-mode off-TPU).
+    # relayouts dominate), "aligned" chunk gather + take_along_axis (126 —
+    # per-element gathers are pathological on TPU), "pallas" fused DMA +
+    # on-the-fly-weights MXU kernel (interpret-mode off-TPU).
     resampler: str = "mxu"
     # With carry_phase, step() takes an extra traced fractional sample offset
     # of the first frame boundary inside the block, so a streaming caller can
