@@ -45,12 +45,21 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     print(f"mode geometry     : {timing.mode.width} x {timing.mode.height} @ {timing.mode.refresh:.3f} Hz")
     print(f"analysis time     : {dt*1e3:.1f} ms")
     if args.waterfall:
+        import jax
         import jax.numpy as jnp
 
         from ..ops.spectrum import get_waterfall
         from ..render.screen import write_png
 
-        _, _, mat = get_waterfall(args.fs, jnp.asarray(iq[: 1 << 21]), fft_size=1024)
+        words = np.ascontiguousarray(iq[: 1 << 21], np.complex64).view(np.float32)
+
+        @jax.jit
+        def _wf(w):
+            ri = w.reshape(-1, 2)
+            z = jax.lax.complex(ri[:, 0], ri[:, 1])  # complex stays on device
+            return get_waterfall(args.fs, z, fft_size=1024)
+
+        _, _, mat = _wf(jnp.asarray(words))
         power_db = 10.0 * np.log10(np.asarray(mat) + 1e-30)
         write_png(power_db, args.waterfall)
         print(f"waterfall         : wrote {args.waterfall} "
@@ -223,17 +232,31 @@ def cmd_warmup(args: argparse.Namespace) -> int:
     mode_names = args.modes or ["1920x1080 @ 60Hz"]
     for name in mode_names:
         mode = ALL_VIDEO_MODES[name]
+        # Streaming path: float32 interleaved + carry_phase (what
+        # StreamingRuntime feeds); jit caches key on dtype, so warming int16
+        # would not help the live session.
         cfg = ReconstructionConfig(
             sample_rate=args.fs, mode=mode, n_frames=args.frames,
             input_format="iq_interleaved", carry_phase=True,
         )
         step = make_reconstruct_fn(cfg)
-        iq = jnp.zeros(2 * cfg.block_samples, jnp.int16)
+        iq = jnp.zeros(2 * cfg.block_samples, jnp.float32)
         t0 = _time.perf_counter()
         out = step(iq, jnp.zeros(cfg.render_size, jnp.float32),
                    jnp.float32(0.1), jnp.float32(0.0))
         _ = np.asarray(out[0][:1, :4])
-        print(f"compiled {name}: {_time.perf_counter()-t0:.1f} s")
+        print(f"compiled {name} (stream/f32): {_time.perf_counter()-t0:.1f} s")
+        # Batch path: int16 ingest without phase carry (bench.py / entry()).
+        cfg_b = ReconstructionConfig(
+            sample_rate=args.fs, mode=mode, n_frames=args.frames,
+            input_format="iq_interleaved",
+        )
+        step_b = make_reconstruct_fn(cfg_b)
+        t0 = _time.perf_counter()
+        out = step_b(jnp.zeros(2 * cfg_b.block_samples, jnp.int16),
+                     jnp.zeros(cfg_b.render_size, jnp.float32), jnp.float32(0.1))
+        _ = np.asarray(out[0][:1, :4])
+        print(f"compiled {name} (batch/int16): {_time.perf_counter()-t0:.1f} s")
     # Timing estimator program too.
     n = int(args.fs * 0.2)
     t0 = _time.perf_counter()

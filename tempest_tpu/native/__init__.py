@@ -125,7 +125,11 @@ class NativeRing:
             raise TypeError(f"ring blocks must be complex64 or float32, got {a.dtype}")
         if v.size != self._floats:
             raise ValueError(f"block size mismatch: {v.size} != {self._floats}")
-        return np.ascontiguousarray(v)
+        if not v.flags["C_CONTIGUOUS"]:
+            # A silent np.ascontiguousarray copy would make ring_take fill a
+            # temporary and return stale caller memory.
+            raise ValueError("ring blocks must be C-contiguous")
+        return v
 
     def close(self) -> None:
         if self._handle:

@@ -58,6 +58,7 @@ def autocorrelation(
     i_lo = int(round(min_delay * fs))
     i_hi = int(round(max_delay * fs))  # exclusive lag bound
     n = min(2 * i_hi, x.shape[0])
+    i_hi = min(i_hi, n)  # short signals: keep gamma and lags the same length
     xw = x[:n]
     if jnp.iscomplexobj(xw):
         spec = jnp.fft.fft(xw)
@@ -226,10 +227,10 @@ def estimate_line_count(
     function stays jittable; traced ``fv`` enters only the final division.
     """
     n = gamma.shape[0]
-    lin = 10.0 ** (gamma / 10.0) if scale == "log" else gamma
+    lin_raw = 10.0 ** (gamma / 10.0) if scale == "log" else gamma
     lag_lo = max(int(fs / (90.0 * y_max)) - 2, 2)
     lag_hi = min(int(fs / (50.0 * y_min)) + 2, n - 1)
-    lin = _widen_peaks(lin)
+    lin = _widen_peaks(lin_raw)
     cand = jnp.arange(lag_lo, lag_hi + 1)
     floor = jnp.median(lin[lag_lo : lag_hi + 1])
 
@@ -256,6 +257,8 @@ def estimate_line_count(
         take = (sub >= lag_lo) & (sub_score >= 0.7 * best_score)
         lag = jnp.where(take, sub, lag)
         best_score = jnp.where(take, sub_score, best_score)
-    # Fractional (sub-sample) refinement around the chosen period.
-    lag = refine_period(lin, lag, 3, harmonics)
+    # Fractional (sub-sample) refinement around the chosen period — pass the
+    # *un-widened* correlation: refine_period applies the box-3 energy read
+    # itself (double widening flattens the comb optimum).
+    lag = refine_period(lin_raw, lag, 3, harmonics)
     return fs / (fv * lag)

@@ -608,8 +608,15 @@ def polyphase_resample(
     without recompiling (SURVEY.md §7 "hard parts" (1)).  ``n_out`` is static.
     """
     if cutoff is None:
-        r = float(ratio) if not isinstance(ratio, jnp.ndarray) else None
-        cutoff = 1.0 if r is None or r <= 1.0 else 1.0 / r
+        if isinstance(ratio, jnp.ndarray):
+            raise ValueError(
+                "polyphase_resample: with a traced ratio the anti-aliasing "
+                "cutoff cannot be derived at trace time — pass cutoff "
+                "explicitly (1.0 for upsampling, <= 1/max_ratio when "
+                "decimating)"
+            )
+        r = float(ratio)
+        cutoff = 1.0 if r <= 1.0 else 1.0 / r
     bank = jnp.asarray(polyphase_filter_bank(num_phases, taps_per_phase, cutoff))
     return _polyphase_apply(
         sig,

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.demod import am_demod
+from ..ops.demod import am_demod, am_envelope_from_iq
 from ..ops.framesync import frame_sync
 from ..ops.resample import RENDER_SIZE, frame_to_screen_dynamic
 from ..pipeline.offline import (
@@ -157,6 +157,10 @@ def sharded_mode_search(
 
     One compiled program handles all geometries via the dynamic-geometry
     resampler, so the hypothesis set is pure data: shard it, vmap it, argmax.
+
+    ``iq``: complex samples (host complex is converted to an interleaved
+    float32 view — complex never crosses the device boundary) or an already-
+    demodulated real envelope.
     """
     if not candidates:
         raise ValueError("empty candidate set")
@@ -174,10 +178,17 @@ def sharded_mode_search(
     frame_len = int(np.floor(spf))
     starts = np.round(np.arange(n_frames) * spf).astype(np.int32)
     need = int(starts[-1]) + frame_len
+    interleaved = False
+    if isinstance(iq, np.ndarray) and np.iscomplexobj(iq):
+        # Keep the host->device boundary real (complex transfers are
+        # unsupported on some TPU runtimes and never necessary).
+        iq = np.ascontiguousarray(iq, np.complex64).view(np.float32)
+        interleaved = True
     iq = jnp.asarray(iq)
-    if iq.shape[0] < need:
-        raise ValueError(f"need {need} samples for the mode search, got {iq.shape[0]}")
-    iq = iq[:need]
+    n_have = iq.shape[0] // (2 if interleaved else 1)
+    if n_have < need:
+        raise ValueError(f"need {need} samples for the mode search, got {n_have}")
+    iq = iq[: 2 * need] if interleaved else iq[:need]
 
     def score_one(env, y_t, x_t):
         def per_frame(start):
@@ -200,7 +211,10 @@ def sharded_mode_search(
 
     @jax.jit
     def run(iq_in, y_in, x_in):
-        env = am_demod(iq_in).astype(jnp.float32)
+        if interleaved:
+            env = am_envelope_from_iq(iq_in)
+        else:
+            env = am_demod(iq_in).astype(jnp.float32)
         return sharded(env, y_in, x_in)
 
     y_dev = jax.device_put(y_arr, NamedSharding(mesh, P(axis)))

@@ -334,6 +334,14 @@ def reconstruct_frames(
     Host complex64 input is reinterpreted as interleaved float32 (zero-copy
     view) and run through the interleaved kernel, keeping the host→device
     boundary real (see ``estimate_timing``)."""
+    if config.input_format == "complex64" and not (
+        isinstance(iq, np.ndarray) and np.iscomplexobj(iq)
+        or jnp.iscomplexobj(iq)
+    ):
+        # Real input under a complex config is interleaved I/Q words (the
+        # convention estimate_timing documents) — silently demodulating the
+        # word stream as complex samples would corrupt the image.
+        config = dataclasses.replace(config, input_format="iq_interleaved")
     if (
         config.input_format == "complex64"
         and isinstance(iq, np.ndarray)

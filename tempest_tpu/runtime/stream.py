@@ -218,6 +218,7 @@ class StreamingRuntime:
             if got is None:
                 raise RuntimeError("ring closed during correlate()")
             chunks.append(buf.copy())
+            self._abs_pos += self.source.block_size  # keep the frame grid honest
         sig = np.concatenate(chunks)
         timing = estimate_timing(sig, self.source.sample_rate, seconds)
         self.mode = timing.mode
@@ -235,6 +236,7 @@ class StreamingRuntime:
                 break
             out[i * self.source.block_size : (i + 1) * self.source.block_size] = buf
             n += self.source.block_size
+            self._abs_pos += self.source.block_size  # keep the frame grid honest
         write_complex_binary(out[:n], path, fmt)
         return n
 
