@@ -193,3 +193,18 @@ def test_batched_multi_stream_reconstruction():
     # Each stream must match its own single-stream reconstruction.
     single = reconstruct_frames(caps[1].iq[:n].view(np.float32), cfg, alpha=0.5)
     np.testing.assert_allclose(np.asarray(ema)[1], single.image, atol=1e-4)
+
+
+def test_fidelity_2048x1536_reference_demo_mode():
+    """The reference's demonstrated capture mode (2048x1536@60, readable
+    large text from a 20 MHz stream — reference docs/src/gui.md:29)."""
+    from tempest_tpu.render.screen import aligned_psnr
+
+    mode = tt.ALL_VIDEO_MODES["2048x1536 @ 60Hz"]  # 2800x1589 total
+    fs = 20e6
+    cap = tt.generate_iq(mode, fs, int(fs * 0.25), snr_db=18.0, seed=44)
+    timing, recon = auto_reconstruct(cap.iq, fs, alpha=0.5)
+    assert timing.mode_name == "2048x1536 @ 60Hz", timing
+    truth = np.asarray(downgrade_image(jnp.asarray(cap.frame)))
+    db, _ = aligned_psnr(truth, recon.image)
+    assert db > 11.0, f"2048x1536 PSNR {db:.1f} dB"
