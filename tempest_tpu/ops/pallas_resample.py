@@ -52,7 +52,7 @@ def _kernel(start_ref, frac_ref, wr_ref, sig_ref, out_ref, span_buf, sem,
     # Start all 16 span DMAs (HBM -> VMEM) up front.
     for i in range(2 * _ROWS_PER_TILE):
         pltpu.make_async_copy(
-            sig_ref.at[pl.ds(start_ref[lbase + i], span_pad)],
+            sig_ref.at[0, pl.ds(start_ref[lbase + i], span_pad)],
             span_buf.at[i],
             sem.at[i],
         ).start()
@@ -68,7 +68,7 @@ def _kernel(start_ref, frac_ref, wr_ref, sig_ref, out_ref, span_buf, sem,
     for i in range(_ROWS_PER_TILE):
         for t in range(2):
             pltpu.make_async_copy(
-                sig_ref.at[pl.ds(start_ref[lbase + 2 * i + t], span_pad)],
+                sig_ref.at[0, pl.ds(start_ref[lbase + 2 * i + t], span_pad)],
                 span_buf.at[2 * i + t],
                 sem.at[2 * i + t],
             ).wait()
@@ -117,8 +117,8 @@ def _kernel_vmem(start_ref, frac_ref, wr_ref, sig_ref, out_ref,
         w_r = wr_ref[base + i].astype(jnp.float32) / 65536.0
         f_top = frac_ref[lbase + 2 * i].astype(jnp.float32) / 65536.0
         f_bot = frac_ref[lbase + 2 * i + 1].astype(jnp.float32) / 65536.0
-        span_top = sig_ref[pl.ds(start_ref[lbase + 2 * i], span_pad)]
-        span_bot = sig_ref[pl.ds(start_ref[lbase + 2 * i + 1], span_pad)]
+        span_top = sig_ref[0, pl.ds(start_ref[lbase + 2 * i], span_pad)]
+        span_bot = sig_ref[0, pl.ds(start_ref[lbase + 2 * i + 1], span_pad)]
         pos_top = jnp.maximum(c_pos + f_top, 0.0)
         pos_bot = jnp.maximum(c_pos + f_bot, 0.0)
         w_top = jnp.maximum(0.0, 1.0 - jnp.abs(s_idx - pos_top))
@@ -176,7 +176,7 @@ def frames_to_screens_pallas(
     env_pad = jnp.concatenate(
         [env.astype(jnp.float32),
          jnp.broadcast_to(env[-1], (span_pad,)).astype(jnp.float32)]
-    )
+    )[None, :]  # 2-D: Mosaic handles (1, N) layouts far better than 1-D
 
     # Prefer the DMA-free VMEM-resident variant when the envelope block fits
     # comfortably (≤ 8 MB); fall back to explicit DMA double-buffering.
