@@ -1,11 +1,13 @@
-"""Scenario benchmark suite — the five BASELINE.json configs, one JSON line
-each (``bench.py`` remains the single-line driver entry point).
+"""Scenario benchmark suite — the BASELINE.json configs plus host-side
+scenarios, one JSON line each (``bench.py`` remains the single-line driver
+entry point).
 
   1. offline AM envelope demod of a capture
   2. FFT autocorrelation refresh+line-rate estimation
   3. resample to the inferred pixel clock for one fixed mode
   4. full chain at 1080p60 (same as bench.py)
   5. sharded multi-hypothesis mode search across all devices
+  6. host ring-buffer throughput (python vs native C++)
 
 Run with ``--device cpu`` to exercise everything on the host (virtual mesh);
 default runs on the session's accelerator.
