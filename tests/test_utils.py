@@ -90,3 +90,33 @@ def test_metrics_registry():
     assert snap["gauges"]["alpha"] == 0.1
     assert m.rate("frames") > 0
     assert "frames" in m.json()
+
+
+def test_profiler_trace_writes(tmp_path):
+    import jax.numpy as jnp
+
+    from tempest_tpu.utils.profiling import annotate, trace
+
+    d = str(tmp_path / "trace")
+    with trace(d):
+        with annotate("toy"):
+            _ = jnp.arange(8).sum().block_until_ready()
+    import os
+
+    found = []
+    for root, _, files in os.walk(d):
+        found.extend(files)
+    assert found, "profiler trace produced no files"
+
+
+def test_file_renderer(tmp_path):
+    import numpy as np
+
+    from tempest_tpu.render.screen import FileRenderer
+
+    sink = FileRenderer(prefix=str(tmp_path / "f"), every=2)
+    img = np.random.default_rng(0).random((30, 40)).astype(np.float32)
+    for _ in range(4):
+        sink(img, {})
+    files = sorted(p.name for p in tmp_path.iterdir())
+    assert files == ["f_00000.png", "f_00002.png"]
