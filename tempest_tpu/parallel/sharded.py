@@ -49,6 +49,7 @@ from ..video.modes import VideoMode
 __all__ = [
     "sharded_reconstruct_fn",
     "sharded_mode_search",
+    "sharded_mode_search_2d",
     "ModeSearchResult",
 ]
 
@@ -132,6 +133,93 @@ def sharded_reconstruct_fn(
     step.n_shards = n_shards
     step.shard_samples_min = shard_samples_min
     return step
+
+
+def sharded_mode_search_2d(
+    iq: np.ndarray,
+    fs: float,
+    refresh_hz: float,
+    candidates: list[tuple[str, "VideoMode"]],
+    mesh: Mesh,
+    time_axis: str = "blocks",
+    mode_axis: str = "modes",
+    frames_per_shard: int = 1,
+    render_size: tuple[int, int] = RENDER_SIZE,
+) -> "ModeSearchResult":
+    """Hypothesis search over a 2-D mesh: the signal timeline sharded along
+    ``time_axis`` AND the candidate modes sharded along ``mode_axis``
+    simultaneously (BASELINE config 5: "streaming multi-hypothesis video-mode
+    search, time-blocks sharded").
+
+    Each (time, mode) device scores its candidate slice on its time span;
+    a ``pmean`` over the time axis averages scores across the timeline, so
+    every candidate is judged on ``n_time × frames_per_shard`` frames at the
+    cost of one.
+    """
+    if not candidates:
+        raise ValueError("empty candidate set")
+    n_time = mesh.shape[time_axis]
+    n_mode = mesh.shape[mode_axis]
+    names = [n for n, _ in candidates]
+    n_cand = len(candidates)
+    y_arr = np.array([m.height for _, m in candidates], np.float32)
+    x_arr = np.array([m.width for _, m in candidates], np.float32)
+    pad = (-n_cand) % n_mode
+    if pad:
+        y_arr = np.concatenate([y_arr, np.repeat(y_arr[-1:], pad)])
+        x_arr = np.concatenate([x_arr, np.repeat(x_arr[-1:], pad)])
+
+    spf = fs / refresh_hz
+    frame_len = int(np.floor(spf))
+    starts = np.round(np.arange(frames_per_shard) * spf).astype(np.int32)
+    span = int(starts[-1]) + frame_len
+    if isinstance(iq, np.ndarray) and np.iscomplexobj(iq):
+        env_np = np.abs(iq).astype(np.float32)
+    else:
+        env_np = np.asarray(iq, np.float32)
+    if env_np.shape[0] < n_time * span:
+        raise ValueError(
+            f"need {n_time * span} samples for {n_time} time shards, "
+            f"got {env_np.shape[0]}"
+        )
+    env_shards = env_np[: n_time * span].reshape(n_time, span)
+
+    def local(env_local, y_loc, x_loc):
+        env = env_local[0]
+
+        def score_one(y_t, x_t):
+            def per_frame(start):
+                sig = jax.lax.dynamic_slice(env, (start,), (frame_len,))
+                screen = frame_to_screen_dynamic(sig, y_t, x_t, render_size)
+                _, _, s = frame_sync(screen)
+                return s
+
+            return jnp.mean(jax.vmap(per_frame)(jnp.asarray(starts)))
+
+        scores = jax.vmap(score_one)(y_loc, x_loc)
+        return jax.lax.pmean(scores, time_axis)[None]
+
+    sharded = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(time_axis, None), P(mode_axis), P(mode_axis)),
+            out_specs=P(time_axis, mode_axis),
+        )
+    )
+    env_dev = jax.device_put(
+        env_shards, NamedSharding(mesh, P(time_axis, None))
+    )
+    y_dev = jax.device_put(y_arr, NamedSharding(mesh, P(mode_axis)))
+    x_dev = jax.device_put(x_arr, NamedSharding(mesh, P(mode_axis)))
+    scores = np.asarray(sharded(env_dev, y_dev, x_dev))[0][:n_cand]
+    best = int(np.argmax(scores))
+    return ModeSearchResult(
+        best_index=best,
+        best_mode=candidates[best][1],
+        scores=scores,
+        names=names,
+    )
 
 
 @dataclasses.dataclass

@@ -208,3 +208,17 @@ def test_fidelity_2048x1536_reference_demo_mode():
     truth = np.asarray(downgrade_image(jnp.asarray(cap.frame)))
     db, _ = aligned_psnr(truth, recon.image)
     assert db > 11.0, f"2048x1536 PSNR {db:.1f} dB"
+
+
+def test_sharded_mode_search_2d_mesh():
+    """Time × modes 2-D mesh: 2 time shards × 4 mode shards on 8 devices."""
+    from jax.sharding import Mesh
+    from tempest_tpu.parallel.sharded import sharded_mode_search_2d
+
+    cap = _capture(0.2)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("blocks", "modes"))
+    cands = candidate_modes(60.0, tol_hz=0.5)
+    res = sharded_mode_search_2d(cap.iq, FS, 60.0, cands, mesh, frames_per_shard=2)
+    assert res.names[res.best_index] == "640x480 @ 60Hz"
+    assert res.scores.shape == (len(cands),)
