@@ -107,6 +107,7 @@ def generate_iq(
     dc_level: float = 1.0,
     start_phase: float = 0.0,
     seed: int = 0,
+    modulation: str = "am",
 ) -> SyntheticCapture:
     """Generate ``n_samples`` of complex-baseband IQ for a screen emanation.
 
@@ -133,8 +134,18 @@ def generate_iq(
     i1[i1 == n_pix] = 0
     env = raster[i0] * (1.0 - frac) + raster[i1] * frac
 
-    amplitude = dc_level + modulation_depth * env
-    phase = 2.0 * np.pi * carrier_offset_hz / sample_rate * np.arange(n_samples)
+    if modulation == "am":
+        amplitude = dc_level + modulation_depth * env
+        phase = 2.0 * np.pi * carrier_offset_hz / sample_rate * np.arange(n_samples)
+    elif modulation == "fm":
+        # Frequency-modulated leakage: instantaneous frequency tracks the
+        # video; the FM discriminator recovers ``2π (f_off + dev·env) / fs``.
+        amplitude = np.full(n_samples, dc_level, np.float64)
+        deviation_hz = modulation_depth * sample_rate / 16.0
+        inst_freq = carrier_offset_hz + deviation_hz * env
+        phase = 2.0 * np.pi * np.cumsum(inst_freq) / sample_rate
+    else:
+        raise ValueError(f"unknown modulation {modulation!r}")
     clean = (amplitude * np.exp(1j * phase)).astype(np.complex64)
 
     sig_power = float(np.mean(np.abs(clean) ** 2))

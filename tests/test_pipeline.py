@@ -222,3 +222,19 @@ def test_sharded_mode_search_2d_mesh():
     res = sharded_mode_search_2d(cap.iq, FS, 60.0, cands, mesh, frames_per_shard=2)
     assert res.names[res.best_index] == "640x480 @ 60Hz"
     assert res.scores.shape == (len(cands),)
+
+
+def test_fm_modulated_reconstruction():
+    """An FM-modulated emanation reconstructs through the discriminator path."""
+    import dataclasses
+
+    cap = tt.generate_iq(
+        MODE, FS, int(FS * 0.2), snr_db=30.0, seed=51, modulation="fm"
+    )
+    cfg = ReconstructionConfig(
+        sample_rate=FS, mode=MODE, n_frames=4, demod="fm", do_align=False
+    )
+    rec = reconstruct_frames(cap.iq, cfg, alpha=0.5)
+    truth = np.asarray(downgrade_image(jnp.asarray(cap.frame)))
+    corr = _best_corr(truth, rec.image)
+    assert corr > 0.7, f"FM reconstruction corr {corr}"
