@@ -238,3 +238,15 @@ def test_fm_modulated_reconstruction():
     truth = np.asarray(downgrade_image(jnp.asarray(cap.frame)))
     corr = _best_corr(truth, rec.image)
     assert corr > 0.7, f"FM reconstruction corr {corr}"
+
+
+def test_custom_render_size():
+    """render_size is configurable (the reference hardcodes 600x800)."""
+    cap = _capture(0.15)
+    cfg = ReconstructionConfig(
+        sample_rate=FS, mode=MODE, n_frames=2, render_size=(304, 512)
+    )
+    rec = reconstruct_frames(cap.iq, cfg, alpha=0.5)
+    assert rec.image.shape == (304, 512)
+    assert rec.frames.shape == (2, 304, 512)
+    assert np.isfinite(rec.image).all()
