@@ -28,6 +28,8 @@ import numpy as np
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--fs", type=float, default=20e6, help="sample rate [Hz] (default 20e6, the reference's recommended live rate)")
     p.add_argument("--format", default="single", choices=["short", "single", "double"], help=".dat word format")
+    p.add_argument("--rate-min", type=float, default=50.0, help="refresh search band lower bound [Hz]")
+    p.add_argument("--rate-max", type=float, default=90.0, help="refresh search band upper bound [Hz]")
 
 
 def cmd_analyze(args: argparse.Namespace) -> int:
@@ -36,7 +38,7 @@ def cmd_analyze(args: argparse.Namespace) -> int:
 
     iq = read_complex_binary(args.input, args.format, count=args.samples)
     t0 = time.perf_counter()
-    timing = estimate_timing(iq, args.fs, args.seconds)
+    timing = estimate_timing(iq, args.fs, args.seconds, args.rate_min, args.rate_max)
     dt = time.perf_counter() - t0
     print(f"samples           : {len(iq)} ({len(iq)/args.fs:.3f} s @ {args.fs/1e6:.1f} MHz)")
     print(f"refresh rate      : {timing.refresh_hz:.4f} Hz")
@@ -82,6 +84,7 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
         timing, recon = auto_reconstruct(
             iq, args.fs, n_frames=args.frames, alpha=args.alpha,
             invert=args.invert, refine_with_search=args.search,
+            rate_min=args.rate_min, rate_max=args.rate_max,
         )
         print(f"detected mode: {timing.mode_name} (fv={timing.refresh_hz:.4f} Hz)")
     else:

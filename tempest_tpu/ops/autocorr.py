@@ -205,6 +205,8 @@ def estimate_line_count(
     y_max: int = 2500,
     harmonics: int = 6,
     scale: str = "log",
+    rate_min: float = 50.0,
+    rate_max: float = 90.0,
 ) -> jnp.ndarray:
     """Total line count y_t: the autocorrelation peaks at the *line* period
     ``L = fs / (fv * y_t)``; find L and return ``fs / (fv * L)``.
@@ -228,8 +230,8 @@ def estimate_line_count(
     """
     n = gamma.shape[0]
     lin_raw = 10.0 ** (gamma / 10.0) if scale == "log" else gamma
-    lag_lo = max(int(fs / (90.0 * y_max)) - 2, 2)
-    lag_hi = min(int(fs / (50.0 * y_min)) + 2, n - 1)
+    lag_lo = max(int(fs / (rate_max * y_max)) - 2, 2)
+    lag_hi = min(int(fs / (rate_min * y_min)) + 2, n - 1)
     lin = _widen_peaks(lin_raw)
     cand = jnp.arange(lag_lo, lag_hi + 1)
     floor = jnp.median(lin[lag_lo : lag_hi + 1])

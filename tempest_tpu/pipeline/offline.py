@@ -144,22 +144,28 @@ class Reconstruction:
         return border < interior
 
 
-@partial(jax.jit, static_argnames=("fs", "corr_seconds", "interleaved"))
+@partial(jax.jit, static_argnames=("fs", "corr_seconds", "interleaved",
+                                   "rate_min", "rate_max"))
 def _timing_kernel(iq: jnp.ndarray, fs: float, corr_seconds: float,
-                   interleaved: bool = False):
+                   interleaved: bool = False,
+                   rate_min: float = 50.0, rate_max: float = 90.0):
     if interleaved:
         ri = iq.reshape(-1, 2).astype(jnp.float32)
         env = ri[:, 0] ** 2 + ri[:, 1] ** 2
     else:
         env = jnp.real(iq) ** 2 + jnp.imag(iq) ** 2  # |z|^2 envelope (GUI.jl:70)
     gamma, _ = autocorrelation(env, fs, 0.0, corr_seconds)
-    fv = estimate_refresh(gamma, fs, 50.0, 90.0)
-    y_t = estimate_line_count(gamma, fs, fv)
+    fv = estimate_refresh(gamma, fs, rate_min, rate_max)
+    y_t = estimate_line_count(gamma, fs, fv, rate_min=rate_min, rate_max=rate_max)
     return fv, y_t
 
 
 def estimate_timing(
-    iq: np.ndarray | jnp.ndarray, fs: float, corr_seconds: float = 0.1
+    iq: np.ndarray | jnp.ndarray,
+    fs: float,
+    corr_seconds: float = 0.1,
+    rate_min: float = 50.0,
+    rate_max: float = 90.0,
 ) -> TimingEstimate:
     """Stage 1: refresh rate + line count from ~``corr_seconds`` of signal,
     snapped to the closest known video mode (automates ``GUI.jl:49-88`` +
@@ -175,7 +181,10 @@ def estimate_timing(
         iq = np.ascontiguousarray(iq, np.complex64).view(np.float32)
     iq = jnp.asarray(iq)
     interleaved = not jnp.iscomplexobj(iq)
-    fv, y_t = _timing_kernel(iq, float(fs), float(corr_seconds), interleaved)
+    fv, y_t = _timing_kernel(
+        iq, float(fs), float(corr_seconds), interleaved,
+        float(rate_min), float(rate_max),
+    )
     fv_f, y_f = float(fv), float(y_t)
     name, mode = find_closest_mode(y_f, fv_f)
     # Keep the *measured* refresh (the true pixel clock differs from nominal —
@@ -379,6 +388,8 @@ def auto_reconstruct(
     corr_seconds: float = 0.1,
     refine_with_search: bool = False,
     search_tol_hz: float = 1.0,
+    rate_min: float = 50.0,
+    rate_max: float = 90.0,
 ) -> tuple[TimingEstimate, Reconstruction]:
     """Fully automatic capture → image: the end-to-end equivalent of the
     reference's offline script (``production/investigate_data.jl``), with the
@@ -388,7 +399,7 @@ def auto_reconstruct(
     ``search_tol_hz`` of the measured refresh by sync contrast (sharded across
     all visible devices) and keeps the winner — a safety net when the
     line-count estimate is ambiguous at low SNR."""
-    timing = estimate_timing(iq, fs, corr_seconds)
+    timing = estimate_timing(iq, fs, corr_seconds, rate_min, rate_max)
     if refine_with_search:
         from ..parallel.mesh import make_mesh
         from ..parallel.sharded import sharded_mode_search

@@ -250,3 +250,21 @@ def test_custom_render_size():
     assert rec.image.shape == (304, 512)
     assert rec.frames.shape == (2, 304, 512)
     assert np.isfinite(rec.image).all()
+
+
+@pytest.mark.parametrize(
+    "mode_name,fs,band",
+    [
+        ("PAL TV", 3e6, (20.0, 35.0)),           # 25 Hz, 576x625 total
+        ("1024x768 @ 120Hz", 18e6, (95.0, 130.0)),
+        ("640x480 @ 100Hz", 8e6, (95.0, 110.0)),
+    ],
+)
+def test_timing_estimation_extreme_rates(mode_name, fs, band):
+    """With an adjusted search band, auto-detection covers the whole mode
+    table (PAL at 25 Hz through 120 Hz gaming modes), not just 50-90 Hz."""
+    mode = tt.ALL_VIDEO_MODES[mode_name]
+    cap = tt.generate_iq(mode, fs, int(fs * 0.35), snr_db=18.0, seed=23)
+    timing = estimate_timing(cap.iq, fs, rate_min=band[0], rate_max=band[1])
+    assert abs(timing.refresh_hz - mode.refresh) < 0.05
+    assert timing.mode.height == mode.height, timing
