@@ -120,3 +120,18 @@ def test_file_renderer(tmp_path):
         sink(img, {})
     files = sorted(p.name for p in tmp_path.iterdir())
     assert files == ["f_00000.png", "f_00002.png"]
+
+
+def test_roofline_report():
+    import jax.numpy as jnp
+
+    from tempest_tpu.utils.roofline import RooflineReport, roofline
+
+    rep = roofline(lambda a, b: a @ b, jnp.ones((256, 256)), jnp.ones((256, 256)))
+    assert rep.flops > 0
+    assert rep.bound() in ("compute", "memory")
+    assert rep.speed_of_light_s() > 0
+    assert "GFLOP" in rep.summary(measured_s=1e-3)
+    # Hand-built report sanity: 1 GFLOP over 1 GB is memory-bound on v5e.
+    r = RooflineReport(flops=1e9, bytes_accessed=1e9, transcendentals=0)
+    assert r.bound() == "memory"
