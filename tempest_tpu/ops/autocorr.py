@@ -190,10 +190,36 @@ def estimate_refresh(
     pos_hi = min(int(round(fs / rate_min)), n - 1)
     window = lin[pos_lo : pos_hi + 1]
     lag0 = pos_lo + jnp.argmax(window)
+    # Octave disambiguation (for wide search bands): every multiple of 2P is
+    # also a repetition lag, so the argmax can land on 2P/3P (half/third the
+    # true refresh).  Prominence-comb the subdivided periods and descend when
+    # they score comparably — same rule as estimate_line_count's line-period
+    # descent, using the widened (box-3) reads.
+    linw = _widen_peaks(lin)
+    floor = jnp.median(linw[pos_lo : pos_hi + 1])
+
+    def comb_prom(pos_f):
+        score = jnp.zeros(pos_f.shape, linw.dtype)
+        count = jnp.zeros(pos_f.shape, linw.dtype)
+        for k in range(1, harmonics + 1):
+            p = k * pos_f
+            valid = p < n - 1
+            score = score + jnp.where(valid, _lerp(linw, p) - floor, 0.0)
+            count = count + valid.astype(linw.dtype)
+        return score / jnp.maximum(count, 1.0)
+
+    lag_f = lag0.astype(jnp.float32)
+    best_score = comb_prom(lag_f[None])[0]
+    for k in (3, 2):
+        sub = lag_f / k
+        sub_score = comb_prom(sub[None])[0]
+        take = (sub >= pos_lo) & (sub_score >= 0.7 * best_score)
+        lag_f = jnp.where(take, sub, lag_f)
+        best_score = jnp.where(take, sub_score, best_score)
     # Comb window: generously covers ±3 line periods for any plausible mode
     # (L ≤ fs / (50 Hz · 200 lines)); static because fs is static.
     half = max(int(3 * fs / 10000), 8)
-    lag = refine_period(lin, lag0, half, harmonics)
+    lag = refine_period(lin, lag_f, half, harmonics)
     return fs / lag
 
 

@@ -268,3 +268,12 @@ def test_timing_estimation_extreme_rates(mode_name, fs, band):
     timing = estimate_timing(cap.iq, fs, rate_min=band[0], rate_max=band[1])
     assert abs(timing.refresh_hz - mode.refresh) < 0.05
     assert timing.mode.height == mode.height, timing
+
+
+def test_wide_band_no_octave_error():
+    """Searching the full 20-130 Hz band on a 60 Hz capture must not lock on
+    the 2P/3P repetition lags (30/20 Hz octave errors)."""
+    cap = _capture(0.5)
+    timing = estimate_timing(cap.iq, FS, rate_min=20.0, rate_max=130.0)
+    assert abs(timing.refresh_hz - 60.0) < 0.05, timing
+    assert timing.mode_name == "640x480 @ 60Hz"
