@@ -181,8 +181,10 @@ def estimate_refresh(
       values are corrupted by sub-sample straddle.
 
     Both are fixed by ``refine_period``'s fractional interpolated comb seeded
-    from the coarse argmax.  Pass the same ``gamma`` the display path uses
-    (log scale by default); the comb internally works on linear power.
+    from the coarse argmax; a prominence-based octave descent additionally
+    rejects 2P/3P locks so wide search bands (20–130 Hz) are safe.  Pass the
+    same ``gamma`` the display path uses (log scale by default); the comb
+    internally works on linear power.
     """
     n = gamma.shape[0]
     lin = 10.0 ** (gamma / 10.0) if scale == "log" else gamma
