@@ -25,7 +25,6 @@ TPU-native design notes:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 __all__ = [

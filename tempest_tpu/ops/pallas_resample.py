@@ -156,7 +156,7 @@ def frames_to_screens_pallas(
     if h_out % _ROWS_PER_TILE:
         raise ValueError(f"output height must be a multiple of {_ROWS_PER_TILE}")
     n_frames = int(frame_starts.shape[0])
-    start, frac, wr, cols, ratio = _screen_geometry(frame_len, y_t, x_t, out_shape)
+    start, frac, wr, cols, _ = _screen_geometry(frame_len, y_t, x_t, out_shape)
     delta = float(cols[1]) if w_out > 1 else 0.0
     span = int(np.ceil(cols[-1] + 1)) + 2
     span_pad = -(-span // 128) * 128

@@ -135,6 +135,21 @@ def sharded_reconstruct_fn(
     return step
 
 
+def _padded_candidate_arrays(
+    candidates: list[tuple[str, VideoMode]], n_shards: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate (height, width) arrays padded to a multiple of the shard
+    count (the pad repeats the last candidate; scores beyond the real set are
+    discarded by the callers)."""
+    y_arr = np.array([m.height for _, m in candidates], np.float32)
+    x_arr = np.array([m.width for _, m in candidates], np.float32)
+    pad = (-len(candidates)) % n_shards
+    if pad:
+        y_arr = np.concatenate([y_arr, np.repeat(y_arr[-1:], pad)])
+        x_arr = np.concatenate([x_arr, np.repeat(x_arr[-1:], pad)])
+    return y_arr, x_arr
+
+
 def sharded_mode_search_2d(
     iq: np.ndarray,
     fs: float,
@@ -162,12 +177,7 @@ def sharded_mode_search_2d(
     n_mode = mesh.shape[mode_axis]
     names = [n for n, _ in candidates]
     n_cand = len(candidates)
-    y_arr = np.array([m.height for _, m in candidates], np.float32)
-    x_arr = np.array([m.width for _, m in candidates], np.float32)
-    pad = (-n_cand) % n_mode
-    if pad:
-        y_arr = np.concatenate([y_arr, np.repeat(y_arr[-1:], pad)])
-        x_arr = np.concatenate([x_arr, np.repeat(x_arr[-1:], pad)])
+    y_arr, x_arr = _padded_candidate_arrays(candidates, n_mode)
 
     spf = fs / refresh_hz
     frame_len = int(np.floor(spf))
@@ -254,13 +264,8 @@ def sharded_mode_search(
         raise ValueError("empty candidate set")
     n_dev = mesh.shape[axis]
     names = [n for n, _ in candidates]
-    y_arr = np.array([m.height for _, m in candidates], np.float32)
-    x_arr = np.array([m.width for _, m in candidates], np.float32)
     n_cand = len(candidates)
-    pad = (-n_cand) % n_dev
-    if pad:
-        y_arr = np.concatenate([y_arr, np.repeat(y_arr[-1:], pad)])
-        x_arr = np.concatenate([x_arr, np.repeat(x_arr[-1:], pad)])
+    y_arr, x_arr = _padded_candidate_arrays(candidates, n_dev)
 
     spf = fs / refresh_hz
     frame_len = int(np.floor(spf))
