@@ -51,13 +51,24 @@ def autocorrelation(
 
     Returns ``(gamma, lags)`` where ``gamma[k]`` is ``10*log10(|corr|^2)`` (or
     ``|corr|^2`` for ``scale="linear"``) at lag ``lags[k]`` seconds, starting
-    at lag index ``round(min_delay * fs)``.  FFT length is
-    ``min(2 * round(max_delay * fs), len(x))`` like the reference.
+    at lag index ``round(min_delay * fs)``.
+
+    FFT length: the reference uses ``min(2 * round(max_delay*fs), len(x))``
+    (``Autocorrelations.jl:27``); we round that *down to a power of two*
+    because XLA lowers non-smooth FFT sizes on TPU as a dense DFT matmul —
+    an O(n²) matrix that exceeds HBM for n in the millions (observed: a
+    333333-point rfft tried to allocate a 444 GB DFT matrix).  The slightly
+    shorter correlation window is statistically irrelevant.
     """
     i_lo = int(round(min_delay * fs))
     i_hi = int(round(max_delay * fs))  # exclusive lag bound
-    n = min(2 * i_hi, x.shape[0])
-    i_hi = min(i_hi, n)  # short signals: keep gamma and lags the same length
+    n_raw = min(2 * i_hi, x.shape[0])
+    # Prefer the next power of two ABOVE n_raw (more signal, keeps ≥50%
+    # circular overlap at the longest lags); fall back to the largest power
+    # of two the signal can supply.
+    n_up = 1 << max(n_raw - 1, 1).bit_length()
+    n = n_up if n_up <= x.shape[0] else 1 << (max(x.shape[0], 2).bit_length() - 1)
+    i_hi = min(i_hi, n)  # keep gamma and lags the same length
     xw = x[:n]
     if jnp.iscomplexobj(xw):
         spec = jnp.fft.fft(xw)
@@ -140,23 +151,27 @@ def refine_period(
     samples and the envelope's correlation peaks are ~1 sample wide, so
     comparisons between discrete bins are dominated by sub-sample straddle.
     This scores every candidate period on a ``step``-sample grid around
-    ``lag0`` by the summed linearly-interpolated correlation at its first
-    ``harmonics`` multiples: only the true period keeps all its harmonics on
-    peak tops simultaneously, and harmonic k narrows the alignment tolerance
-    by 1/k.  Returns the refined fractional lag.
+    ``lag0`` by the *k-weighted* mean of the linearly-interpolated correlation
+    at its first ``harmonics`` multiples: only the true period keeps all its
+    harmonics on peak tops simultaneously, harmonic k narrows the alignment
+    tolerance by 1/k, and weighting by k emphasises the most discriminative
+    harmonics — a one-line-period impostor's k-th harmonic is shifted k lines
+    and decays monotonically, so late harmonics separate P from P±L even for
+    content with highly similar adjacent rows.  Returns the refined
+    fractional lag.
     """
     n = lin.shape[0]
     lin = _widen_peaks(lin)
     offs = jnp.arange(-half_window / step, half_window / step + 1) * step
     cand = lag0.astype(jnp.float32) + offs.astype(jnp.float32)
     score = jnp.zeros(cand.shape, lin.dtype)
-    count = jnp.zeros(cand.shape, lin.dtype)
+    wsum = jnp.zeros(cand.shape, lin.dtype)
     for k in range(1, harmonics + 1):
         pos = k * cand
         valid = pos < n - 1
-        score = score + jnp.where(valid, _lerp(lin, pos), 0.0)
-        count = count + valid.astype(lin.dtype)
-    return cand[jnp.argmax(score / jnp.maximum(count, 1.0))]
+        score = score + jnp.where(valid, k * _lerp(lin, pos), 0.0)
+        wsum = wsum + jnp.where(valid, float(k), 0.0)
+    return cand[jnp.argmax(score / jnp.maximum(wsum, 1.0))]
 
 
 def estimate_refresh(

@@ -462,6 +462,66 @@ def frames_to_screens_aligned(
     return lines[:, :, 0, :] * (1.0 - wrj) + lines[:, :, 1, :] * wrj
 
 
+def frames_to_screens_fft(
+    env: jnp.ndarray,
+    frame_starts: jnp.ndarray | np.ndarray,
+    frame_len: int,
+    y_t: int,
+    x_t: int,
+    out_shape: tuple[int, int] = RENDER_SIZE,
+    l_pad: int | None = None,
+) -> jnp.ndarray:
+    """Gather-free resampler via spectral line rectification.
+
+    Bandlimited-resample each frame's envelope from ``frame_len`` samples to
+    exactly ``y_t * l_pad`` samples (rfft → zero-pad/truncate spectrum →
+    irfft): scan line ``l`` then occupies out[l*l_pad : (l+1)*l_pad] *exactly*
+    — a plain reshape puts every line at an integer stride, so no per-line
+    gathers exist at all.  Columns interpolate through ONE shared
+    (l_pad × w_out) weight matrix on the MXU (the within-line position map is
+    line-invariant), and the vertical blend selects whole rows (aligned row
+    reads).
+
+    Compared to the linear-interpolation variants this is *sinc*
+    interpolation: exact for band-limited content, with circular (not
+    clamped) frame-edge semantics.
+    """
+    h_out, w_out = out_shape
+    if l_pad is None:
+        l_pad = -(-(int(np.ceil(frame_len / y_t)) + 2) // 128) * 128
+    m_out = y_t * l_pad
+    n_bins = min(frame_len // 2 + 1, m_out // 2 + 1)
+    scale = m_out / frame_len
+
+    # Shared column weights: raster px c maps within any line to
+    # q(c) = (cx_c + 0.5) * l_pad / x_t - 0.5 * m_out / frame_len.
+    cx = np.clip((np.arange(w_out) + 0.5) * (x_t / w_out) - 0.5, 0.0, x_t - 1.0)
+    q = (cx + 0.5) * (l_pad / x_t) - 0.5 * scale
+    q = np.clip(q, 0.0, l_pad - 1.001)
+    i0 = q.astype(np.int64)
+    fr = (q - i0).astype(np.float32)
+    w_col = np.zeros((l_pad, w_out), np.float32)
+    w_col[i0, np.arange(w_out)] = 1.0 - fr
+    w_col[np.minimum(i0 + 1, l_pad - 1), np.arange(w_out)] += fr
+
+    # Vertical geometry (same half-pixel convention as frame_to_screen).
+    ry = np.clip((np.arange(h_out) + 0.5) * (y_t / h_out) - 0.5, 0.0, y_t - 1.0)
+    r0 = np.minimum(np.floor(ry).astype(np.int64), max(y_t - 2, 0))
+    wr = jnp.asarray((ry - r0).astype(np.float32)[:, None])
+    r0j = jnp.asarray(r0)
+    w_colj = jnp.asarray(w_col)
+
+    def one_frame(start):
+        sig = jax.lax.dynamic_slice(env, (start,), (frame_len,))
+        spec = jnp.fft.rfft(sig)[:n_bins]
+        spec_m = jnp.zeros((m_out // 2 + 1,), spec.dtype).at[:n_bins].set(spec)
+        lines = (jnp.fft.irfft(spec_m, n=m_out) * scale).reshape(y_t, l_pad)
+        blended = lines[r0j] * (1.0 - wr) + lines[r0j + 1] * wr   # (h, l_pad)
+        return jnp.dot(blended, w_colj, preferred_element_type=jnp.float32)
+
+    return jax.vmap(one_frame)(jnp.asarray(frame_starts, jnp.int32))
+
+
 def frame_to_screen_dynamic(
     sig: jnp.ndarray,
     y_t: jnp.ndarray,

@@ -98,7 +98,9 @@ def test_autocorrelation_matches_numpy_oracle():
     x = RNG.standard_normal(8192).astype(np.float32)
     gamma, lags = autocorrelation(jnp.asarray(x), fs, 0.0, 0.01)
     i_hi = round(0.01 * fs)
-    n = min(2 * i_hi, len(x))
+    n_raw = min(2 * i_hi, len(x))
+    n_up = 1 << (n_raw - 1).bit_length()
+    n = n_up if n_up <= len(x) else 1 << (len(x).bit_length() - 1)
     spec = np.fft.fft(x[:n])
     corr = np.fft.ifft(spec * np.conj(spec))
     expected = 10 * np.log10(np.abs(corr[:i_hi]) ** 2 + 1e-30)
