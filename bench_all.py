@@ -104,13 +104,29 @@ def main() -> None:
     step = make_reconstruct_fn(cfg)
     iq = jax.device_put(rng.integers(-16384, 16384, 2 * cfg.block_samples, dtype=np.int16))
     ema0 = jnp.zeros(cfg.render_size, jnp.float32)
-    state = {"e": ema0}
 
-    def full():
-        state["e"], *_ = step(iq, state["e"], jnp.float32(0.1))
-        _fence(state["e"][:1, :8])
+    # Chain iterations through the EMA carry and fence once (bench.py's
+    # methodology) — per-iteration fences would charge the tunnel round trip
+    # to every block.
+    def full_chained():
+        e = ema0
+        for _ in range(args.iters):
+            e, *_ = step(iq, e, jnp.float32(0.1))
+        _fence(e[:1, :8])
 
-    bench("full chain 1080p60", full, cfg.block_samples)
+    full_chained()  # compile
+    t0 = time.perf_counter()
+    full_chained()
+    dt = time.perf_counter() - t0
+    msps = cfg.block_samples * args.iters / dt / 1e6
+    results.append(
+        {
+            "metric": "full chain 1080p60",
+            "value": round(msps, 2),
+            "unit": "Msamples/s/chip",
+            "vs_baseline": round(msps / 20.0, 2),
+        }
+    )
 
     # 5. sharded mode search (all devices)
     mesh = make_mesh()
