@@ -33,6 +33,8 @@ __all__ = [
     "parabolic_peak",
     "estimate_refresh",
     "estimate_line_count",
+    "estimate_snr",
+    "suggest_alpha",
 ]
 
 _EPS = 1e-30
@@ -237,6 +239,31 @@ def estimate_refresh(
     half = max(int(3 * fs / 10000), 8)
     lag = refine_period(lin, lag_f, half, harmonics)
     return fs / lag
+
+
+def estimate_snr(env: jnp.ndarray) -> jnp.ndarray:
+    """Envelope-domain SNR proxy [dB] via one-lag decorrelation: receiver
+    noise is white (dies within one sample of lag) while screen content is
+    strongly correlated sample-to-sample, so with the mean removed,
+    ``SNR ≈ c1 / (c0 − c1)`` where ``c_k`` is the lag-k autocovariance.
+    Monotone in the true IQ SNR over at least [−5, 30] dB (measured) and
+    cheap (two dot products).  Drives automatic frame-averaging strength —
+    no reference equivalent: the user turns the LPF slider until the image
+    looks right (``GUI.jl:617-620``)."""
+    env0 = env - jnp.mean(env)
+    c0 = jnp.mean(env0 * env0)
+    c1 = jnp.mean(env0[:-1] * env0[1:])
+    ratio = jnp.maximum(c1, 1e-12) / jnp.maximum(c0 - c1, 1e-12)
+    return 10.0 * jnp.log10(ratio)
+
+
+def suggest_alpha(snr_db: jnp.ndarray | float) -> jnp.ndarray:
+    """EMA coefficient from the envelope-domain SNR proxy: noisy signals
+    average harder (alpha→0.9, ~10-frame memory), clean signals stay
+    responsive (alpha→0.1).  Ramp spans proxy +2 dB (clean) → −15 dB
+    (very noisy), matching the measured proxy range for 30 → −5 dB IQ SNR."""
+    t = jnp.clip((2.0 - jnp.asarray(snr_db, jnp.float32)) / 17.0, 0.0, 1.0)
+    return 0.1 + 0.8 * t
 
 
 def estimate_line_count(

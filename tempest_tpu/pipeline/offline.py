@@ -38,7 +38,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.autocorr import autocorrelation, estimate_line_count, estimate_refresh
+from ..ops.autocorr import (
+    autocorrelation,
+    estimate_line_count,
+    estimate_refresh,
+    estimate_snr,
+    suggest_alpha,
+)
 from ..ops.demod import am_demod, am_envelope_from_iq, fm_demod, fm_demod_from_iq
 from ..ops.framesync import align_frame, frame_sync
 from ..ops.resample import (
@@ -69,6 +75,14 @@ class TimingEstimate:
     line_count: float
     mode_name: str
     mode: VideoMode
+    snr_db: float = float("nan")  # autocorrelation contrast proxy
+
+    @property
+    def suggested_alpha(self) -> float:
+        """EMA coefficient matched to the measured SNR (see suggest_alpha)."""
+        import numpy as _np
+
+        return float(suggest_alpha(self.snr_db)) if _np.isfinite(self.snr_db) else 0.1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -157,7 +171,8 @@ def _timing_kernel(iq: jnp.ndarray, fs: float, corr_seconds: float,
     gamma, _ = autocorrelation(env, fs, 0.0, corr_seconds)
     fv = estimate_refresh(gamma, fs, rate_min, rate_max)
     y_t = estimate_line_count(gamma, fs, fv, rate_min=rate_min, rate_max=rate_max)
-    return fv, y_t
+    snr = estimate_snr(env)
+    return fv, y_t, snr
 
 
 def estimate_timing(
@@ -181,7 +196,7 @@ def estimate_timing(
         iq = np.ascontiguousarray(iq, np.complex64).view(np.float32)
     iq = jnp.asarray(iq)
     interleaved = not jnp.iscomplexobj(iq)
-    fv, y_t = _timing_kernel(
+    fv, y_t, snr = _timing_kernel(
         iq, float(fs), float(corr_seconds), interleaved,
         float(rate_min), float(rate_max),
     )
@@ -191,7 +206,7 @@ def estimate_timing(
     # e.g. 60.14 Hz on the reference's demo capture, docs/src/gui.md:29) but
     # the mode's pixel geometry.
     refined = VideoMode(mode.width, mode.height, fv_f)
-    return TimingEstimate(fv_f, y_f, name, refined)
+    return TimingEstimate(fv_f, y_f, name, refined, float(snr))
 
 
 def demodulate(iq: jnp.ndarray, config: ReconstructionConfig) -> jnp.ndarray:
@@ -383,7 +398,7 @@ def auto_reconstruct(
     iq: np.ndarray,
     fs: float,
     n_frames: int | None = None,
-    alpha: float = 0.1,
+    alpha: float | str = 0.1,
     invert: bool = False,
     corr_seconds: float = 0.1,
     refine_with_search: bool = False,
@@ -400,6 +415,8 @@ def auto_reconstruct(
     all visible devices) and keeps the winner — a safety net when the
     line-count estimate is ambiguous at low SNR."""
     timing = estimate_timing(iq, fs, corr_seconds, rate_min, rate_max)
+    if alpha == "auto":
+        alpha = timing.suggested_alpha
     if refine_with_search:
         from ..parallel.mesh import make_mesh
         from ..parallel.sharded import sharded_mode_search
@@ -417,6 +434,7 @@ def auto_reconstruct(
                 line_count=timing.line_count,
                 mode_name=res.names[res.best_index],
                 mode=VideoMode(best.width, best.height, timing.refresh_hz),
+                snr_db=timing.snr_db,
             )
     spf = fs / timing.mode.refresh
     if n_frames is None:

@@ -277,3 +277,16 @@ def test_wide_band_no_octave_error():
     timing = estimate_timing(cap.iq, FS, rate_min=20.0, rate_max=130.0)
     assert abs(timing.refresh_hz - 60.0) < 0.05, timing
     assert timing.mode_name == "640x480 @ 60Hz"
+
+
+def test_snr_adaptive_alpha():
+    """estimate_timing reports an SNR proxy that orders clean vs noisy
+    captures, and alpha='auto' maps it to a sensible EMA coefficient."""
+    clean = tt.generate_iq(MODE, FS, int(FS * 0.3), snr_db=30.0, seed=61)
+    noisy = tt.generate_iq(MODE, FS, int(FS * 0.3), snr_db=2.0, seed=61)
+    t_clean = estimate_timing(clean.iq, FS)
+    t_noisy = estimate_timing(noisy.iq, FS)
+    assert t_clean.snr_db > t_noisy.snr_db
+    assert 0.1 <= t_clean.suggested_alpha < t_noisy.suggested_alpha <= 0.9
+    timing, recon = auto_reconstruct(noisy.iq, FS, alpha="auto", n_frames=3)
+    assert recon.image.shape == (600, 800)
