@@ -80,9 +80,10 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
     from ..video.modes import ALL_VIDEO_MODES
 
     iq = read_complex_binary(args.input, args.format, count=args.samples)
+    alpha = args.alpha if args.alpha == "auto" else float(args.alpha)
     if args.mode == "auto":
         timing, recon = auto_reconstruct(
-            iq, args.fs, n_frames=args.frames, alpha=args.alpha,
+            iq, args.fs, n_frames=args.frames, alpha=alpha,
             invert=args.invert, refine_with_search=args.search,
             rate_min=args.rate_min, rate_max=args.rate_max,
         )
@@ -93,7 +94,9 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
         config = ReconstructionConfig(
             sample_rate=args.fs, mode=mode, n_frames=n_frames, invert=args.invert
         )
-        recon = reconstruct_frames(iq, config, alpha=args.alpha)
+        recon = reconstruct_frames(
+            iq, config, alpha=0.1 if alpha == "auto" else alpha
+        )
     img = recon.image
     if args.sync_overlay:
         img = overlay_sync(img, int(recon.sync[-1][0]), int(recon.sync[-1][1]))
@@ -300,7 +303,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--samples", type=int, default=None)
     p.add_argument("--mode", default="auto", help="'auto' or a mode name from `modes`")
     p.add_argument("--frames", type=int, default=None)
-    p.add_argument("--alpha", type=float, default=0.1, help="EMA coefficient")
+    p.add_argument("--alpha", default="0.1",
+                   help="EMA coefficient, or 'auto' (SNR-adaptive)")
     p.add_argument("--invert", action="store_true", help="use inverted envelope")
     p.add_argument("--invert-output", action="store_true")
     p.add_argument("--auto-polarity", action="store_true",
