@@ -45,6 +45,7 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     print(f"line count (est)  : {timing.line_count:.1f}")
     print(f"closest mode      : {timing.mode_name}")
     print(f"mode geometry     : {timing.mode.width} x {timing.mode.height} @ {timing.mode.refresh:.3f} Hz")
+    print(f"snr proxy         : {timing.snr_db:.1f} dB (suggested alpha {timing.suggested_alpha:.2f})")
     print(f"analysis time     : {dt*1e3:.1f} ms")
     if args.waterfall:
         import jax
