@@ -306,3 +306,30 @@ def test_streaming_with_native_ring():
     assert out.shape == (600, 800)
     assert rt.frames_out > 0
     assert "NativeRing" in rt.summary()
+
+
+def test_streaming_emit_every_frame():
+    block = int(FS * 0.1)
+    src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=32)
+    rt = StreamingRuntime(src, MODE, alpha=0.5)
+    rt.start()
+    frames = []
+    try:
+        rt.process_blocks(2, sink=lambda img, info: frames.append(img.shape),
+                          emit_every_frame=True)
+    finally:
+        rt.stop()
+    # Per-frame emission: one sink call per reconstructed frame.
+    assert len(frames) == rt.frames_out
+    assert all(s == (600, 800) for s in frames)
+
+
+def test_cli_stream_png_renderer(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    assert cli_main([
+        "stream", "--source", "synthetic", "--mode", "640x480 @ 60Hz",
+        "--fs", str(FS), "--blocks", "2", "--render", "png",
+        "--out-prefix", "shot",
+    ]) == 0
+    shots = sorted(p.name for p in tmp_path.glob("shot_*.png"))
+    assert shots == ["shot_00000.png", "shot_00001.png"]
