@@ -142,11 +142,13 @@ def cmd_stream(args: argparse.Namespace) -> int:
     rt.start()
     try:
         if args.correlate:
-            timing = rt.correlate()
+            timing = rt.correlate(rate_min=args.rate_min, rate_max=args.rate_max)
             print(f"live correlate: {timing.mode_name} fv={timing.refresh_hz:.4f} Hz")
         if args.record:
-            n = rt.record(args.record, n_blocks=args.record_blocks, fmt=args.format)
-            print(f"recorded {n} samples to {args.record}")
+            # "auto" rotates dumpIQ_N.dat files like the reference's task 3.
+            path = None if args.record == "auto" else args.record
+            n = rt.record(path, n_blocks=args.record_blocks, fmt=args.format)
+            print(f"recorded {n} samples to {rt.last_record_path}")
         if args.drift_lock:
             # Warm-up pass, then close the refresh loop on the observed drift.
             syncs = []
@@ -267,7 +269,7 @@ def cmd_warmup(args: argparse.Namespace) -> int:
     # Timing estimator program too.
     n = int(args.fs * 0.2)
     t0 = _time.perf_counter()
-    fv, y_t = _timing_kernel(jnp.zeros(2 * n, jnp.float32), args.fs, 0.1, True)
+    fv, y_t, _snr = _timing_kernel(jnp.zeros(2 * n, jnp.float32), args.fs, 0.1, True)
     _ = float(fv)
     print(f"compiled timing estimator: {_time.perf_counter()-t0:.1f} s")
     return 0
@@ -328,7 +330,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--snr", type=float, default=20.0)
     p.add_argument("--invert", action="store_true")
     p.add_argument("--correlate", action="store_true", help="auto-detect mode first")
-    p.add_argument("--record", default=None, help="record raw IQ to this .dat")
+    p.add_argument("--record", default=None,
+                   help="record raw IQ to this .dat ('auto' rotates dumpIQ_N.dat)")
     p.add_argument("--record-blocks", type=int, default=10)
     p.add_argument("--render", default="none", choices=["none", "terminal", "png"])
     p.add_argument("--drift-lock", action="store_true",

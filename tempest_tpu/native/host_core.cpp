@@ -8,7 +8,8 @@
 // ABI consumed via ctypes (tempest_tpu/native/__init__.py); a pure-Python
 // fallback exists, this path removes the GIL from the producer hot loop.
 //
-// Build: see tempest_tpu/native/build.py (cc -O3 -march=native -shared).
+// Build: tempest_tpu/native/__init__.py builds this on first import
+// (g++ -O3 -march=native -std=c++17 -shared -fPIC).
 
 #include <atomic>
 #include <chrono>
@@ -100,10 +101,13 @@ void ring_close(Ring* r) {
     r->nonempty.notify_all();
 }
 
-int64_t ring_overflows(Ring* r) { return r->overflows; }
+// Counter getters take the mutex: these are polled live (health snapshots)
+// while ring_put/ring_take mutate the counters under lock — an unlocked
+// int64 read would be a data race (UB).
+int64_t ring_overflows(Ring* r) { std::lock_guard<std::mutex> lk(r->m); return r->overflows; }
 int64_t ring_available(Ring* r) { std::lock_guard<std::mutex> lk(r->m); return r->count; }
-int64_t ring_produced(Ring* r)  { return r->produced; }
-int64_t ring_consumed(Ring* r)  { return r->consumed; }
+int64_t ring_produced(Ring* r)  { std::lock_guard<std::mutex> lk(r->m); return r->produced; }
+int64_t ring_consumed(Ring* r)  { std::lock_guard<std::mutex> lk(r->m); return r->consumed; }
 
 // ------------------------------------------------------- sample conversion
 // Interleaved int16 I/Q -> float32 interleaved, with scaling.  The unpack the

@@ -25,6 +25,8 @@ int ring_take(Ring*, float*, double timeout_ms);
 void ring_close(Ring*);
 int64_t ring_overflows(Ring*);
 int64_t ring_consumed(Ring*);
+int64_t ring_produced(Ring*);
+int64_t ring_available(Ring*);
 }
 
 int main() {
@@ -60,8 +62,23 @@ int main() {
         }
     });
 
+    // Health poller: reads every counter *while* put/take mutate them — the
+    // live StreamingRuntime.health() pattern.  An unlocked getter is a data
+    // race TSan reports here.
+    std::atomic<bool> stop_poll{false};
+    std::thread poller([&] {
+        int64_t sink = 0;
+        while (!stop_poll.load(std::memory_order_relaxed)) {
+            sink += ring_overflows(ring) + ring_produced(ring) +
+                    ring_consumed(ring) + ring_available(ring);
+        }
+        if (sink < 0) std::printf("");  // keep the reads alive
+    });
+
     producer.join();
     consumer.join();
+    stop_poll = true;
+    poller.join();
     const int64_t consumed = ring_consumed(ring);
     const int64_t overflows = ring_overflows(ring);
     ring_destroy(ring);

@@ -69,10 +69,13 @@ def sharded_reconstruct_fn(
     last shard's halo wraps to the first — matching the ``:radiosim``
     steady state.
 
-    Per shard: AM demod → fractional frame cuts → fused resample to the render
-    size → frame sync → align → local EMA; then the (A, B) EMA combine across
-    shards.  Output: (ema_image, frames, sync, score) with frames/sync/score
-    sharded over the leading axis.
+    Per shard: AM demod → *phase-exact* fractional frame cuts (each shard's
+    start table is derived from its absolute position on the global frame
+    grid, so the cuts are bit-identical to the single-chip carry-phase
+    streaming path fed the same consecutive blocks) → fused resample to the
+    render size → frame sync → align → local EMA; then the (A, B) EMA combine
+    across shards.  Output: (ema_image, frames, sync, score) with
+    frames/sync/score sharded over the leading axis.
     """
     n_shards = mesh.shape[axis]
     fs = config.sample_rate
@@ -81,52 +84,80 @@ def sharded_reconstruct_fn(
     h, w = config.render_size
     spf = fs / mode.refresh
     frame_len = int(np.floor(spf))
-    starts = np.round(np.arange(n_frames) * spf).astype(np.int32)
-    # Right-halo size: frame cuts within a shard may overrun by < one frame.
-    shard_samples_min = int(np.ceil(starts[-1] + frame_len))
-    overlap = frame_len + 1
+    # Phase-exact cuts: the global frame grid ticks at multiples of spf from
+    # stream start (the same grid the single-chip carry-phase streaming path
+    # uses, pipeline/offline.py make_reconstruct_fn).  Shard d starts at
+    # absolute sample d*shard_samples, so its fractional offset to the next
+    # grid boundary is (-d*S) % spf — computed host-side at trace time (S is
+    # a static shape) and handed to each shard as its private start table.
+    shard_samples_min = int(np.ceil(n_frames * spf))
+    # What the single-chip carry-phase streaming step consumes per block —
+    # the shard's extended window (own span + halo) is sized to exactly this,
+    # so the two paths see byte-identical signal windows (same edge-padding
+    # behaviour inside the resampler included).
+    block_need = dataclasses.replace(
+        config, carry_phase=True
+    ).block_samples
 
-    def local_step(iq_local, ema, alpha):
-        # iq_local: (1, shard_samples) — this shard's span of the timeline.
-        sig = iq_local[0]
-        if sig.shape[0] < shard_samples_min:
-            raise ValueError(
-                f"shard has {sig.shape[0]} samples; need ≥ {shard_samples_min} "
-                f"for {n_frames} frames"
-            )
-        # Halo exchange: receive the start of the right neighbour (circular).
-        halo = sig[:overlap]
-        perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
-        halo_from_right = jax.lax.ppermute(halo, axis, perm)
-        ext = jnp.concatenate([sig, halo_from_right])
-
-        env = demodulate(ext, config)
-        frames, sync, score = process_frames(
-            env, jnp.asarray(starts), config, frame_len
-        )
-
-        # Local EMA from zero → B; decay over the shard → A = alpha^k.
-        zero = jax.lax.pcast(jnp.zeros((h, w), jnp.float32), (axis,), to="varying")
-        b_local = ema_fold(zero, frames, alpha)
-        a_local = alpha ** n_frames
-
-        # Compose shards in time order: e_d = A_d e_{d-1} + B_d.
-        b_all = jax.lax.all_gather(b_local, axis)          # (n_shards, h, w)
-        ema_out = ema
-        for d in range(n_shards):
-            ema_out = a_local * ema_out + b_all[d]
-        return ema_out[None], frames[None], sync[None], score[None]
-
-    shard_step = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(P(axis, None), P(), P()),
-        out_specs=(P(axis), P(axis), P(axis), P(axis)),
-    )
+    def _frame_starts(shard_samples: int) -> np.ndarray:
+        phases = (-(np.arange(n_shards, dtype=np.float64) * shard_samples)) % spf
+        return np.floor(
+            phases[:, None] + spf * np.arange(n_frames, dtype=np.float64)[None, :]
+            + 0.5
+        ).astype(np.int32)
 
     @jax.jit
     def step(iq_shards, ema, alpha):
-        ema_shards, frames, sync, score = shard_step(iq_shards, ema, alpha)
+        shard_samples = int(iq_shards.shape[1])
+        if shard_samples < shard_samples_min:
+            raise ValueError(
+                f"shards have {shard_samples} samples; need ≥ "
+                f"{shard_samples_min} for {n_frames} frames"
+            )
+        overlap = max(block_need - shard_samples, 1)
+        if overlap > shard_samples:
+            raise ValueError(
+                f"halo ({overlap}) exceeds the shard ({shard_samples}); "
+                f"use larger shards or fewer frames per shard"
+            )
+        fstarts = jnp.asarray(_frame_starts(shard_samples))
+
+        def local_step(iq_local, fstarts_local, ema, alpha):
+            # iq_local: (1, shard_samples) — this shard's span of the timeline.
+            sig = iq_local[0]
+            # Halo exchange: receive the start of the right neighbour
+            # (circular: the last shard wraps to the stream head).
+            halo = sig[:overlap]
+            perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+            halo_from_right = jax.lax.ppermute(halo, axis, perm)
+            ext = jnp.concatenate([sig, halo_from_right])
+
+            env = demodulate(ext, config)
+            frames, sync, score = process_frames(
+                env, fstarts_local[0], config, frame_len
+            )
+
+            # Local EMA from zero → B; decay over the shard → A = alpha^k.
+            zero = jax.lax.pcast(
+                jnp.zeros((h, w), jnp.float32), (axis,), to="varying"
+            )
+            b_local = ema_fold(zero, frames, alpha)
+            a_local = alpha ** n_frames
+
+            # Compose shards in time order: e_d = A_d e_{d-1} + B_d.
+            b_all = jax.lax.all_gather(b_local, axis)      # (n_shards, h, w)
+            ema_out = ema
+            for d in range(n_shards):
+                ema_out = a_local * ema_out + b_all[d]
+            return ema_out[None], frames[None], sync[None], score[None]
+
+        shard_step = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P(), P()),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        )
+        ema_shards, frames, sync, score = shard_step(iq_shards, fstarts, ema, alpha)
         # Every shard computed the same fold; take the first replica.
         return ema_shards[0], frames.reshape(-1, h, w), sync.reshape(-1, 2), score.reshape(-1)
 

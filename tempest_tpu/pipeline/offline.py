@@ -414,6 +414,11 @@ def auto_reconstruct(
     ``search_tol_hz`` of the measured refresh by sync contrast (sharded across
     all visible devices) and keeps the winner — a safety net when the
     line-count estimate is ambiguous at low SNR."""
+    iq = np.asarray(iq)
+    # Real input is interleaved I/Q words (the convention estimate_timing /
+    # reconstruct_frames document): two words per complex sample.
+    interleaved = not np.iscomplexobj(iq)
+    n_complex = len(iq) // 2 if interleaved else len(iq)
     timing = estimate_timing(iq, fs, corr_seconds, rate_min, rate_max)
     if alpha == "auto":
         alpha = timing.suggested_alpha
@@ -424,9 +429,15 @@ def auto_reconstruct(
 
         cands = candidate_modes(timing.refresh_hz, tol_hz=search_tol_hz)
         if len(cands) > 1:
+            if interleaved:
+                # Demodulate the word stream before the search — a raw real
+                # array would be scored as an already-demodulated envelope.
+                w = np.ascontiguousarray(iq, np.float32)
+                env = np.hypot(w[0::2], w[1::2])
+            else:
+                env = np.abs(iq).astype(np.float32)
             res = sharded_mode_search(
-                np.abs(np.asarray(iq)) if np.iscomplexobj(iq) else iq,
-                fs, timing.refresh_hz, cands, make_mesh(),
+                env, fs, timing.refresh_hz, cands, make_mesh(),
             )
             best = res.best_mode
             timing = TimingEstimate(
@@ -438,7 +449,7 @@ def auto_reconstruct(
             )
     spf = fs / timing.mode.refresh
     if n_frames is None:
-        n_frames = max(int((len(iq) - 1) / spf), 1)
+        n_frames = max(int((n_complex - 1) / spf), 1)
     config = ReconstructionConfig(
         sample_rate=fs, mode=timing.mode, n_frames=n_frames, invert=invert
     )

@@ -9,11 +9,11 @@ streaming runtime can swap them freely:
   ``:radiosim`` backend (``GUI.jl:365-373,677-692``).
 * ``SyntheticSource`` — streams the synthetic TEMPEST generator continuously
   (no reference equivalent; replaces the missing golden capture).
-* ``HardwareSource`` — driver boundary for real SDRs (UHD/USRP, AdalmPluto,
-  BladeRF, RTL-SDR — the reference's supported set, ``Project.toml:6-19``).
-  This build environment has no SDR driver stack, so instantiation raises
-  with guidance; the class documents the integration surface (SoapySDR-style
-  ``readStream`` into the block buffer).
+* ``HardwareSource`` — live SDR acquisition via SoapySDR (UHD/USRP,
+  AdalmPluto, BladeRF, RTL-SDR — the reference's supported set,
+  ``Project.toml:6-19``), import-guarded: without a driver stack (this build
+  environment) instantiation raises with guidance.  Includes the live
+  retuning surface (``set_carrier``/``set_gain``/``set_sample_rate``).
 """
 
 from __future__ import annotations
@@ -104,17 +104,31 @@ class SyntheticSource:
 
 
 class HardwareSource:
-    """Driver boundary for live SDR hardware.
+    """Live SDR acquisition through SoapySDR (import-guarded).
 
-    Integration contract (what a deployment implements): open the device at
-    (carrier_freq, sample_rate, gain), then ``read`` fills each block from the
-    driver's stream API; ``close`` releases the device.  Matches the
-    reference's driver surface — ``openSDR``/``recv!``/``updateCarrierFreq!``/
-    ``updateSamplingRate!``/``updateGain!`` (``AtomicAbstractSDRs.jl:273-306``,
-    ``GUI.jl:609-658``).
+    The real-hardware counterpart of the reference's driver layer —
+    ``openSDR``/``recv!``/``updateCarrierFreq!``/``updateSamplingRate!``/
+    ``updateGain!`` (``AtomicAbstractSDRs.jl:273-306``, ``GUI.jl:609-658``).
+    SoapySDR is the vendor-neutral C++ driver shim covering the reference's
+    whole hardware set (UHD/USRP, AdalmPluto, BladeRF, RTL-SDR) behind one
+    stream API.  When the ``SoapySDR`` python module is importable the source
+    opens the device, configures (carrier, rate, gain), and ``read`` drains
+    the RX stream into each block; otherwise instantiation raises with
+    guidance (this build environment ships no driver stack).
+
+    ``set_carrier`` / ``set_gain`` / ``set_sample_rate`` retune the running
+    device — the live-update surface the reference wires to its GUI textboxes
+    and sliders (``GUI.jl:609-658``).
     """
 
     SUPPORTED = ("uhd", "pluto", "bladerf", "rtlsdr")
+    # tempest_tpu backend name -> SoapySDR driver key
+    _DRIVERS = {
+        "uhd": "uhd",
+        "pluto": "plutosdr",
+        "bladerf": "bladerf",
+        "rtlsdr": "rtlsdr",
+    }
 
     def __init__(
         self,
@@ -123,13 +137,76 @@ class HardwareSource:
         sample_rate: float,
         gain: float,
         block_size: int,
+        channel: int = 0,
+        device_args: dict | None = None,
     ) -> None:
-        raise RuntimeError(
-            f"No SDR driver stack is available in this environment "
-            f"(requested backend {backend!r}; supported: {self.SUPPORTED}). "
-            f"Use ReplaySource for recorded captures or SyntheticSource for "
-            f"generated signal."
-        )
+        try:
+            import SoapySDR  # noqa: F401 — optional driver stack
+        except ImportError as exc:
+            raise RuntimeError(
+                f"No SDR driver stack is available in this environment "
+                f"(requested backend {backend!r}; supported: {self.SUPPORTED}). "
+                f"Install SoapySDR + the vendor module, or use ReplaySource "
+                f"for recorded captures / SyntheticSource for generated signal."
+            ) from exc
+        if backend not in self._DRIVERS:
+            raise ValueError(
+                f"unknown SDR backend {backend!r}; supported: {self.SUPPORTED}"
+            )
+        self._soapy = SoapySDR
+        self.sample_rate = float(sample_rate)
+        self.block_size = int(block_size)
+        self.carrier_freq = float(carrier_freq)
+        self.gain = float(gain)
+        self._chan = int(channel)
+        args = dict(device_args or {})
+        args.setdefault("driver", self._DRIVERS[backend])
+        self._dev = SoapySDR.Device(args)
+        rx = SoapySDR.SOAPY_SDR_RX
+        self._rx = rx
+        self._dev.setSampleRate(rx, self._chan, self.sample_rate)
+        self._dev.setFrequency(rx, self._chan, self.carrier_freq)
+        self._dev.setGain(rx, self._chan, self.gain)
+        self._stream = self._dev.setupStream(rx, SoapySDR.SOAPY_SDR_CF32, [self._chan])
+        self._dev.activateStream(self._stream)
+
+    def read(self, out: np.ndarray) -> None:
+        """Fill ``out`` (complex64 [block_size]) from the RX stream, looping
+        over partial driver reads (``recv!`` semantics,
+        ``AtomicAbstractSDRs.jl:293``)."""
+        filled = 0
+        n = out.shape[0]
+        while filled < n:
+            sr = self._dev.readStream(self._stream, [out[filled:]], n - filled)
+            ret = getattr(sr, "ret", sr)
+            if ret < 0:  # SOAPY_SDR_TIMEOUT / OVERFLOW / stream error codes
+                raise RuntimeError(f"SoapySDR readStream error {ret}")
+            filled += ret
+
+    # ------------------------------------------------------------ retuning
+    def set_carrier(self, freq: float) -> None:
+        """Retune the RX carrier live (``updateCarrierFreq!``, GUI.jl:609-633)."""
+        self._dev.setFrequency(self._rx, self._chan, float(freq))
+        self.carrier_freq = float(freq)
+
+    def set_gain(self, gain: float) -> None:
+        """Update RX gain live (``updateGain!``, GUI.jl:651-658)."""
+        self._dev.setGain(self._rx, self._chan, float(gain))
+        self.gain = float(gain)
+
+    def set_sample_rate(self, rate: float) -> None:
+        """Update the sample rate live (``updateSamplingRate!``,
+        GUI.jl:636-648).  The caller must rebuild any program whose static
+        shapes derive from the rate (StreamingRuntime does this on mode/rate
+        swap)."""
+        self._dev.setSampleRate(self._rx, self._chan, float(rate))
+        self.sample_rate = float(rate)
+
+    def close(self) -> None:
+        if getattr(self, "_stream", None) is not None:
+            self._dev.deactivateStream(self._stream)
+            self._dev.closeStream(self._stream)
+            self._stream = None
 
 
 def open_source(

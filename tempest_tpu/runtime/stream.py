@@ -78,6 +78,8 @@ class StreamingRuntime:
         self._producer_error: BaseException | None = None
         self._ema = np.zeros(self.config.render_size, np.float32)
         self.frames_out = 0
+        self._record_idx = 0           # next auto-rotated capture index
+        self.last_record_path: str | None = None
 
     # ------------------------------------------------------------ config
     def _rebuild(self) -> None:
@@ -205,10 +207,19 @@ class StreamingRuntime:
         return self._ema
 
     # ------------------------------------------------------------- tasks
-    def correlate(self, seconds: float = 0.1) -> TimingEstimate:
+    def correlate(
+        self,
+        seconds: float = 0.1,
+        rate_min: float = 50.0,
+        rate_max: float = 90.0,
+    ) -> TimingEstimate:
         """Task 1: re-estimate timing from the live stream and hot-swap the
         detected mode (``extract_configuration`` + auto mode match,
-        ``GUI.jl:411-419,568-580``)."""
+        ``GUI.jl:411-419,568-580``).
+
+        ``rate_min``/``rate_max`` bound the refresh search band [Hz] — widen
+        them to detect e.g. PAL TV (25 Hz) or 120 Hz panels live, exactly as
+        the offline path allows."""
         n_needed = int(np.ceil(seconds * self.source.sample_rate))
         n_blocks = max(1 + n_needed // self.source.block_size, 1)
         chunks = []
@@ -220,13 +231,36 @@ class StreamingRuntime:
             chunks.append(buf.copy())
             self._abs_pos += self.source.block_size  # keep the frame grid honest
         sig = np.concatenate(chunks)
-        timing = estimate_timing(sig, self.source.sample_rate, seconds)
+        timing = estimate_timing(
+            sig, self.source.sample_rate, seconds, rate_min, rate_max
+        )
         self.mode = timing.mode
         return timing
 
-    def record(self, path: str, n_blocks: int = 10, fmt: str = "single") -> int:
+    def record(
+        self,
+        path: str | None = None,
+        n_blocks: int = 10,
+        fmt: str = "single",
+        prefix: str = "dumpIQ",
+    ) -> int:
         """Task 3: dump raw IQ blocks to a GNURadio-compatible capture
-        (``GUI.jl:182-190``). Returns samples written."""
+        (``GUI.jl:182-190``). Returns samples written.
+
+        With ``path=None`` successive calls auto-rotate output files exactly
+        like the reference's task 3 (``dumpIQ_0.dat``, ``dumpIQ_1.dat``, …,
+        ``GUI.jl:182-190``): the first index whose file does not yet exist is
+        used.  The chosen path is exposed as ``self.last_record_path``.
+        """
+        if path is None:
+            import os
+
+            k = self._record_idx
+            while os.path.exists(f"{prefix}_{k}.dat"):
+                k += 1
+            path = f"{prefix}_{k}.dat"
+            self._record_idx = k + 1
+        self.last_record_path = path
         buf = np.empty(self.source.block_size, np.complex64)
         out = np.empty(n_blocks * self.source.block_size, np.complex64)
         n = 0

@@ -324,6 +324,78 @@ def test_streaming_emit_every_frame():
     assert all(s == (600, 800) for s in frames)
 
 
+def test_cli_warmup(capsys):
+    assert cli_main([
+        "warmup", "--fs", str(FS), "--frames", "1",
+        "--modes", "640x480 @ 60Hz",
+    ]) == 0
+    text = capsys.readouterr().out
+    assert "compiled 640x480 @ 60Hz (stream/f32)" in text
+    assert "compiled timing estimator" in text
+
+
+def test_cli_convert(tmp_path, capsys):
+    src = tmp_path / "a.dat"
+    dst = tmp_path / "b.dat"
+    x = (np.arange(64) + 1j * np.arange(64)).astype(np.complex64)
+    tt.write_complex_binary(x, src, "single")
+    assert cli_main([
+        "convert", str(src), str(dst),
+        "--from-format", "single", "--to-format", "double",
+    ]) == 0
+    assert "converted 64 samples" in capsys.readouterr().out
+    np.testing.assert_allclose(tt.read_complex_binary(dst, "double"), x)
+
+
+def test_cli_search(tmp_path, capsys):
+    cap = tmp_path / "c.dat"
+    assert cli_main([
+        "synth", "--mode", "640x480 @ 60Hz", "--fs", str(FS),
+        "--seconds", "0.2", "--snr", "20", "--out", str(cap),
+    ]) == 0
+    assert cli_main(["search", str(cap), "--fs", str(FS), "--tol", "0.5"]) == 0
+    text = capsys.readouterr().out
+    assert "640x480 @ 60Hz" in text and "best" in text
+
+
+def test_record_rotation(tmp_path, monkeypatch):
+    """record() with no path auto-rotates dumpIQ_N.dat like the reference's
+    task 3 (GUI.jl:182-190)."""
+    monkeypatch.chdir(tmp_path)
+    block = int(FS * 0.1)
+    src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=17)
+    rt = StreamingRuntime(src, MODE, alpha=0.5)
+    rt.start()
+    try:
+        n0 = rt.record(n_blocks=1)
+        assert rt.last_record_path == "dumpIQ_0.dat"
+        n1 = rt.record(n_blocks=1)
+        assert rt.last_record_path == "dumpIQ_1.dat"
+    finally:
+        rt.stop()
+    assert n0 == n1 == block
+    assert len(tt.read_complex_binary("dumpIQ_0.dat")) == block
+    assert len(tt.read_complex_binary("dumpIQ_1.dat")) == block
+
+
+def test_streaming_correlate_band_100hz():
+    """Live mode detection outside the default 50-90 Hz band, via the
+    rate_min/rate_max plumbing on correlate() (VERDICT r1 #6)."""
+    mode100 = tt.ALL_VIDEO_MODES["640x480 @ 100Hz"]
+    fs = 8e6
+    block = int(fs * 0.12)
+    src = SyntheticSource(mode100, fs, block, snr_db=20.0, seed=71)
+    rt = StreamingRuntime(src, MODE, alpha=0.5)
+    rt.start()
+    try:
+        timing = rt.correlate(seconds=0.1, rate_min=95.0, rate_max=110.0)
+        assert timing.mode_name == "640x480 @ 100Hz"
+        assert abs(rt.mode.refresh - 100.0) < 0.05
+        rt.process_blocks(1)
+    finally:
+        rt.stop()
+
+
 def test_cli_stream_png_renderer(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     assert cli_main([
