@@ -123,6 +123,40 @@ class StreamingRuntime:
         self._mode = new_mode
         self._rebuild()
 
+    # -------------------------------------------------------- live retuning
+    def set_carrier(self, freq: float) -> None:
+        """Retune the source's carrier frequency mid-stream (the reference's
+        carrier textbox callback, ``GUI.jl:609-633``).  Raises for sources
+        without a tuner (replay/synthetic)."""
+        retune = getattr(self.source, "set_carrier", None)
+        if retune is None:
+            raise AttributeError(
+                f"{type(self.source).__name__} does not support carrier retuning"
+            )
+        retune(freq)
+
+    def set_gain(self, gain: float) -> None:
+        """Update the source's RX gain mid-stream (``updateGain!`` slider,
+        ``GUI.jl:651-658``)."""
+        setg = getattr(self.source, "set_gain", None)
+        if setg is None:
+            raise AttributeError(
+                f"{type(self.source).__name__} does not support gain control"
+            )
+        setg(gain)
+
+    def set_sample_rate(self, rate: float) -> None:
+        """Update the source sample rate and rebuild the compiled programs
+        whose static shapes derive from it (``updateSamplingRate!``,
+        ``GUI.jl:636-648``)."""
+        setr = getattr(self.source, "set_sample_rate", None)
+        if setr is None:
+            raise AttributeError(
+                f"{type(self.source).__name__} does not support rate changes"
+            )
+        setr(rate)
+        self._rebuild()
+
     # ---------------------------------------------------------- producer
     def start(self) -> None:
         """Spawn the producer thread (``Threads.@spawn start_atomic_sdr``,

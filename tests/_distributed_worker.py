@@ -1,0 +1,79 @@
+"""Worker process for the 2-process jax.distributed bootstrap test.
+
+Launched by tests/test_distributed.py as ``python _distributed_worker.py
+<process_id> <num_processes> <coordinator_port>``.  Each process owns 2
+virtual CPU devices; together they form the 4-device global mesh.  The worker
+runs the real multi-host bootstrap (``tempest_tpu.parallel.distributed``),
+executes one sharded reconstruction step across processes, and prints a
+checksum the parent compares against a single-process 4-device run of the
+same program — proving "multi-host: same program" (docs/performance.md).
+"""
+
+import os
+import sys
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+port = sys.argv[3]
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ.pop("JAX_PLATFORMS", None)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from tempest_tpu.parallel.distributed import (  # noqa: E402
+    global_mesh,
+    initialize,
+    is_distributed,
+)
+
+
+def main() -> int:
+    initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    assert jax.process_count() == nproc, jax.process_count()
+    assert is_distributed()
+    mesh = global_mesh()
+    n_dev = len(jax.devices())
+    assert n_dev == 2 * nproc, n_dev
+
+    import tempest_tpu as tt
+    from tempest_tpu.parallel.sharded import sharded_reconstruct_fn
+    from tempest_tpu.pipeline.offline import ReconstructionConfig
+
+    mode = tt.ALL_VIDEO_MODES["640x480 @ 60Hz"]
+    fs = 1e6
+    config = ReconstructionConfig(sample_rate=fs, mode=mode, n_frames=1)
+    step = sharded_reconstruct_fn(config, mesh)
+
+    shard_samples = config.block_samples
+    rng = np.random.default_rng(0)  # same seed in every process
+    env = rng.standard_normal((n_dev, shard_samples)).astype(np.float32) ** 2
+    sharding = NamedSharding(mesh, P("blocks", None))
+    # Each process contributes only its local shards of the global array.
+    iq_global = jax.make_array_from_process_local_data(
+        sharding, env[pid * 2 : (pid + 1) * 2]
+    )
+    ema, frames, sync, score = step(
+        iq_global, jnp.zeros(config.render_size, jnp.float32), jnp.float32(0.5)
+    )
+    # Scalar reductions over global arrays are replicated — readable anywhere.
+    checksum = jax.jit(
+        lambda e, s: jnp.linalg.norm(e) + jnp.sum(s.astype(jnp.float32))
+    )(ema, sync)
+    print(f"CHECKSUM {float(checksum):.6f}", flush=True)
+    jax.distributed.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
