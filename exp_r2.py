@@ -1,0 +1,115 @@
+"""Round-2 TPU experiments: resampler/frame-loop variants at 1080p60.
+
+Runs each variant through the full reconstruct step (int16 interleaved
+ingest), chained-EMA fence methodology (CLAUDE.md), one JSON line per result
+appended to exp_r2_results.jsonl as each finishes (remote compiles are
+minutes each — incremental output survives a timeout).
+
+Usage: timeout 5400 python exp_r2.py [variant ...] > exp_r2.log 2>&1
+Variants default to the full list below.
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+RESULTS = "exp_r2_results.jsonl"
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def record(row):
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    log(f"RESULT {row}")
+
+
+def run_variant(name, cfg, fs, iters=12):
+    import jax
+    import jax.numpy as jnp
+
+    from tempest_tpu.pipeline.offline import make_reconstruct_fn
+
+    step = make_reconstruct_fn(cfg)
+    rng = np.random.default_rng(0)
+    n = cfg.block_samples
+    iq = jax.device_put(rng.integers(-16384, 16384, 2 * n, dtype=np.int16))
+    ema = jnp.zeros(cfg.render_size, jnp.float32)
+    alpha = jnp.float32(0.1)
+
+    t0 = time.perf_counter()
+    out = step(iq, ema, alpha)
+    _ = np.asarray(out[0][:1, :8])
+    compile_s = time.perf_counter() - t0
+    log(f"{name}: compiled+first-step in {compile_s:.1f} s")
+
+    def timed(k):
+        e = ema
+        t0 = time.perf_counter()
+        for _ in range(k):
+            e, *_ = step(iq, e, alpha)
+        _ = np.asarray(e[:1, :8])
+        return time.perf_counter() - t0
+
+    timed(2)  # settle
+    dt = timed(iters)
+    ms_block = dt / iters * 1e3
+    msps = n * iters / dt / 1e6
+    record({
+        "variant": name, "resampler": cfg.resampler, "segments": cfg.segments,
+        "frame_loop": cfg.frame_loop, "n_frames": cfg.n_frames, "fs": fs,
+        "do_align": cfg.do_align, "ms_per_block": round(ms_block, 2),
+        "msps": round(msps, 2), "compile_s": round(compile_s, 1),
+    })
+    return msps
+
+
+def main():
+    import jax  # noqa: F401  (device init before timing)
+
+    from tempest_tpu.pipeline.offline import ReconstructionConfig
+    from tempest_tpu.video.modes import ALL_VIDEO_MODES
+
+    mode = ALL_VIDEO_MODES["1920x1080 @ 60Hz"]
+
+    def cfg(fs=20e6, **kw):
+        return ReconstructionConfig(
+            sample_rate=fs, mode=mode, input_format="iq_interleaved", **kw
+        )
+
+    variants = {
+        # Segmented batched einsum, presorted gather: small spans + weights.
+        "seg4_6f": (cfg(n_frames=6, resampler="mxu_batched", segments=4), 20e6),
+        # Same at a large block: per-block overhead amortised, ops scale in
+        # SIZE not count so compile should stay moderate.
+        "seg4_36f": (cfg(n_frames=36, resampler="mxu_batched", segments=4), 20e6),
+        # scan frame loop at a large block: compile-light by construction.
+        "mxu_scan_36f": (
+            cfg(n_frames=36, resampler="mxu", frame_loop="scan"), 20e6),
+        # sync cost attribution at scale.
+        "seg4_36f_nosync": (
+            cfg(n_frames=36, resampler="mxu_batched", segments=4,
+                do_align=False), 20e6),
+        # seg2 variant for the gather-row-count sensitivity question.
+        "seg2_6f": (cfg(n_frames=6, resampler="mxu_batched", segments=2), 20e6),
+        # Gather-free spectral resampler at a smooth rate (19.44 Msps ->
+        # frame_len 324000 = 2^5*3^4*5^3, m_out 432000 = 2^7*3^3*5^3).
+        # LAST: non-smooth-FFT lowering risk could hang the remote compiler.
+        "fft_6f_smooth": (cfg(fs=19.44e6, n_frames=6, resampler="fft"), 19.44e6),
+    }
+    names = sys.argv[1:] or list(variants)
+    for name in names:
+        c, fs = variants[name]
+        try:
+            run_variant(name, c, fs)
+        except Exception as e:  # noqa: BLE001 — keep measuring the rest
+            record({"variant": name, "error": f"{type(e).__name__}: {e}"[:400]})
+
+
+if __name__ == "__main__":
+    main()

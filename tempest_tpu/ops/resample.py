@@ -45,6 +45,7 @@ __all__ = [
     "frame_to_screen_mxu",
     "frames_to_screens_mxu",
     "frames_to_screens_aligned",
+    "frames_to_screens_fft",
     "frame_to_screen_dynamic",
     "naive_upsample",
     "upsample_fft",
@@ -291,14 +292,33 @@ def _mxu_plan(
     x_t: int,
     out_shape: tuple[int, int],
     num_phases: int,
+    segments: int = 1,
 ):
     """Static plan shared by the batched MXU resampler: line geometry, phase
     permutation, and per-phase weight matrices (computed once per config).
     ``frame_len`` is the per-frame sample count (sets the raster↔signal
     ratio); per-line fracs/phases are invariant under *integer* frame-start
-    shifts."""
+    shifts.
+
+    ``segments`` splits every scan line into that many column blocks, each
+    with its own (start, frac) entry: the gathered span per entry shrinks by
+    ~1/segments (less gather traffic and padding waste) and the per-phase
+    weight matrices shrink by ~1/segments² (span × w_out/segments) — e.g. at
+    1080p60/20 Msps, segments=4 takes span_pad 384→128 and the weight set
+    78 MB→6.5 MB."""
     h_out, w_out = out_shape
+    if w_out % segments:
+        raise ValueError(f"segments={segments} must divide w_out={w_out}")
+    w_seg = w_out // segments
     start, frac, wr, cols, ratio = _screen_geometry(frame_len, y_t, x_t, out_shape)
+    if segments > 1:
+        # Entry (row, tap, seg) starts at the line position plus the segment's
+        # first-column offset; within a segment positions are frac + c*delta
+        # with the same shared delta, so the phase machinery is unchanged.
+        seg_off = frac[:, :, None].astype(np.float64) + cols[None, None, ::w_seg]
+        start = start[:, :, None] + np.floor(seg_off).astype(np.int64)
+        frac = (seg_off - np.floor(seg_off)).astype(np.float32)
+        cols = cols[:w_seg]
     span = int(np.ceil(cols[-1] + 1)) + 2
     span_pad = -(-span // 128) * 128
     raw_start = start.reshape(-1)
@@ -314,17 +334,18 @@ def _mxu_plan(
     # Weights for phases in [-P, P): negative fracs only occur at row 0.
     uniq = np.unique(phase)
     phase_index = {p: i for i, p in enumerate(uniq)}
-    weights = np.zeros((len(uniq), span_pad, w_out), np.float32)
+    w_cols = len(cols)
+    weights = np.zeros((len(uniq), span_pad, w_cols), np.float32)
     for i, p in enumerate(uniq):
         fp = (p + 0.5) / num_phases
         pos = np.maximum(fp + cols, 0.0)
         i0 = pos.astype(np.int64)
         fr = (pos - i0).astype(np.float32)
-        np.add.at(weights[i], (i0, np.arange(w_out)), 1.0 - fr)
-        np.add.at(weights[i], (np.minimum(i0 + 1, span_pad - 1), np.arange(w_out)), fr)
+        np.add.at(weights[i], (i0, np.arange(w_cols)), 1.0 - fr)
+        np.add.at(weights[i], (np.minimum(i0 + 1, span_pad - 1), np.arange(w_cols)), fr)
     pidx = np.array([phase_index[p] for p in phase], np.int64)
 
-    n_lines = 2 * h_out
+    n_lines = 2 * h_out * segments
     order = np.argsort(pidx, kind="stable")
     counts = np.bincount(pidx, minlength=len(uniq))
     per = int(counts.max())
@@ -345,6 +366,8 @@ def _mxu_plan(
         "wr": wr,
         "n_phase_mats": len(uniq),
         "per": per,
+        "segments": segments,
+        "w_seg": w_cols,
     }
 
 
@@ -357,6 +380,7 @@ def frames_to_screens_mxu(
     out_shape: tuple[int, int] = RENDER_SIZE,
     num_phases: int = 64,
     compute_dtype=jnp.bfloat16,
+    segments: int = 1,
 ) -> jnp.ndarray:
     """Batched multi-frame MXU resampler: (n_frames,) integer frame starts →
     (n_frames, h, w) screens in one span gather + ONE batched einsum.
@@ -365,38 +389,41 @@ def frames_to_screens_mxu(
     fractional phases, so the phase-sorted permutation and weight matrices are
     computed once and the weights are read once per *block* (not per frame) —
     the dominant HBM traffic of the per-frame variant divided by n_frames.
-    Spans/weights contract in ``compute_dtype`` (bf16 by default: half the
-    traffic, 2× MXU rate) with f32 accumulation.
+    The spans are gathered directly in phase-sorted order (the permutation is
+    folded into the gather indices host-side), so no post-gather relayout
+    exists.  ``segments`` splits scan lines into column blocks (smaller spans
+    and weights — see ``_mxu_plan``).  Spans/weights contract in
+    ``compute_dtype`` (bf16 by default: half the traffic, 2× MXU rate) with
+    f32 accumulation.
     """
     h_out, w_out = out_shape
-    plan = _mxu_plan(frame_len, y_t, x_t, out_shape, num_phases)
+    plan = _mxu_plan(frame_len, y_t, x_t, out_shape, num_phases, segments)
     span_pad = plan["span_pad"]
+    n_p, per, w_seg = plan["n_phase_mats"], plan["per"], plan["w_seg"]
     n_frames = int(frame_starts.shape[0])  # static even for traced starts
 
     env_pad = jnp.concatenate(
         [env, jnp.broadcast_to(env[-1], (span_pad,)).astype(env.dtype)]
     )
     fstarts = jnp.asarray(frame_starts, jnp.int32)            # (F,)
-    lstart = jnp.asarray(plan["line_start"])                   # (2h,)
-    starts = fstarts[:, None] + lstart[None, :]                # (F, 2h)
-    spans = env_pad[starts[:, :, None] + jnp.arange(span_pad)[None, None, :]]
-    # Phase-sort lines, batching frames inside each phase bucket.
-    gs = jnp.asarray(plan["grid_src"])                         # (P', per)
-    batched = spans[:, gs]                                     # (F, P', per, S)
-    batched = batched.transpose(1, 0, 2, 3).reshape(
-        plan["n_phase_mats"], n_frames * plan["per"], span_pad
-    )
+    # Entry starts pre-sorted by phase: (P', per) (padding slots read entry 0).
+    sorted_start = plan["line_start"][plan["grid_src"]]
+    idx = fstarts[None, :, None] + jnp.asarray(sorted_start)[:, None, :]
+    spans = env_pad[idx[..., None] + jnp.arange(span_pad)[None, None, None, :]]
+    batched = spans.reshape(n_p, n_frames * per, span_pad)
     w_mat = jnp.asarray(plan["weights"])
     z = jnp.einsum(
         "pbs,psw->pbw",
         batched.astype(compute_dtype),
         w_mat.astype(compute_dtype),
         preferred_element_type=jnp.float32,
-    ).reshape(plan["n_phase_mats"], n_frames, plan["per"], w_out)
+    ).reshape(n_p, n_frames, per, w_seg)
     pidx = jnp.asarray(plan["pidx"])
     slot = jnp.asarray(plan["slot"])
-    lines = z[pidx, :, slot]                                   # (2h, F, w)
-    lines = lines.transpose(1, 0, 2).reshape(n_frames, h_out, 2, w_out)
+    lines = z[pidx, :, slot]                                   # (E, F, w_seg)
+    lines = lines.transpose(1, 0, 2).reshape(
+        n_frames, h_out, 2, segments * w_seg
+    )
     wr = jnp.asarray(plan["wr"])[None]                         # (1, h, 1)
     return lines[:, :, 0, :] * (1.0 - wr) + lines[:, :, 1, :] * wr
 
@@ -497,15 +524,22 @@ def frames_to_screens_fft(
     scale = m_out / frame_len
 
     # Shared column weights: raster px c maps within any line to
-    # q(c) = (cx_c + 0.5) * l_pad / x_t - 0.5 * m_out / frame_len.
+    # q(c) = (cx_c + 0.5) * l_pad / x_t - 0.5 * m_out / frame_len.  The first
+    # columns of a line read slightly *before* its boundary (into the previous
+    # line's tail) and the last slightly after; each reshaped line is extended
+    # by its neighbours' edge samples (rolls, no gathers) so no position is
+    # ever clamped.
     cx = np.clip((np.arange(w_out) + 0.5) * (x_t / w_out) - 0.5, 0.0, x_t - 1.0)
     q = (cx + 0.5) * (l_pad / x_t) - 0.5 * scale
-    q = np.clip(q, 0.0, l_pad - 1.001)
+    ext_lo = max(0, -int(np.floor(q.min())))          # previous-line tail
+    ext_hi = max(0, int(np.floor(q.max())) + 2 - l_pad)  # next-line head
+    q = q + ext_lo
     i0 = q.astype(np.int64)
     fr = (q - i0).astype(np.float32)
-    w_col = np.zeros((l_pad, w_out), np.float32)
+    width = ext_lo + l_pad + ext_hi
+    w_col = np.zeros((width, w_out), np.float32)
     w_col[i0, np.arange(w_out)] = 1.0 - fr
-    w_col[np.minimum(i0 + 1, l_pad - 1), np.arange(w_out)] += fr
+    w_col[i0 + 1, np.arange(w_out)] += fr
 
     # Vertical geometry (same half-pixel convention as frame_to_screen).
     ry = np.clip((np.arange(h_out) + 0.5) * (y_t / h_out) - 0.5, 0.0, y_t - 1.0)
@@ -513,13 +547,25 @@ def frames_to_screens_fft(
     wr = jnp.asarray((ry - r0).astype(np.float32)[:, None])
     r0j = jnp.asarray(r0)
     w_colj = jnp.asarray(w_col)
+    halve_nyquist = frame_len % 2 == 0 and m_out > frame_len
 
     def one_frame(start):
         sig = jax.lax.dynamic_slice(env, (start,), (frame_len,))
         spec = jnp.fft.rfft(sig)[:n_bins]
+        if halve_nyquist:
+            # The even-length Nyquist bin represents both +/-fs/2; keep only
+            # half its weight when embedding into the larger spectrum.
+            spec = spec.at[n_bins - 1].multiply(0.5)
         spec_m = jnp.zeros((m_out // 2 + 1,), spec.dtype).at[:n_bins].set(spec)
         lines = (jnp.fft.irfft(spec_m, n=m_out) * scale).reshape(y_t, l_pad)
-        blended = lines[r0j] * (1.0 - wr) + lines[r0j + 1] * wr   # (h, l_pad)
+        parts = []
+        if ext_lo:
+            parts.append(jnp.roll(lines, 1, axis=0)[:, -ext_lo:])
+        parts.append(lines)
+        if ext_hi:
+            parts.append(jnp.roll(lines, -1, axis=0)[:, :ext_hi])
+        ext = jnp.concatenate(parts, axis=1) if len(parts) > 1 else lines
+        blended = ext[r0j] * (1.0 - wr) + ext[r0j + 1] * wr   # (h, width)
         return jnp.dot(blended, w_colj, preferred_element_type=jnp.float32)
 
     return jax.vmap(one_frame)(jnp.asarray(frame_starts, jnp.int32))

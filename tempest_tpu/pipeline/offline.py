@@ -53,6 +53,7 @@ from ..ops.resample import (
     frame_to_screen_mxu,
     frame_to_screen_rows,
     frames_to_screens_aligned,
+    frames_to_screens_fft,
     frames_to_screens_mxu,
 )
 from ..video.modes import VideoMode, find_closest_mode
@@ -108,9 +109,21 @@ class ReconstructionConfig:
     # DEFAULT), "gather" flat 4-tap gather (21.1), "rows" span gather +
     # take_along_axis (28.1), "mxu_batched" one cross-frame einsum (31.8 —
     # relayouts dominate), "aligned" chunk gather + take_along_axis (126 —
-    # per-element gathers are pathological on TPU), "pallas" fused DMA +
+    # per-element gathers are pathological on TPU), "fft" gather-free
+    # spectral line rectification (sinc interpolation; needs 2*3*5-smooth
+    # frame_len — see process_frames), "pallas" fused DMA +
     # on-the-fly-weights MXU kernel (interpret-mode off-TPU).
     resampler: str = "mxu"
+    # Column segments per scan line for the batched-mxu resampler: higher
+    # values shrink the gathered span (less padding waste) and the per-phase
+    # weight matrices (~1/segments² of the HBM traffic).  Must divide
+    # render_size[1].
+    segments: int = 1
+    # Per-frame loop structure for the per-frame resamplers ("gather", "rows",
+    # "mxu"): "vmap" batches all frames into wide ops; "scan" compiles the
+    # per-frame chain once and iterates — XLA compile time stays flat in
+    # n_frames, making large (compile-light) blocks practical.
+    frame_loop: str = "vmap"
     # With carry_phase, step() takes an extra traced fractional sample offset
     # of the first frame boundary inside the block, so a streaming caller can
     # keep frame cuts continuous across block boundaries (the reference cuts
@@ -237,6 +250,14 @@ def process_frames(
     ``(frames, sync, score)`` with shapes ((F,h,w), (F,2), (F,))."""
     mode = config.mode
     h, w = config.render_size
+
+    def sync_one(screen):
+        if config.do_align:
+            s_y, s_x, score = frame_sync(screen)
+            return align_frame(screen, s_y, s_x), jnp.stack([s_y, s_x]), score
+        zero = jnp.zeros((), jnp.int32)
+        return screen, jnp.stack([zero, zero]), jnp.zeros(())
+
     if config.resampler == "aligned":
         # Chunk-aligned gather + small-extent take_along_axis: TPU gathers of
         # 128-lane-aligned rows are ~13x faster than arbitrary-offset element
@@ -245,12 +266,24 @@ def process_frames(
             env, frame_starts, frame_len, mode.height, mode.width, (h, w)
         )
     elif config.resampler == "mxu_batched":
-        # All frames through ONE phase-sorted einsum.  NOTE: measured
-        # *slower* than per-frame "mxu" on v5e (31.8 vs 12.3 ms per
-        # 6-frame 1080p60 block) — the cross-frame relayouts cost more
-        # than the weight re-reads they save; kept for larger-block
-        # experiments.
+        # All frames through ONE phase-sorted einsum; the phase permutation
+        # is folded into the gather indices (no post-gather relayout — the
+        # relayout is what made the round-1 version slower than per-frame
+        # "mxu": 31.8 vs 12.3 ms per 6-frame 1080p60 block).  Combine with
+        # config.segments > 1 to shrink spans and weight traffic.
         screens = frames_to_screens_mxu(
+            env, frame_starts, frame_len, mode.height, mode.width, (h, w),
+            segments=config.segments,
+        )
+    elif config.resampler == "fft":
+        # Gather-free spectral line rectification: bandlimited-resample each
+        # frame to an integer per-line stride (rfft -> pad -> irfft), reshape,
+        # one shared MXU matmul for columns.  Sinc interpolation — exact for
+        # band-limited content — and no span gather at all.  TPU caveat: XLA
+        # lowers non-smooth FFT sizes as a dense DFT matmul, so this variant
+        # needs frame_len and y_t*l_pad to be 2*3*5-smooth (choose fs so that
+        # fs/fv is smooth, e.g. 19.44 Msps at 60 Hz -> 324000).
+        screens = frames_to_screens_fft(
             env, frame_starts, frame_len, mode.height, mode.width, (h, w)
         )
     elif config.resampler == "pallas":
@@ -271,14 +304,20 @@ def process_frames(
             sig = jax.lax.dynamic_slice(env, (start,), (frame_len,))
             return resample(sig, mode.height, mode.width, (h, w))
 
-        screens = jax.vmap(cut_frame)(frame_starts)
+        if config.frame_loop == "scan":
+            # Compile the per-frame chain once and iterate: compile time is
+            # flat in n_frames, so large blocks (which amortise the per-block
+            # fixed cost) stay compile-light.  Frames are sequential on one
+            # chip anyway; the scan only removes XLA's cross-frame batching.
+            def body(_, start):
+                screen = cut_frame(start)
+                return None, sync_one(screen)
 
-    def sync_one(screen):
-        if config.do_align:
-            s_y, s_x, score = frame_sync(screen)
-            return align_frame(screen, s_y, s_x), jnp.stack([s_y, s_x]), score
-        zero = jnp.zeros((), jnp.int32)
-        return screen, jnp.stack([zero, zero]), jnp.zeros(())
+            _, (frames, sync, score) = jax.lax.scan(
+                body, None, jnp.asarray(frame_starts)
+            )
+            return frames, sync, score
+        screens = jax.vmap(cut_frame)(frame_starts)
 
     return jax.vmap(sync_one)(screens)
 

@@ -288,6 +288,63 @@ def test_frame_to_screen_variants_agree():
     assert np.abs(ref - mxu)[1:-1].max() / scale < 2e-2
 
 
+@pytest.mark.parametrize("segments", [1, 2, 4])
+def test_frames_to_screens_mxu_segments_agree(segments):
+    """The batched MXU resampler (pre-sorted gather, any segment split) must
+    match the per-frame gather path to phase-quantisation accuracy."""
+    from tempest_tpu.ops.resample import frames_to_screens_mxu
+
+    y_t, x_t, shape = 525, 800, (600, 800)
+    frame_len, n_frames = 66666, 2
+    n_in = frame_len * n_frames + 64
+    t = np.arange(n_in)
+    sig = jnp.asarray(
+        (np.sin(2 * np.pi * t / 797.0) + 0.3 * np.cos(2 * np.pi * t / 91.0)).astype(
+            np.float32
+        )
+    )
+    starts = np.array([0, frame_len], np.int32)
+    got = np.asarray(
+        frames_to_screens_mxu(
+            sig, starts, frame_len, y_t, x_t, shape,
+            compute_dtype=jnp.float32, segments=segments,
+        )
+    )
+    for f, s in enumerate(starts):
+        ref = np.asarray(frame_to_screen(sig[s : s + frame_len], y_t, x_t, shape))
+        scale = np.abs(ref).max()
+        assert np.abs(ref - got[f])[1:-1].max() / scale < 2e-2
+
+
+def test_frames_to_screens_fft_agrees_with_gather():
+    """The gather-free spectral resampler must match the reference gather
+    path on band-limited content (sinc vs linear interpolation differ only
+    at the interpolation-error level there; frame-edge rows wrap
+    circularly, so compare the interior)."""
+    from tempest_tpu.ops.resample import frames_to_screens_fft
+
+    y_t, x_t, shape = 525, 800, (600, 800)
+    frame_len, n_frames = 66666, 2
+    n_in = frame_len * n_frames + 8
+    t = np.arange(n_in)
+    sig = jnp.asarray(
+        (np.sin(2 * np.pi * t / 797.0) + 0.3 * np.cos(2 * np.pi * t / 91.0)).astype(
+            np.float32
+        )
+    )
+    starts = np.array([0, frame_len], np.int32)
+    got = np.asarray(
+        frames_to_screens_fft(sig, starts, frame_len, y_t, x_t, shape)
+    )
+    assert got.shape == (n_frames, *shape)
+    for f, s in enumerate(starts):
+        ref = np.asarray(
+            frame_to_screen(sig[s : s + frame_len], y_t, x_t, shape)
+        )
+        scale = np.abs(ref).max()
+        assert np.abs(ref - got[f])[2:-2].max() / scale < 5e-3
+
+
 def test_fm_demod_from_iq_matches_complex():
     from tempest_tpu.ops.demod import fm_demod_from_iq
 

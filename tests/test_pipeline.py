@@ -177,6 +177,61 @@ def test_pipeline_with_pallas_resampler():
     assert d[:-2].max() < 0.02 * (rec2.image.max() - rec2.image.min() + 1e-9)
 
 
+def test_scan_frame_loop_matches_vmap():
+    """frame_loop='scan' (compile-light large blocks) must be numerically
+    identical to the vmapped loop."""
+    import dataclasses
+
+    cap = _capture(0.2)
+    cfg = ReconstructionConfig(sample_rate=FS, mode=MODE, n_frames=3)
+    rec = reconstruct_frames(cap.iq, cfg, alpha=0.5)
+    cfg2 = dataclasses.replace(cfg, frame_loop="scan")
+    rec2 = reconstruct_frames(cap.iq, cfg2, alpha=0.5)
+    np.testing.assert_allclose(rec2.image, rec.image, atol=1e-5)
+    np.testing.assert_array_equal(rec2.sync, rec.sync)
+
+
+def test_segmented_batched_resampler_in_pipeline():
+    """resampler='mxu_batched' with segments matches the per-frame mxu path
+    through the full pipeline."""
+    import dataclasses
+
+    cap = _capture(0.2)
+    cfg = ReconstructionConfig(
+        sample_rate=FS, mode=MODE, n_frames=3, resampler="gather", do_align=False
+    )
+    rec = reconstruct_frames(cap.iq, cfg, alpha=0.5)
+    cfg2 = dataclasses.replace(cfg, resampler="mxu_batched", segments=4)
+    rec2 = reconstruct_frames(cap.iq, cfg2, alpha=0.5)
+    scale = rec.image.max() - rec.image.min() + 1e-9
+    # Interior bound: phase quantisation (64 levels) + bf16 contraction;
+    # the first/last rows legitimately differ (the gather path clamps at the
+    # frame edge, the batched path reads the real neighbouring samples).
+    assert np.abs(rec.image - rec2.image)[2:-2].max() / scale < 0.02
+
+
+def test_pipeline_with_fft_resampler():
+    """The gather-free spectral resampler slots into the jitted pipeline and
+    reconstructs the same screen as the gather path (sinc vs linear
+    interpolation and circular frame-edge semantics bound the difference)."""
+    import dataclasses
+
+    cap = _capture(0.2)
+    cfg = ReconstructionConfig(
+        sample_rate=FS, mode=MODE, n_frames=3, resampler="fft", do_align=False
+    )
+    rec = reconstruct_frames(cap.iq, cfg, alpha=0.5)
+    cfg2 = dataclasses.replace(cfg, resampler="gather")
+    rec2 = reconstruct_frames(cap.iq, cfg2, alpha=0.5)
+    scale = rec2.image.max() - rec2.image.min() + 1e-9
+    d = np.abs(rec.image - rec2.image)[2:-2] / scale
+    # Interior agreement: sinc and linear interpolation legitimately differ
+    # on undersampled wideband content (the unit test proves tight agreement
+    # on band-limited signals); this bounds gross wiring/geometry errors.
+    assert d.mean() < 0.03
+    assert d.max() < 0.4
+
+
 def test_fidelity_1080p60_20msps():
     """The primary judged configuration (BASELINE.md): 1920x1080@60 from a
     20 Msps stream — reconstruction must match the generator's ground truth."""
