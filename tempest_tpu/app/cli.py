@@ -34,11 +34,19 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 
 def cmd_analyze(args: argparse.Namespace) -> int:
     from ..io.dat import read_complex_binary
-    from ..pipeline.offline import estimate_timing
+    from ..pipeline.offline import estimate_timing, timing_evidence
 
     iq = read_complex_binary(args.input, args.format, count=args.samples)
     t0 = time.perf_counter()
-    timing = estimate_timing(iq, args.fs, args.seconds, args.rate_min, args.rate_max)
+    evidence = None
+    if args.plots:
+        timing, evidence = timing_evidence(
+            iq, args.fs, args.seconds, args.rate_min, args.rate_max
+        )
+    else:
+        timing = estimate_timing(
+            iq, args.fs, args.seconds, args.rate_min, args.rate_max
+        )
     dt = time.perf_counter() - t0
     print(f"samples           : {len(iq)} ({len(iq)/args.fs:.3f} s @ {args.fs/1e6:.1f} MHz)")
     print(f"refresh rate      : {timing.refresh_hz:.4f} Hz")
@@ -47,6 +55,27 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     print(f"mode geometry     : {timing.mode.width} x {timing.mode.height} @ {timing.mode.refresh:.3f} Hz")
     print(f"snr proxy         : {timing.snr_db:.1f} dB (suggested alpha {timing.suggested_alpha:.2f})")
     print(f"analysis time     : {dt*1e3:.1f} ms")
+    if evidence is not None:
+        from ..render.plots import render_line_plot, sparkline
+        from ..render.screen import write_png
+
+        # The two panels the reference GUI shows live (GUI.jl:296-356):
+        # refresh-band autocorrelation and line-period lag window, detected
+        # peaks marked.
+        p1 = f"{args.plots}_refresh.png"
+        write_png(render_line_plot(
+            evidence.gamma_rates, marks=[evidence.rate_mark()]), p1)
+        p2 = f"{args.plots}_lines.png"
+        write_png(render_line_plot(
+            evidence.gamma_lines, marks=[evidence.line_mark()]), p2)
+        print(f"refresh evidence  : {p1} "
+              f"[{evidence.rates_hz[0]:.1f}..{evidence.rates_hz[-1]:.1f} Hz] "
+              f"peak {evidence.refresh_hz:.3f} Hz")
+        print(f"  {sparkline(evidence.gamma_rates, mark=evidence.rate_mark())}")
+        print(f"line evidence     : {p2} "
+              f"[lags {evidence.line_lags[0]:.0f}..{evidence.line_lags[-1]:.0f} "
+              f"samples] peak {evidence.line_lag:.2f} ({evidence.line_count:.1f} lines)")
+        print(f"  {sparkline(evidence.gamma_lines, mark=evidence.line_mark())}")
     if args.waterfall:
         import jax
         import jax.numpy as jnp
@@ -142,8 +171,10 @@ def cmd_stream(args: argparse.Namespace) -> int:
     rt.start()
     try:
         if args.correlate:
-            timing = rt.correlate(rate_min=args.rate_min, rate_max=args.rate_max)
+            timing = rt.correlate(rate_min=args.rate_min, rate_max=args.rate_max,
+                                  keep_evidence=True)
             print(f"live correlate: {timing.mode_name} fv={timing.refresh_hz:.4f} Hz")
+            print(f"  {rt.corr_spark}")
         if args.record:
             # "auto" rotates dumpIQ_N.dat files like the reference's task 3.
             path = None if args.record == "auto" else args.record
@@ -297,6 +328,10 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(p)
     p.add_argument("--samples", type=int, default=None)
     p.add_argument("--seconds", type=float, default=0.1, help="autocorrelation window")
+    p.add_argument("--plots", default=None, metavar="PREFIX",
+                   help="write the correlation-evidence panels (refresh band "
+                        "+ line-period window, detected peaks marked) as "
+                        "PREFIX_refresh.png / PREFIX_lines.png")
     p.add_argument("--waterfall", default=None, help="write a waterfall PNG here")
     p.set_defaults(fn=cmd_analyze)
 

@@ -60,9 +60,11 @@ from ..video.modes import VideoMode, find_closest_mode
 
 __all__ = [
     "TimingEstimate",
+    "TimingEvidence",
     "ReconstructionConfig",
     "Reconstruction",
     "estimate_timing",
+    "timing_evidence",
     "make_reconstruct_fn",
     "make_batched_reconstruct_fn",
     "reconstruct_frames",
@@ -220,6 +222,95 @@ def estimate_timing(
     # the mode's pixel geometry.
     refined = VideoMode(mode.width, mode.height, fv_f)
     return TimingEstimate(fv_f, y_f, name, refined, float(snr))
+
+
+@dataclasses.dataclass(frozen=True)
+class TimingEvidence:
+    """The correlation evidence behind a :class:`TimingEstimate` — what the
+    reference GUI plots live in its two interactive panels
+    (``GUI.jl:296-356``, ``ScreenRenderer.jl:131-139``): the zoomed
+    autocorrelation over the refresh band with the detected peak, and the
+    line-period lag window with the detected line-rate peak."""
+
+    rates_hz: np.ndarray       # refresh-band axis (descending, Hz)
+    gamma_rates: np.ndarray    # 10log10|Γ|² over the refresh band
+    refresh_hz: float          # detected peak (marked on the panel)
+    line_lags: np.ndarray      # line-period lag axis [samples]
+    gamma_lines: np.ndarray    # 10log10|Γ|² over the line-lag window
+    line_lag: float            # detected line period [samples]
+    line_count: float          # fs / (fv * line_lag)
+
+    def rate_mark(self) -> float:
+        """Fractional x position of the refresh peak on the rates axis."""
+        r = self.rates_hz
+        return float(np.clip((r[0] - self.refresh_hz) / (r[0] - r[-1] + 1e-12),
+                             0.0, 1.0))
+
+    def line_mark(self) -> float:
+        """Fractional x position of the line-period peak on the lag axis."""
+        lo, hi = float(self.line_lags[0]), float(self.line_lags[-1])
+        return float(np.clip((self.line_lag - lo) / (hi - lo + 1e-12), 0.0, 1.0))
+
+
+@partial(jax.jit, static_argnames=("fs", "corr_seconds", "interleaved",
+                                   "rate_min", "rate_max"))
+def _evidence_kernel(iq: jnp.ndarray, fs: float, corr_seconds: float,
+                     interleaved: bool,
+                     rate_min: float, rate_max: float):
+    if interleaved:
+        ri = iq.reshape(-1, 2).astype(jnp.float32)
+        env = ri[:, 0] ** 2 + ri[:, 1] ** 2
+    else:
+        env = jnp.real(iq) ** 2 + jnp.imag(iq) ** 2
+    gamma, _ = autocorrelation(env, fs, 0.0, corr_seconds)
+    fv = estimate_refresh(gamma, fs, rate_min, rate_max)
+    y_t = estimate_line_count(gamma, fs, fv, rate_min=rate_min, rate_max=rate_max)
+    snr = estimate_snr(env)
+    return gamma, fv, y_t, snr
+
+
+def timing_evidence(
+    iq: np.ndarray | jnp.ndarray,
+    fs: float,
+    corr_seconds: float = 0.1,
+    rate_min: float = 50.0,
+    rate_max: float = 90.0,
+    y_min: int = 200,
+    y_max: int = 2500,
+) -> tuple[TimingEstimate, TimingEvidence]:
+    """Stage 1 with its evidence: the timing estimate plus the correlation
+    windows it was read from, for rendering (``analyze --plots`` / the stream
+    HUD sparkline).  Same input conventions as :func:`estimate_timing`."""
+    from ..ops.autocorr import zoom_autocorr
+
+    if isinstance(iq, np.ndarray) and np.iscomplexobj(iq):
+        iq = np.ascontiguousarray(iq, np.complex64).view(np.float32)
+    iq = jnp.asarray(iq)
+    interleaved = not jnp.iscomplexobj(iq)
+    gamma, fv, y_t, snr = _evidence_kernel(
+        iq, float(fs), float(corr_seconds), interleaved,
+        float(rate_min), float(rate_max),
+    )
+    fv_f, y_f = float(fv), float(y_t)
+    name, mode = find_closest_mode(y_f, fv_f)
+    timing = TimingEstimate(
+        fv_f, y_f, name, VideoMode(mode.width, mode.height, fv_f), float(snr)
+    )
+    rates, g_rates = zoom_autocorr(gamma, fs, rate_min, rate_max)
+    # Line-period window: the same static bounds estimate_line_count searches.
+    n = int(gamma.shape[0])
+    lag_lo = max(int(fs / (rate_max * y_max)) - 2, 2)
+    lag_hi = min(int(fs / (rate_min * y_min)) + 2, n - 1)
+    evidence = TimingEvidence(
+        rates_hz=np.asarray(rates),
+        gamma_rates=np.asarray(g_rates),
+        refresh_hz=fv_f,
+        line_lags=np.arange(lag_lo, lag_hi + 1, dtype=np.float64),
+        gamma_lines=np.asarray(gamma[lag_lo : lag_hi + 1]),
+        line_lag=float(fs / (fv_f * y_f)),
+        line_count=y_f,
+    )
+    return timing, evidence
 
 
 def demodulate(iq: jnp.ndarray, config: ReconstructionConfig) -> jnp.ndarray:

@@ -142,6 +142,10 @@ class TerminalRenderer:
             lines.append(
                 f"\x1b[0m mode={info.get('mode')} frames={info.get('frames_out')}"
             )
+            if info.get("spark"):
+                # Live correlation evidence (the reference GUI's correlation
+                # panels, GUI.jl:296-356, as a one-line sparkline).
+                lines.append(f"\x1b[0m {info['spark']}")
         return "\n".join(lines)
 
     def __call__(self, img: np.ndarray, info: dict | None = None) -> None:

@@ -80,6 +80,8 @@ class StreamingRuntime:
         self.frames_out = 0
         self._record_idx = 0           # next auto-rotated capture index
         self.last_record_path: str | None = None
+        self.last_evidence = None      # TimingEvidence from correlate()
+        self.corr_spark: str | None = None  # HUD sparkline of the evidence
 
     # ------------------------------------------------------------ config
     def _rebuild(self) -> None:
@@ -232,6 +234,8 @@ class StreamingRuntime:
                     "mode": self._mode,
                     "frames_out": self.frames_out,
                 }
+                if self.corr_spark:
+                    info["spark"] = self.corr_spark
                 if emit_every_frame:
                     for f in np.asarray(frames):
                         sink(f, info)
@@ -246,6 +250,7 @@ class StreamingRuntime:
         seconds: float = 0.1,
         rate_min: float = 50.0,
         rate_max: float = 90.0,
+        keep_evidence: bool = False,
     ) -> TimingEstimate:
         """Task 1: re-estimate timing from the live stream and hot-swap the
         detected mode (``extract_configuration`` + auto mode match,
@@ -253,7 +258,10 @@ class StreamingRuntime:
 
         ``rate_min``/``rate_max`` bound the refresh search band [Hz] — widen
         them to detect e.g. PAL TV (25 Hz) or 120 Hz panels live, exactly as
-        the offline path allows."""
+        the offline path allows.  With ``keep_evidence`` the correlation
+        windows behind the estimate are retained on ``self.last_evidence``
+        and a refresh-band sparkline is shown in the stream HUD — the live
+        correlation panels of the reference GUI (``GUI.jl:296-356``)."""
         n_needed = int(np.ceil(seconds * self.source.sample_rate))
         n_blocks = max(1 + n_needed // self.source.block_size, 1)
         chunks = []
@@ -265,9 +273,23 @@ class StreamingRuntime:
             chunks.append(buf.copy())
             self._abs_pos += self.source.block_size  # keep the frame grid honest
         sig = np.concatenate(chunks)
-        timing = estimate_timing(
-            sig, self.source.sample_rate, seconds, rate_min, rate_max
-        )
+        if keep_evidence:
+            from ..pipeline.offline import timing_evidence
+            from ..render.plots import sparkline
+
+            timing, ev = timing_evidence(
+                sig, self.source.sample_rate, seconds, rate_min, rate_max
+            )
+            self.last_evidence = ev
+            self.corr_spark = (
+                f"corr[{rate_min:.0f}-{rate_max:.0f}Hz] "
+                f"{sparkline(ev.gamma_rates, mark=ev.rate_mark())} "
+                f"peak {ev.refresh_hz:.2f} Hz"
+            )
+        else:
+            timing = estimate_timing(
+                sig, self.source.sample_rate, seconds, rate_min, rate_max
+            )
         self.mode = timing.mode
         return timing
 
