@@ -122,7 +122,10 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
         mode = ALL_VIDEO_MODES[args.mode]
         n_frames = args.frames or max(int(len(iq) * mode.refresh / args.fs) - 1, 1)
         config = ReconstructionConfig(
-            sample_rate=args.fs, mode=mode, n_frames=n_frames, invert=args.invert
+            sample_rate=args.fs, mode=mode, n_frames=n_frames, invert=args.invert,
+            do_align=not args.no_align,
+            resampler="gather" if args.subsample_align else "mxu",
+            subsample_align=args.subsample_align,
         )
         recon = reconstruct_frames(
             iq, config, alpha=0.1 if alpha == "auto" else alpha
@@ -348,6 +351,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--auto-polarity", action="store_true",
                    help="invert the output automatically if blanking is bright")
     p.add_argument("--sync-overlay", action="store_true", help="draw sync crosshair")
+    p.add_argument("--subsample-align", action="store_true",
+                   help="sub-sample-exact frame cuts (highest fidelity with "
+                        "--no-align; explicit --mode only)")
+    p.add_argument("--no-align", action="store_true",
+                   help="skip per-frame sync alignment (explicit --mode only)")
     p.add_argument("--search", action="store_true",
                    help="refine the detected mode by sharded sync-score search")
     p.add_argument("--out", default="reconstruction.png")

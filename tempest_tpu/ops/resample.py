@@ -47,6 +47,7 @@ __all__ = [
     "frames_to_screens_aligned",
     "frames_to_screens_fft",
     "frame_to_screen_dynamic",
+    "fractional_shift",
     "naive_upsample",
     "upsample_fft",
     "make_fft_upsampler_filter",
@@ -108,6 +109,7 @@ def frame_to_screen(
     y_t: int,
     x_t: int,
     out_shape: tuple[int, int] = RENDER_SIZE,
+    offset: jnp.ndarray | float | None = None,
 ) -> jnp.ndarray:
     """Fused fast path: one frame's envelope straight to the (600, 800) screen.
 
@@ -115,6 +117,12 @@ def frame_to_screen(
     ``downgrade_image(sig_to_image(sig, y_t, x_t))`` — the reference's
     two-``imresize`` chain (``GUI.jl:168``) — but with a single gather over the
     envelope and no ``y_t*x_t`` intermediate.
+
+    ``offset`` (optionally traced, in [0, 1) signal samples) shifts every read
+    position by the frame boundary's sub-sample residual — sub-sample-exact
+    frame cuts for super-resolution accumulation.  Implemented as a 3-tap
+    read with traced weights: the same linear interpolation as the 2-tap
+    path, no extra low-pass.
     """
     n_in = sig.shape[0]
     h_out, w_out = out_shape
@@ -129,17 +137,27 @@ def frame_to_screen(
     # performs, as one fused 4-tap gather.
     r0 = np.minimum(np.floor(ry).astype(np.int64), max(y_t - 2, 0))
     wr = (ry - r0).astype(np.float32)[:, None]
+    max_i0 = max(n_in - 2, 0) if offset is None else max(n_in - 3, 0)
 
     def line_positions(line_idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         flat = line_idx[:, None] * x_t + cx[None, :]
         pos = np.clip((flat + 0.5) * ratio - 0.5, 0.0, n_in - 1.0)
-        i0 = np.minimum(np.floor(pos).astype(np.int32), max(n_in - 2, 0))
+        i0 = np.minimum(np.floor(pos).astype(np.int32), max_i0)
         return i0, (pos - i0).astype(np.float32)
+
+    def read_line(i0: np.ndarray, f: np.ndarray) -> jnp.ndarray:
+        i0 = jnp.asarray(i0)
+        if offset is None:
+            return sig[i0] * (1.0 - f) + sig[i0 + 1] * f
+        u = f + jnp.asarray(offset, jnp.float32)      # in [0, 2)
+        w0 = jnp.maximum(1.0 - u, 0.0)
+        w2 = jnp.maximum(u - 1.0, 0.0)
+        return sig[i0] * w0 + sig[i0 + 1] * (1.0 - w0 - w2) + sig[i0 + 2] * w2
 
     i_top, f_top = line_positions(r0)
     i_bot, f_bot = line_positions(np.minimum(r0 + 1, y_t - 1))
-    top = sig[jnp.asarray(i_top)] * (1.0 - f_top) + sig[jnp.asarray(i_top) + 1] * f_top
-    bot = sig[jnp.asarray(i_bot)] * (1.0 - f_bot) + sig[jnp.asarray(i_bot) + 1] * f_bot
+    top = read_line(i_top, f_top)
+    bot = read_line(i_bot, f_bot)
     return top * (1.0 - wr) + bot * wr
 
 
@@ -611,6 +629,41 @@ def frame_to_screen_dynamic(
     top = line_sample(r0)
     bot = line_sample(jnp.minimum(r0 + 1.0, y_t - 1.0))
     return top * (1.0 - wr) + bot * wr
+
+
+def fractional_shift(
+    sig: jnp.ndarray,
+    frac,
+    num_phases: int = 128,
+    taps: int = 8,
+) -> jnp.ndarray:
+    """Windowed-sinc sub-sample advance: ``out[i] ≈ sig(i + frac)`` for a
+    (possibly traced) ``frac`` in [0, 1).
+
+    Used for sub-sample-exact frame cuts (super-resolution accumulation): a
+    frame boundary generically falls between samples; slicing at the rounded
+    integer leaves a ±0.5-sample phase error per frame that blurs the
+    multi-frame average.  Interpolating the slice at its true fractional
+    offset aligns every frame's sampling grid exactly — and because the AM
+    envelope has twice the IQ bandwidth (|z| doubles bandwidth), frames cut
+    at diverse fractional offsets genuinely sample *between* each other's
+    grid points, so the aligned average recovers detail beyond one frame's
+    sampling (no reference counterpart — the reference cuts buffer-aligned
+    and drifts, ``GUI.jl:165-166``).
+    """
+    bank = jnp.asarray(polyphase_filter_bank(num_phases, taps, 1.0))
+    phase = jnp.clip(
+        (jnp.asarray(frac, jnp.float32) * num_phases).astype(jnp.int32),
+        0, num_phases - 1,
+    )
+    h = bank[phase]                       # (taps,)
+    half = taps // 2
+    pad = jnp.pad(sig, (half - 1, half), mode="edge")
+    n = sig.shape[0]
+    out = jnp.zeros_like(sig)
+    for j in range(taps):
+        out = out + h[j] * jax.lax.dynamic_slice(pad, (j,), (n,))
+    return out
 
 
 def naive_upsample(sig: jnp.ndarray, up: int) -> jnp.ndarray:

@@ -22,10 +22,17 @@ def _freq_axis(n: int, fs: float) -> jnp.ndarray:
 
 
 def get_spectrum(
-    fs: float, sig: jnp.ndarray, n: int | None = None
+    fs, sig: jnp.ndarray | None = None, n: int | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Periodogram in dB over a centred frequency axis
-    (reference ``getSpectrum``, ``GetSpectrum.jl:21-30``)."""
+    (reference ``getSpectrum``, ``GetSpectrum.jl:21-30``).
+
+    Accepts complex or real signals of any float/int dtype.  The fs-less
+    form ``get_spectrum(sig)`` returns a normalised frequency axis in
+    [-0.5, 0.5), like the reference's ``getSpectrum(sig) = getSpectrum(1,
+    sig)`` (``GetSpectrum.jl:30``)."""
+    if sig is None:
+        fs, sig = 1.0, fs
     if n is None:
         n = sig.shape[0]
     spec = jnp.fft.fftshift(jnp.fft.fft(sig[:n]))

@@ -126,6 +126,17 @@ class ReconstructionConfig:
     # per-frame chain once and iterates — XLA compile time stays flat in
     # n_frames, making large (compile-light) blocks practical.
     frame_loop: str = "vmap"
+    # Sub-sample-exact frame cuts: fold each frame boundary's fractional
+    # residual into the resampling positions instead of rounding to the
+    # nearest sample (a 3-tap traced-weight read; requires
+    # resampler='gather').  Measured on synthetic 640x480/4 Msps, 40 frames,
+    # alpha .9: +0.61 dB PSNR over rounded cuts when per-frame sync is off,
+    # and 15.48 vs 15.43 dB against the best do_align=True config — i.e. the
+    # highest-fidelity mode is exact cuts + drift-locked timing with the
+    # per-frame sync stage (and its integer-pixel roll quantisation) skipped.
+    # With do_align=True the sync roll already compensates cut jitter at
+    # pixel granularity (measured delta ~0).
+    subsample_align: bool = False
     # With carry_phase, step() takes an extra traced fractional sample offset
     # of the first frame boundary inside the block, so a streaming caller can
     # keep frame cuts continuous across block boundaries (the reference cuts
@@ -335,10 +346,15 @@ def process_frames(
     frame_starts: jnp.ndarray,
     config: ReconstructionConfig,
     frame_len: int,
+    frac_offsets: jnp.ndarray | None = None,
 ):
     """Resample + sync + align all frames of one envelope block — the stage-2
     core shared by the single-chip and sharded pipelines.  Returns
-    ``(frames, sync, score)`` with shapes ((F,h,w), (F,2), (F,))."""
+    ``(frames, sync, score)`` with shapes ((F,h,w), (F,2), (F,)).
+
+    ``frac_offsets`` (per-frame, in [0, 1)) enables sub-sample-exact cuts:
+    each frame's slice is interpolated at its true fractional boundary
+    before resampling (``config.subsample_align``)."""
     mode = config.mode
     h, w = config.render_size
 
@@ -391,24 +407,35 @@ def process_frames(
             "mxu": frame_to_screen_mxu,
         }[config.resampler]
 
-        def cut_frame(start):
+        def cut_frame(start, frac=None):
             sig = jax.lax.dynamic_slice(env, (start,), (frame_len,))
-            return resample(sig, mode.height, mode.width, (h, w))
+            if frac is None:
+                return resample(sig, mode.height, mode.width, (h, w))
+            # Sub-sample-exact cut: fold the boundary residual into the
+            # interpolation positions (3-tap traced-weight read) — the same
+            # linear interpolation as the base path, no extra low-pass (a
+            # windowed-sinc pre-shift measurably blurs the undersampled
+            # envelope instead).
+            return frame_to_screen(sig, mode.height, mode.width, (h, w),
+                                   offset=frac)
 
         if config.frame_loop == "scan":
             # Compile the per-frame chain once and iterate: compile time is
             # flat in n_frames, so large blocks (which amortise the per-block
             # fixed cost) stay compile-light.  Frames are sequential on one
             # chip anyway; the scan only removes XLA's cross-frame batching.
-            def body(_, start):
-                screen = cut_frame(start)
-                return None, sync_one(screen)
-
-            _, (frames, sync, score) = jax.lax.scan(
-                body, None, jnp.asarray(frame_starts)
-            )
+            if frac_offsets is None:
+                xs = jnp.asarray(frame_starts)
+                body = lambda _, s: (None, sync_one(cut_frame(s)))
+            else:
+                xs = (jnp.asarray(frame_starts), jnp.asarray(frac_offsets))
+                body = lambda _, x: (None, sync_one(cut_frame(*x)))
+            _, (frames, sync, score) = jax.lax.scan(body, None, xs)
             return frames, sync, score
-        screens = jax.vmap(cut_frame)(frame_starts)
+        if frac_offsets is None:
+            screens = jax.vmap(lambda s: cut_frame(s))(frame_starts)
+        else:
+            screens = jax.vmap(cut_frame)(frame_starts, frac_offsets)
 
     return jax.vmap(sync_one)(screens)
 
@@ -434,12 +461,22 @@ def make_reconstruct_fn(config: ReconstructionConfig):
     n_frames = config.n_frames
     spf = config.samples_per_frame
     frame_len = int(np.floor(spf))  # samples fed to the resampler per frame
+    sub = config.subsample_align
+    if sub and config.resampler != "gather":
+        raise ValueError(
+            "subsample_align folds the boundary residual into the gather "
+            "positions — set resampler='gather'"
+        )
     # Fractional frame-start offsets (static table, no cumulative drift).
-    starts = np.round(np.arange(n_frames) * spf).astype(np.int32)
+    exact = np.arange(n_frames) * spf
+    starts = (np.floor(exact) if sub else np.round(exact)).astype(np.int32)
+    fracs = (exact - starts).astype(np.float32) if sub else None
 
-    def _body(iq, ema, alpha, frame_starts):
+    def _body(iq, ema, alpha, frame_starts, frac_offsets=None):
         env = demodulate(iq, config)
-        frames, sync, score = process_frames(env, frame_starts, config, frame_len)
+        frames, sync, score = process_frames(
+            env, frame_starts, config, frame_len, frac_offsets
+        )
         return ema_fold(ema, frames, alpha), frames, sync, score
 
     if config.carry_phase:
@@ -448,16 +485,22 @@ def make_reconstruct_fn(config: ReconstructionConfig):
         def step(iq, ema, alpha, phase):
             # phase: fractional sample offset (float32) of the first frame
             # boundary within this block, in [0, spf).
-            fstarts = jnp.floor(
-                phase + spf * jnp.arange(n_frames, dtype=jnp.float32) + 0.5
-            ).astype(jnp.int32)
+            exact_t = phase + spf * jnp.arange(n_frames, dtype=jnp.float32)
+            if sub:
+                fstarts = jnp.floor(exact_t).astype(jnp.int32)
+                return _body(iq, ema, alpha, fstarts,
+                             exact_t - fstarts.astype(jnp.float32))
+            fstarts = jnp.floor(exact_t + 0.5).astype(jnp.int32)
             return _body(iq, ema, alpha, fstarts)
 
     else:
 
         @jax.jit
         def step(iq, ema, alpha):
-            return _body(iq, ema, alpha, jnp.asarray(starts))
+            return _body(
+                iq, ema, alpha, jnp.asarray(starts),
+                jnp.asarray(fracs) if sub else None,
+            )
 
     return step
 

@@ -83,6 +83,19 @@ def test_welch_tone_peak():
     assert abs(float(freq[int(np.argmax(np.asarray(power)))]) - f) < fs / 1024
 
 
+def test_spectrum_fs_less_form_and_real_welch():
+    """Parity conveniences: get_spectrum(sig) normalises the axis to
+    [-0.5, 0.5) (GetSpectrum.jl:30) and get_welch accepts real signals of any
+    float dtype (GetSpectrum.jl:37)."""
+    n = 2048
+    tone = np.cos(2 * np.pi * 0.125 * np.arange(n))
+    freq, power = get_spectrum(jnp.asarray(tone.astype(np.float32)))
+    assert float(freq[0]) == -0.5 and float(freq[-1]) < 0.5
+    assert abs(abs(float(freq[int(np.argmax(np.asarray(power)))])) - 0.125) < 1e-3
+    freq, power = get_welch(1e6, jnp.asarray(tone.astype(np.float64)), fft_size=512)
+    assert abs(abs(float(freq[int(np.argmax(np.asarray(power)))])) - 0.125e6) < 2e3
+
+
 def test_waterfall_shapes():
     z = (RNG.standard_normal(8192) + 1j * RNG.standard_normal(8192)).astype(
         np.complex64
