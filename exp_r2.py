@@ -83,6 +83,13 @@ def main():
         )
 
     variants = {
+        # Default config re-measure (round-1 baseline: 10.3 ms / 194 Msps) —
+        # now with the slice-based sync scores (was per-element gathers).
+        "mxu_6f": (cfg(n_frames=6), 20e6),
+        # Default at a large block via scan (compile-light) — the headline
+        # candidate: per-block overhead amortised over 36 frames.
+        "mxu_scan_36f_b": (
+            cfg(n_frames=36, resampler="mxu", frame_loop="scan"), 20e6),
         # Segmented batched einsum, presorted gather: small spans + weights.
         "seg4_6f": (cfg(n_frames=6, resampler="mxu_batched", segments=4), 20e6),
         # Same at a large block: per-block overhead amortised, ops scale in

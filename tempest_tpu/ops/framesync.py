@@ -84,20 +84,37 @@ def smooth_profile(profile: jnp.ndarray, kernel_len: int = 5) -> jnp.ndarray:
     return jnp.convolve(padded, h, mode="valid")
 
 
+def _window_sums(profile: jnp.ndarray, spec: SyncSpec) -> jnp.ndarray:
+    """Circular window sums ``W[w, c] = sum(profile[c-w : c+w+1])`` for all
+    (w in [w_min, w_max], c) as a (W, n) matrix.
+
+    One prefix sum over the wrap-padded profile, then one *static slice pair*
+    per width, stacked.  Row w of the matrix is the prefix shifted by
+    ±(w + ...) — a Toeplitz structure; building it from static slices keeps
+    the whole computation slice/concat-shaped, where an index-matrix read
+    (``prefix[cs + wi]``) lowers to a per-element gather — the pathological
+    TPU access pattern (~430k gathered elements per frame measured as the
+    bulk of the sync stage's 2 ms/block)."""
+    n = spec.n
+    w_max = spec.w_max
+    ext = jnp.concatenate([profile[-w_max:], profile, profile[:w_max]])
+    # Prefix sum with leading zero: P[k] = sum(ext[:k]).
+    prefix = jnp.concatenate([jnp.zeros((1,), profile.dtype), jnp.cumsum(ext)])
+    rows = [
+        jax.lax.slice(prefix, (w_max + w + 1,), (w_max + w + 1 + n,))
+        - jax.lax.slice(prefix, (w_max - w,), (w_max - w + n,))
+        for w in range(spec.w_min, w_max + 1)
+    ]
+    return jnp.stack(rows)
+
+
 def blank_scores(profile: jnp.ndarray, spec: SyncSpec) -> jnp.ndarray:
     """Score matrix beta of shape (w_max - w_min + 1, n) for all blanking
     hypotheses — the vectorised ``fill_β!``."""
     n = spec.n
-    w_max = spec.w_max
     total = jnp.sum(profile)
-    # Wrap-pad so any window [c-w, c+w] with w <= w_max is a contiguous slice.
-    ext = jnp.concatenate([profile[-w_max:], profile, profile[:w_max]])
-    # Prefix sum with leading zero: P[k] = sum(ext[:k]).
-    prefix = jnp.concatenate([jnp.zeros((1,), profile.dtype), jnp.cumsum(ext)])
-    cs = jnp.arange(n)[None, :] + w_max          # window centres in ext coords
-    ws = jnp.arange(spec.w_min, w_max + 1)[:, None].astype(profile.dtype)
-    wi = jnp.arange(spec.w_min, w_max + 1)[:, None]
-    window = prefix[cs + wi + 1] - prefix[cs - wi]   # sum over [c-w, c+w]
+    ws = jnp.arange(spec.w_min, spec.w_max + 1)[:, None].astype(profile.dtype)
+    window = _window_sums(profile, spec)             # sum over [c-w, c+w]
     inner = 2.0 * window                              # reference's _Σ
     beta = (total - inner) / (2.0 * (n - ws)) + inner / (2.0 * ws)
     return beta * beta
@@ -116,13 +133,9 @@ def contrast_scores(profile: jnp.ndarray, spec: SyncSpec) -> jnp.ndarray:
     works for dark or bright blanking without configuration.
     """
     n = spec.n
-    w_max = spec.w_max
     total = jnp.sum(profile)
-    ext = jnp.concatenate([profile[-w_max:], profile, profile[:w_max]])
-    prefix = jnp.concatenate([jnp.zeros((1,), profile.dtype), jnp.cumsum(ext)])
-    cs = jnp.arange(n)[None, :] + w_max
-    wi = jnp.arange(spec.w_min, w_max + 1)[:, None]
-    window = prefix[cs + wi + 1] - prefix[cs - wi]
+    wi = jnp.arange(spec.w_min, spec.w_max + 1)[:, None]
+    window = _window_sums(profile, spec)
     size_in = (2 * wi + 1).astype(profile.dtype)
     mean_in = window / size_in
     mean_out = (total - window) / (n - size_in)
