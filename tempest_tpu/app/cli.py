@@ -161,7 +161,10 @@ def cmd_stream(args: argparse.Namespace) -> int:
         mode=mode,
         snr_db=args.snr,
     )
-    rt = StreamingRuntime(source, mode, alpha=args.alpha, invert=args.invert)
+    # With --drift-lock the warm-up needs per-frame sync measurements, so
+    # fidelity mode (which skips sync) is switched on after the lock.
+    rt = StreamingRuntime(source, mode, alpha=args.alpha, invert=args.invert,
+                          fidelity=args.fidelity and not args.drift_lock)
     if args.render == "terminal":
         sink = TerminalRenderer()
     elif args.render == "png":
@@ -190,6 +193,9 @@ def cmd_stream(args: argparse.Namespace) -> int:
             rt.process_blocks(warm, sink=lambda img, info: syncs.append(info["sync"]))
             fv = rt.refine_refresh_from_drift(np.concatenate(syncs))
             print(f"drift lock: refined refresh to {fv:.5f} Hz")
+            if args.fidelity:
+                rt.set_fidelity(True)
+                print("fidelity mode: sub-sample-exact cuts, sync skipped")
             rt.process_blocks(args.blocks - warm, sink)
         else:
             rt.process_blocks(args.blocks, sink)
@@ -379,6 +385,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--render", default="none", choices=["none", "terminal", "png"])
     p.add_argument("--drift-lock", action="store_true",
                    help="refine the refresh rate from observed sync drift")
+    p.add_argument("--fidelity", action="store_true",
+                   help="sub-sample-exact frame cuts, per-frame sync skipped "
+                        "(highest measured fidelity; combine with --drift-lock "
+                        "warm-up so the frame grid stays locked)")
     p.add_argument("--checkpoint", default=None, help="save streaming state here on exit")
     p.add_argument("--resume", default=None, help="resume streaming state from checkpoint")
     p.add_argument("--out-prefix", default="frame")

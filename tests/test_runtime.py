@@ -281,6 +281,28 @@ def test_refresh_drift_feedback_locks():
     assert abs(fv - 60.0) < abs(60.02 - 60.0) / 4, f"refined fv {fv}"
 
 
+def test_fidelity_mode_streams_and_hot_swaps():
+    """fidelity=True streams with sub-sample-exact cuts (sync skipped), and
+    set_fidelity hot-swaps the compiled chain mid-session."""
+    block = int(FS * 0.15)
+    src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=14)
+    rt = StreamingRuntime(src, MODE, alpha=0.5, fidelity=True)
+    assert rt.config.subsample_align and not rt.config.do_align
+    rt.start()
+    try:
+        img = rt.process_blocks(2)
+        assert img.std() > 0
+        syncs = []
+        rt.process_blocks(1, sink=lambda i, info: syncs.append(info["sync"]))
+        assert np.all(syncs[0] == 0)  # sync stage skipped
+        rt.set_fidelity(False)
+        assert rt.config.do_align and not rt.config.subsample_align
+        rt.process_blocks(1, sink=lambda i, info: syncs.append(info["sync"]))
+        assert np.any(syncs[1] != 0)  # sync measurements back
+    finally:
+        rt.stop()
+
+
 def test_blanking_polarity_detection():
     from tempest_tpu.pipeline.offline import auto_reconstruct
 
