@@ -232,6 +232,7 @@ def frame_to_screen_mxu(
     x_t: int,
     out_shape: tuple[int, int] = RENDER_SIZE,
     num_phases: int = 64,
+    perm: str = "gather",
 ) -> jnp.ndarray:
     """``frame_to_screen`` v3: scanline interpolation as batched MXU matmuls.
 
@@ -287,9 +288,19 @@ def frame_to_screen_mxu(
         [sig, jnp.broadcast_to(sig[-1], (span_pad,)).astype(sig.dtype)]
     )
     spans = sig_pad[jnp.asarray(flat_start)[:, None] + jnp.arange(span_pad)[None, :]]
-    batched = spans[jnp.asarray(grid_src.reshape(-1))].reshape(
-        num_phases, per, span_pad
-    )
+    if perm == "einsum":
+        # Phase-sort as a one-hot matmul instead of a row gather (per-row
+        # gather cost is the bottleneck class on TPU; a (P*per, 2h) one-hot
+        # contraction is ~1 GFLOP of MXU work).
+        onehot = np.zeros((num_phases * per, 2 * h_out), np.float32)
+        onehot[np.arange(num_phases * per), grid_src.reshape(-1)] = 1.0
+        batched = jnp.dot(
+            jnp.asarray(onehot), spans, preferred_element_type=jnp.float32
+        ).reshape(num_phases, per, span_pad)
+    else:
+        batched = spans[jnp.asarray(grid_src.reshape(-1))].reshape(
+            num_phases, per, span_pad
+        )
     # f32 operands: a bf16 variant measured identical block time (10.50 vs
     # 10.3 ms on v5e — the einsum's weight streaming is not the bottleneck),
     # so keep full precision.

@@ -405,6 +405,9 @@ def process_frames(
             "gather": frame_to_screen,
             "rows": frame_to_screen_rows,
             "mxu": frame_to_screen_mxu,
+            # mxu with the phase-sort permutation as a one-hot matmul
+            # instead of a row gather.
+            "mxu2": partial(frame_to_screen_mxu, perm="einsum"),
         }[config.resampler]
 
         def cut_frame(start, frac=None):

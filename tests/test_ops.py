@@ -299,6 +299,10 @@ def test_frame_to_screen_variants_agree():
     mxu = np.asarray(frame_to_screen_mxu(sig, y_t, x_t, shape))
     # mxu quantises the scanline phase; interior accuracy bound.
     assert np.abs(ref - mxu)[1:-1].max() / scale < 2e-2
+    # One-hot-einsum permutation must equal the gather permutation exactly
+    # (both select the same rows; f32 one-hot matmul is exact).
+    mxu2 = np.asarray(frame_to_screen_mxu(sig, y_t, x_t, shape, perm="einsum"))
+    assert np.abs(mxu - mxu2).max() / scale < 1e-5
 
 
 @pytest.mark.parametrize("segments", [1, 2, 4])
