@@ -88,8 +88,6 @@ def main():
         "mxu_6f": (cfg(n_frames=6), 20e6),
         # + phase-sort permutation as one-hot matmul (no row gather).
         "mxu2_6f": (cfg(n_frames=6, resampler="mxu2"), 20e6),
-        "mxu2_scan_36f": (
-            cfg(n_frames=36, resampler="mxu2", frame_loop="scan"), 20e6),
         # Default at a large block via scan (compile-light) — the headline
         # candidate: per-block overhead amortised over 36 frames.
         "mxu_scan_36f_b": (

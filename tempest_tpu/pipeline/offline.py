@@ -123,8 +123,10 @@ class ReconstructionConfig:
     segments: int = 1
     # Per-frame loop structure for the per-frame resamplers ("gather", "rows",
     # "mxu"): "vmap" batches all frames into wide ops; "scan" compiles the
-    # per-frame chain once and iterates — XLA compile time stays flat in
-    # n_frames, making large (compile-light) blocks practical.
+    # per-frame chain once and iterates.  MEASURED (v5e, remote tunnel): scan
+    # iterations carry ~6 ms of loop overhead each (36f block: 7.5 ms/frame
+    # scanned vs 1.4 vmapped) and the compile was NOT lighter (14 min) —
+    # keep "vmap"; "scan" remains for loop-overhead diagnosis.
     frame_loop: str = "vmap"
     # Sub-sample-exact frame cuts: fold each frame boundary's fractional
     # residual into the resampling positions instead of rounding to the
@@ -445,13 +447,22 @@ def process_frames(
 
 def ema_fold(ema: jnp.ndarray, frames: jnp.ndarray, alpha) -> jnp.ndarray:
     """EMA over the frame axis (``imageOut = α·imageOut + (1-α)·image``,
-    GUI.jl:175) as a scan."""
+    GUI.jl:175), in closed form:
 
-    def ema_step(carry, frame):
-        return alpha * carry + (1.0 - alpha) * frame, None
+        out = α^F · ema + (1-α) · Σ_n α^(F-1-n) · frame_n
 
-    out, _ = jax.lax.scan(ema_step, ema, frames)
-    return out
+    — one weighted reduction instead of a ``lax.scan``.  TPU loop iterations
+    carry large fixed overhead (a 36-iteration scan body measured ~7.5 ms
+    per iteration against ~1.4 ms for the same work vmapped), so even the
+    F-step EMA scan was a measurable share of the per-block fixed cost.
+    ``alpha`` may be traced: the weights are computed on device.
+    """
+    n = frames.shape[0]
+    k = jnp.arange(n - 1, -1, -1, dtype=jnp.float32)
+    w = (1.0 - alpha) * alpha ** k
+    return alpha ** n * ema + jnp.einsum(
+        "f,fhw->hw", w, frames, preferred_element_type=jnp.float32
+    )
 
 
 def make_reconstruct_fn(config: ReconstructionConfig):
