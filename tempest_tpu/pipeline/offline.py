@@ -19,8 +19,8 @@ decomposition — *not* a port of the reference's reactive Observable graph.
 
 TPU-native details:
 * The whole of stage 2 is one fusion chain per frame batch; the EMA across
-  frames is a ``lax.scan`` carrying the averaged image (the reference's
-  ``imageOut = α·imageOut + (1-α)·image``, ``GUI.jl:175``).
+  frames is a closed-form weighted reduction over the frame axis (the
+  reference's ``imageOut = α·imageOut + (1-α)·image``, ``GUI.jl:175``).
 * Frames are cut by *fractional* frame period: frame n starts at
   ``round(n * fs / fv)`` rather than ``n * round(fs / fv)``, fixing the
   cumulative drift of the reference's integer rounding
