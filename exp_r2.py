@@ -88,6 +88,13 @@ def main():
         "mxu_6f": (cfg(n_frames=6), 20e6),
         # + phase-sort permutation as one-hot matmul (no row gather).
         "mxu2_6f": (cfg(n_frames=6, resampler="mxu2"), 20e6),
+        # zero-gather resampler: chunk select + align + regroup as one-hot
+        # matmuls / static slices.
+        "mxu3_6f": (cfg(n_frames=6, resampler="mxu3"), 20e6),
+        "mxu3_12f": (cfg(n_frames=12, resampler="mxu3"), 20e6),
+        # attribution: mxu3 without the sync stage.
+        "mxu3_6f_nosync": (
+            cfg(n_frames=6, resampler="mxu3", do_align=False), 20e6),
         # Default at a large block via scan (compile-light) — the headline
         # candidate: per-block overhead amortised over 36 frames.
         "mxu_scan_36f_b": (

@@ -51,6 +51,7 @@ from ..ops.resample import (
     RENDER_SIZE,
     frame_to_screen,
     frame_to_screen_mxu,
+    frame_to_screen_mxu3,
     frame_to_screen_rows,
     frames_to_screens_aligned,
     frames_to_screens_fft,
@@ -410,6 +411,9 @@ def process_frames(
             # mxu with the phase-sort permutation as a one-hot matmul
             # instead of a row gather.
             "mxu2": partial(frame_to_screen_mxu, perm="einsum"),
+            # zero-gather variant: chunk-select/align/regroup as one-hot
+            # matmuls + static slices.
+            "mxu3": frame_to_screen_mxu3,
         }[config.resampler]
 
         def cut_frame(start, frac=None):

@@ -303,6 +303,12 @@ def test_frame_to_screen_variants_agree():
     # (both select the same rows; f32 one-hot matmul is exact).
     mxu2 = np.asarray(frame_to_screen_mxu(sig, y_t, x_t, shape, perm="einsum"))
     assert np.abs(mxu - mxu2).max() / scale < 1e-5
+    # Zero-gather variant: same values up to the bf16 envelope cast (~0.4%).
+    from tempest_tpu.ops.resample import frame_to_screen_mxu3
+
+    mxu3 = np.asarray(frame_to_screen_mxu3(sig, y_t, x_t, shape))
+    assert np.abs(mxu - mxu3).max() / scale < 2e-2
+    assert np.abs(ref - mxu3)[1:-1].max() / scale < 2e-2
 
 
 @pytest.mark.parametrize("segments", [1, 2, 4])
