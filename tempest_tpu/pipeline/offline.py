@@ -113,9 +113,13 @@ class ReconstructionConfig:
     # take_along_axis (28.1), "mxu_batched" one cross-frame einsum (31.8 —
     # relayouts dominate), "aligned" chunk gather + take_along_axis (126 —
     # per-element gathers are pathological on TPU), "fft" gather-free
-    # spectral line rectification (sinc interpolation; needs 2*3*5-smooth
-    # frame_len — see process_frames), "pallas" fused DMA +
-    # on-the-fly-weights MXU kernel (interpret-mode off-TPU).
+    # spectral line rectification (24.7 ms at the 19.44 Msps smooth rate —
+    # sinc interpolation, correct and compiles fine at 2*3*5-smooth
+    # frame_len, but the big FFTs lose to the matmul formulations),
+    # "mxu2"/"mxu3" matmul-permutation variants (measured ~= mxu: the
+    # permutation row gathers were already cheap; only the envelope span
+    # gather is expensive), "pallas" fused DMA + on-the-fly-weights MXU
+    # kernel (interpret-mode off-TPU).
     resampler: str = "mxu"
     # Column segments per scan line for the batched-mxu resampler: higher
     # values shrink the gathered span (less padding waste) and the per-phase
