@@ -100,12 +100,23 @@ def _window_sums(profile: jnp.ndarray, spec: SyncSpec) -> jnp.ndarray:
     ext = jnp.concatenate([profile[-w_max:], profile, profile[:w_max]])
     # Prefix sum with leading zero: P[k] = sum(ext[:k]).
     prefix = jnp.concatenate([jnp.zeros((1,), profile.dtype), jnp.cumsum(ext)])
-    rows = [
-        jax.lax.slice(prefix, (w_max + w + 1,), (w_max + w + 1 + n,))
-        - jax.lax.slice(prefix, (w_max - w,), (w_max - w + n,))
-        for w in range(spec.w_min, w_max + 1)
-    ]
-    return jnp.stack(rows)
+    # Row w of the matrix is P[c + w_max+w+1] - P[c + w_max-w] — a Toeplitz
+    # family of shifted slices, i.e. a correlation of P with per-w +-delta
+    # kernels: ONE conv op (lowered onto the MXU) instead of a W-row slice
+    # stack.
+    n_w = w_max - spec.w_min + 1
+    klen = 2 * w_max + 2
+    kernel = np.zeros((n_w, 1, klen), np.float32)       # (out_ch, in_ch, L)
+    for i, w in enumerate(range(spec.w_min, w_max + 1)):
+        kernel[i, 0, w_max + w + 1] = 1.0
+        kernel[i, 0, w_max - w] = -1.0
+    out = jax.lax.conv_general_dilated(
+        prefix.astype(jnp.float32)[None, None, :],
+        jnp.asarray(kernel),
+        window_strides=(1,),
+        padding="VALID",
+    )[0]                                                 # (n_w, n)
+    return out[:, :n]
 
 
 def blank_scores(profile: jnp.ndarray, spec: SyncSpec) -> jnp.ndarray:
