@@ -92,6 +92,9 @@ def main():
         # matmuls / static slices.
         "mxu3_6f": (cfg(n_frames=6, resampler="mxu3"), 20e6),
         "mxu3_12f": (cfg(n_frames=12, resampler="mxu3"), 20e6),
+        "mxu4_12f": (cfg(n_frames=12, resampler="mxu4"), 20e6),
+        "mxu3_18f": (cfg(n_frames=18, resampler="mxu3"), 20e6),
+        "mxu3_24f": (cfg(n_frames=24, resampler="mxu3"), 20e6),
         # attribution: mxu3 without the sync stage.
         "mxu3_6f_nosync": (
             cfg(n_frames=6, resampler="mxu3", do_align=False), 20e6),

@@ -124,7 +124,7 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
         config = ReconstructionConfig(
             sample_rate=args.fs, mode=mode, n_frames=n_frames, invert=args.invert,
             do_align=not args.no_align,
-            resampler="gather" if args.subsample_align else "mxu",
+            resampler="gather" if args.subsample_align else "mxu3",
             subsample_align=args.subsample_align,
         )
         recon = reconstruct_frames(

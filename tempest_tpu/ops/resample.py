@@ -44,6 +44,7 @@ __all__ = [
     "frame_to_screen_rows",
     "frame_to_screen_mxu",
     "frame_to_screen_mxu3",
+    "frame_to_screen_mxu4",
     "frames_to_screens_mxu",
     "frames_to_screens_aligned",
     "frames_to_screens_fft",
@@ -432,6 +433,103 @@ def frame_to_screen_mxu3(
     )
     return jnp.dot(
         jnp.asarray(blend), z.reshape(num_phases * per_p, w_out),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def frame_to_screen_mxu4(
+    sig: jnp.ndarray,
+    y_t: int,
+    x_t: int,
+    out_shape: tuple[int, int] = RENDER_SIZE,
+    num_phases: int = 64,
+) -> jnp.ndarray:
+    """``mxu3`` with the alignment stage as ONE grouped convolution.
+
+    Same zero-gather structure as :func:`frame_to_screen_mxu3`, but the
+    per-line sub-window shift (``start % 128``) is a depthwise conv whose
+    per-line kernel is a single delta at the line's offset — so lines are
+    selected once, directly in *phase-sorted* order, and the off-sort +
+    regroup matmul of mxu3 disappear:
+
+    1. chunk windows (reshape + shifted concat);
+    2. bf16 one-hot chunk select, rows already in phase-sorted order;
+    3. depthwise delta-kernel conv → aligned spans (one op, no slices);
+    4. per-phase weight einsum;  5. blend matmul.
+    """
+    n_in = sig.shape[0]
+    h_out, w_out = out_shape
+    start, frac, wr, cols, ratio = _screen_geometry(n_in, y_t, x_t, out_shape)
+    span = int(np.ceil(cols[-1] + 1)) + 2
+    span_w = -(-span // 128) * 128
+    win_w = span_w + 128
+    n_chunks_per_win = win_w // 128
+    raw_start = start.reshape(-1)
+    flat_start = np.maximum(raw_start, 0)
+    flat_frac = np.clip(
+        frac.reshape(-1) + (raw_start - flat_start), 0.0, 1.0 - 1e-9
+    )
+    phase = np.minimum((flat_frac * num_phases).astype(np.int64), num_phases - 1)
+    n_lines = 2 * h_out
+
+    weights = np.zeros((num_phases, span_w, w_out), np.float32)
+    for p in range(num_phases):
+        fp = (p + 0.5) / num_phases
+        pos = fp + cols
+        i0 = pos.astype(np.int64)
+        fr = (pos - i0).astype(np.float32)
+        np.add.at(weights[p], (i0, np.arange(w_out)), 1.0 - fr)
+        np.add.at(weights[p], (i0 + 1, np.arange(w_out)), fr)
+
+    chunk = flat_start // 128
+    off = flat_start % 128
+    R = int(chunk.max()) + 1
+
+    slot = np.zeros(n_lines, np.int64)
+    counts = np.zeros(num_phases, np.int64)
+    for e in np.argsort(phase, kind="stable"):
+        slot[e] = counts[phase[e]]
+        counts[phase[e]] += 1
+    per = int(counts.max())
+    G = num_phases * per
+
+    key = phase * per + slot
+    sel = np.zeros((G, R), np.float32)
+    sel[key, chunk] = 1.0
+    delta = np.zeros((G, 1, 129), np.float32)  # (out=G, in/group=1, L)
+    delta[key, 0, off] = 1.0
+    blend = np.zeros((h_out, G), np.float32)
+    rows = np.repeat(np.arange(h_out), 2)
+    coeff = np.stack([1.0 - wr[:, 0], wr[:, 0]], axis=1).reshape(-1)
+    blend[rows, key] += coeff
+
+    pad_len = 128 * (R + n_chunks_per_win)
+    sig_pad = jnp.concatenate(
+        [sig, jnp.broadcast_to(sig[-1], (pad_len - n_in,)).astype(sig.dtype)]
+    )
+    rows128 = sig_pad.reshape(-1, 128)
+    env_w = jnp.concatenate(
+        [rows128[i : R + i] for i in range(n_chunks_per_win)], axis=1
+    )
+    S = jnp.dot(
+        jnp.asarray(sel, jnp.bfloat16), env_w.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )                                              # (G, win_w), phase-sorted
+    aligned = jax.lax.conv_general_dilated(
+        S[None],                                   # (1, G, win_w)
+        jnp.asarray(delta),
+        window_strides=(1,),
+        padding="VALID",
+        feature_group_count=G,
+    )[0][:, :span_w]                               # (G, win_w-128) -> span_w
+    z = jnp.einsum(
+        "pbs,psw->pbw",
+        aligned.reshape(num_phases, per, span_w),
+        jnp.asarray(weights),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.dot(
+        jnp.asarray(blend), z.reshape(G, w_out),
         preferred_element_type=jnp.float32,
     )
 

@@ -52,6 +52,7 @@ from ..ops.resample import (
     frame_to_screen,
     frame_to_screen_mxu,
     frame_to_screen_mxu3,
+    frame_to_screen_mxu4,
     frame_to_screen_rows,
     frames_to_screens_aligned,
     frames_to_screens_fft,
@@ -108,19 +109,21 @@ class ReconstructionConfig:
     # discriminator (reference defines fmDemod, Demodulation.jl:17-23).
     demod: str = "am"
     # Resampler variant, by measured speed on TPU v5e (ms per 6-frame
-    # 1080p60 block): "mxu" per-frame phase-quantised matmuls (10.3-12.3,
-    # DEFAULT), "gather" flat 4-tap gather (21.1), "rows" span gather +
-    # take_along_axis (28.1), "mxu_batched" one cross-frame einsum (31.8 —
-    # relayouts dominate), "aligned" chunk gather + take_along_axis (126 —
-    # per-element gathers are pathological on TPU), "fft" gather-free
-    # spectral line rectification (24.7 ms at the 19.44 Msps smooth rate —
-    # sinc interpolation, correct and compiles fine at 2*3*5-smooth
-    # frame_len, but the big FFTs lose to the matmul formulations),
-    # "mxu2"/"mxu3" matmul-permutation variants (measured ~= mxu: the
-    # permutation row gathers were already cheap; only the envelope span
-    # gather is expensive), "pallas" fused DMA + on-the-fly-weights MXU
+    # 1080p60 block): "mxu3" zero-gather one-hot matmuls + static slices
+    # (9.15, DEFAULT; selection in bf16 — exact selection, the envelope's
+    # f32->bf16 cast costs ~0.4%, far below capture noise), "mxu" per-frame
+    # phase-quantised matmuls with a span gather (10.3; full f32 — use it
+    # when bit-level envelope precision matters), "mxu2" = mxu with a matmul
+    # phase-sort (10.3 — the permutation row gathers were already cheap;
+    # only the envelope span gather is expensive), "gather" flat 4-tap
+    # gather (21.1), "fft" gather-free spectral line rectification (24.7 at
+    # the 19.44 Msps smooth rate — sinc interpolation; needs 2*3*5-smooth
+    # frame_len or XLA lowers a dense DFT), "rows" span gather +
+    # take_along_axis (28.1), "mxu_batched" one cross-frame einsum (31.8),
+    # "aligned" chunk gather + take_along_axis (126 — per-element gathers
+    # are pathological on TPU), "pallas" fused DMA + on-the-fly-weights MXU
     # kernel (interpret-mode off-TPU).
-    resampler: str = "mxu"
+    resampler: str = "mxu3"
     # Column segments per scan line for the batched-mxu resampler: higher
     # values shrink the gathered span (less padding waste) and the per-phase
     # weight matrices (~1/segments² of the HBM traffic).  Must divide
@@ -418,6 +421,9 @@ def process_frames(
             # zero-gather variant: chunk-select/align/regroup as one-hot
             # matmuls + static slices.
             "mxu3": frame_to_screen_mxu3,
+            # mxu3 with the alignment as one depthwise delta-kernel conv
+            # (no slice stack, no regroup matmul).
+            "mxu4": frame_to_screen_mxu4,
         }[config.resampler]
 
         def cut_frame(start, frac=None):

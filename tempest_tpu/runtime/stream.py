@@ -112,7 +112,7 @@ class StreamingRuntime:
             invert=self.invert,
             carry_phase=True,
             input_format="iq_interleaved",
-            resampler="gather" if self.fidelity else "mxu",
+            resampler="gather" if self.fidelity else "mxu3",
             subsample_align=self.fidelity,
             do_align=not self.fidelity,
         )
