@@ -47,7 +47,9 @@ from .ops.resample import (
 )
 from .ops.framesync import (
     frame_sync,
+    frame_sync_subpixel,
     align_frame,
+    align_frame_subpixel,
     blank_scores,
     contrast_scores,
     SyncSpec,

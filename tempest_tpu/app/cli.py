@@ -116,6 +116,7 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
             iq, args.fs, n_frames=args.frames, alpha=alpha,
             invert=args.invert, refine_with_search=args.search,
             rate_min=args.rate_min, rate_max=args.rate_max,
+            align_subpixel=args.subpixel,
         )
         print(f"detected mode: {timing.mode_name} (fv={timing.refresh_hz:.4f} Hz)")
     else:
@@ -126,6 +127,7 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
             do_align=not args.no_align,
             resampler="gather" if args.subsample_align else "mxu3",
             subsample_align=args.subsample_align,
+            align_subpixel=args.subpixel,
         )
         recon = reconstruct_frames(
             iq, config, alpha=0.1 if alpha == "auto" else alpha
@@ -362,6 +364,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "--no-align; explicit --mode only)")
     p.add_argument("--no-align", action="store_true",
                    help="skip per-frame sync alignment (explicit --mode only)")
+    p.add_argument("--subpixel", action="store_true",
+                   help="sub-pixel sync registration (parabolic peak + "
+                        "fractional roll) — shift-and-add accumulation")
     p.add_argument("--search", action="store_true",
                    help="refine the detected mode by sharded sync-score search")
     p.add_argument("--out", default="reconstruction.png")

@@ -44,8 +44,11 @@ __all__ = [
     "blank_scores",
     "contrast_scores",
     "find_blank",
+    "find_blank_subpixel",
     "frame_sync",
+    "frame_sync_subpixel",
     "align_frame",
+    "align_frame_subpixel",
 ]
 
 
@@ -168,6 +171,56 @@ def find_blank(
     return centre, beta.reshape(-1)[flat]
 
 
+def find_blank_subpixel(
+    profile: jnp.ndarray, spec: SyncSpec, method: str = "contrast"
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Best blanking centre with *sub-pixel* refinement: parabolic
+    interpolation of the score around the integer argmax along the centre
+    axis (at the winning width).  Returns ``(centre_f32, score)``.
+
+    The reference stops at the integer ``findmax``
+    (``FrameSynchronisation.jl:66``); with a smoothed profile the contrast
+    score is locally quadratic in the centre, so the 3-point parabola
+    recovers the true blanking position to a fraction of a pixel — the
+    registration accuracy that makes multi-frame sub-pixel accumulation
+    (shift-and-add super-resolution over the EMA) possible."""
+    scores = contrast_scores if method == "contrast" else blank_scores
+    beta = scores(profile, spec)
+    n = spec.n
+    flat = jnp.argmax(beta)
+    row, c = flat // n, flat % n
+    b0 = beta[row, (c - 1) % n]
+    b1 = beta[row, c]
+    b2 = beta[row, (c + 1) % n]
+    denom = b0 - 2.0 * b1 + b2
+    frac = jnp.where(
+        jnp.abs(denom) > 1e-12 * (jnp.abs(b1) + 1e-30),
+        0.5 * (b0 - b2) / denom,
+        0.0,
+    )
+    frac = jnp.clip(frac, -0.5, 0.5)
+    return c.astype(jnp.float32) + frac, b1
+
+
+@partial(jax.jit, static_argnames=("y_min_frac", "x_min_frac", "method"))
+def frame_sync_subpixel(
+    image: jnp.ndarray,
+    y_min_frac: float = 0.01,
+    x_min_frac: float = 0.05,
+    method: str = "contrast",
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """:func:`frame_sync` with parabolic sub-pixel refinement on both axes:
+    returns float32 ``(s_y, s_x, score)``."""
+    y_t, x_t = image.shape
+    row_profile = smooth_profile(jnp.sum(image, axis=1))
+    col_profile = smooth_profile(jnp.sum(image, axis=0))
+    s_y, score_y = find_blank_subpixel(
+        row_profile, sync_spec_for_axis(y_t, y_min_frac), method)
+    s_x, score_x = find_blank_subpixel(
+        col_profile, sync_spec_for_axis(x_t, x_min_frac), method)
+    return s_y, s_x, score_y + score_x
+
+
 @partial(jax.jit, static_argnames=("y_min_frac", "x_min_frac", "method"))
 def frame_sync(
     image: jnp.ndarray,
@@ -194,3 +247,43 @@ def align_frame(image: jnp.ndarray, s_y: jnp.ndarray, s_x: jnp.ndarray) -> jnp.n
     """Roll the blanking position to the image border
     (reference ``GUI.jl:172``: ``circshift(image, (-s_y, -s_x))``)."""
     return jnp.roll(image, shift=(-s_y, -s_x), axis=(0, 1))
+
+
+def _roll_frac(
+    image: jnp.ndarray, s: jnp.ndarray, axis: int, interp: str = "linear"
+) -> jnp.ndarray:
+    """Circular shift by a *fractional* −s along ``axis``: integer roll by
+    −floor(s) blended with neighbouring rolls (2-tap linear or 4-tap
+    Catmull-Rom interpolation — cubic keeps more high-frequency content,
+    which matters when many registered frames are averaged)."""
+    k = jnp.floor(s).astype(jnp.int32)
+    f = (s - k).astype(image.dtype)
+    if interp == "linear":
+        a = jnp.roll(image, shift=-k, axis=axis)
+        b = jnp.roll(image, shift=-(k + 1), axis=axis)
+        return (1.0 - f) * a + f * b
+    # Catmull-Rom weights for taps at offsets (-1, 0, 1, 2) around floor(s).
+    f2, f3 = f * f, f * f * f
+    w0 = 0.5 * (-f3 + 2.0 * f2 - f)
+    w1 = 0.5 * (3.0 * f3 - 5.0 * f2 + 2.0)
+    w2 = 0.5 * (-3.0 * f3 + 4.0 * f2 + f)
+    w3 = 0.5 * (f3 - f2)
+    out = w0 * jnp.roll(image, shift=-(k - 1), axis=axis)
+    out += w1 * jnp.roll(image, shift=-k, axis=axis)
+    out += w2 * jnp.roll(image, shift=-(k + 1), axis=axis)
+    out += w3 * jnp.roll(image, shift=-(k + 2), axis=axis)
+    return out
+
+
+def align_frame_subpixel(
+    image: jnp.ndarray,
+    s_y: jnp.ndarray,
+    s_x: jnp.ndarray,
+    interp: str = "linear",
+) -> jnp.ndarray:
+    """:func:`align_frame` for fractional offsets: separable circular shift
+    with interpolation on each axis.  With sub-pixel sync estimates this
+    registers every frame to the same grid phase before the EMA, so deep
+    averaging accumulates detail instead of blurring across the residual
+    ±0.5-pixel jitter integer rolls leave behind."""
+    return _roll_frac(_roll_frac(image, s_y, 0, interp), s_x, 1, interp)

@@ -16,8 +16,10 @@ from tempest_tpu.ops.autocorr import (
 from tempest_tpu.ops.demod import am_demod, am_demod_power, fm_demod, invert_am_demod
 from tempest_tpu.ops.framesync import (
     align_frame,
+    align_frame_subpixel,
     blank_scores,
     frame_sync,
+    frame_sync_subpixel,
     sync_spec_for_axis,
 )
 from tempest_tpu.ops.resample import (
@@ -276,6 +278,60 @@ def test_align_frame_rolls_blank_to_border():
     # After alignment the blanking centre sits at (0, 0).
     assert aligned[0].mean() > np.median(aligned)
     assert aligned[:, 0].mean() > np.median(aligned)
+
+
+def _image_with_smooth_blank(h, w, cy, cx, sy=4.0, sx=6.0):
+    """Bright field with smooth (Gaussian) dark bands crossing at the
+    fractional centre (cy, cx) — circular on both axes."""
+    yy = np.arange(h)[:, None]
+    xx = np.arange(w)[None, :]
+    dy = (yy - cy + h / 2) % h - h / 2
+    dx = (xx - cx + w / 2) % w - w / 2
+    band_y = np.exp(-0.5 * (dy / sy) ** 2)
+    band_x = np.exp(-0.5 * (dx / sx) ** 2)
+    return (1.0 - 0.8 * np.maximum(band_y, band_x)).astype(np.float32)
+
+
+@pytest.mark.parametrize("cy,cx", [(30.4, 50.7), (70.0, 100.25)])
+def test_frame_sync_subpixel_accuracy(cy, cx):
+    """Parabolic refinement must recover a smooth blanking band's centre to a
+    fraction of a pixel (the integer argmax is only exact to ±0.5)."""
+    img = _image_with_smooth_blank(120, 160, cy, cx)
+    s_y, s_x, score = frame_sync_subpixel(jnp.asarray(img))
+    d_y = abs((float(s_y) - cy + 60) % 120 - 60)
+    d_x = abs((float(s_x) - cx + 80) % 160 - 80)
+    assert d_y < 0.3 and d_x < 0.3, (float(s_y), float(s_x))
+    assert float(score) > 0
+
+
+def test_align_frame_subpixel_integer_matches_roll():
+    img = RNG.standard_normal((24, 32)).astype(np.float32)
+    for interp in ("linear", "cubic"):
+        out = np.asarray(
+            align_frame_subpixel(jnp.asarray(img), jnp.float32(3.0),
+                                 jnp.float32(5.0), interp)
+        )
+        ref = np.asarray(align_frame(jnp.asarray(img), 3, 5))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("interp,tol", [("linear", 0.02), ("cubic", 0.005)])
+def test_align_frame_subpixel_fractional_shift(interp, tol):
+    """A fractional roll of a low-frequency sinusoid must match the analytic
+    shift (linear interpolation attenuates slightly; cubic less)."""
+    h, w = 48, 64
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    sy, sx = 2.6, -1.3
+
+    def field(y0, x0):
+        return (np.cos(2 * np.pi * (yy - y0) / h)
+                * np.cos(2 * np.pi * (xx - x0) / w)).astype(np.float32)
+
+    out = np.asarray(
+        align_frame_subpixel(jnp.asarray(field(0.0, 0.0)), jnp.float32(sy),
+                             jnp.float32(sx), interp)
+    )
+    np.testing.assert_allclose(out, field(-sy, -sx), atol=tol)
 
 
 def test_frame_to_screen_variants_agree():
