@@ -41,14 +41,16 @@ def main() -> None:
     from tempest_tpu.video.modes import ALL_VIDEO_MODES
 
     fs = 20e6
-    # 12-frame blocks: amortise the ~2.9 ms per-block fixed cost (dispatch
+    # 18-frame blocks: amortise the ~2.9 ms per-block fixed cost (dispatch
     # floor + demod edges) over more frames while keeping the remote compile
-    # under 5 minutes (measured 282 s; 36-frame programs compile for ~30 min
-    # on this tunnel).  The default resampler is the zero-gather mxu3 chain.
+    # tolerable (measured: 12f 259.6 Msps @ 282 s compile, 18f 267.3 @ 451 s,
+    # 24f 269.9 @ 569 s — diminishing returns; 36-frame programs compile for
+    # ~30 min on this tunnel).  The default resampler is the zero-gather mxu3
+    # chain.
     config = ReconstructionConfig(
         sample_rate=fs,
         mode=ALL_VIDEO_MODES["1920x1080 @ 60Hz"],
-        n_frames=12,
+        n_frames=18,
         input_format="iq_interleaved",
     )
     step = make_reconstruct_fn(config)

@@ -128,6 +128,37 @@ def main() -> None:
         }
     )
 
+    # 4b. multi-stream batched serving: B independent IQ channels through one
+    # vmapped step (production serving batching; aggregate Msps).
+    from tempest_tpu.pipeline.offline import make_batched_reconstruct_fn
+
+    bsz = 4
+    bstep = make_batched_reconstruct_fn(cfg)
+    biq = jax.device_put(
+        rng.integers(-16384, 16384, (bsz, 2 * cfg.block_samples), dtype=np.int16)
+    )
+    bema0 = jnp.zeros((bsz, *cfg.render_size), jnp.float32)
+
+    def batched_chained():
+        e = bema0
+        for _ in range(args.iters):
+            e, *_ = bstep(biq, e, jnp.float32(0.1))
+        _fence(e[:1, :1, :8])
+
+    batched_chained()  # compile
+    t0 = time.perf_counter()
+    batched_chained()
+    dt = time.perf_counter() - t0
+    msps = bsz * cfg.block_samples * args.iters / dt / 1e6
+    results.append(
+        {
+            "metric": f"batched serving x{bsz} streams 1080p60 (aggregate)",
+            "value": round(msps, 2),
+            "unit": "Msamples/s/chip",
+            "vs_baseline": round(msps / 20.0, 2),
+        }
+    )
+
     # 5. sharded mode search (all devices)
     mesh = make_mesh()
     cands = candidate_modes(60.0, tol_hz=0.5)

@@ -136,6 +136,44 @@ class StreamingRuntime:
         self._mode = new_mode
         self._rebuild()
 
+    # ------------------------------------------------- operator overrides
+    # The reference exposes these as GUI widgets: fv/y_t textboxes
+    # (GUI.jl:463-523), ±1-line buttons (GUI.jl:529-543), and an automatic
+    # video-mode re-match on any change (GUI.jl:568-580).  Here they are
+    # plain methods on the runtime — scriptable, and usable from the stream
+    # CLI or a notebook while the stream runs.
+
+    def set_refresh(self, fv: float) -> None:
+        """Override the refresh rate [Hz], keeping the pixel geometry (the
+        fv textbox, ``GUI.jl:463-484``)."""
+        m = self._mode
+        self.mode = VideoMode(m.width, m.height, float(fv))
+
+    def set_line_count(self, y_t: int) -> None:
+        """Override the total line count, keeping width and refresh (the
+        y_t textbox, ``GUI.jl:487-523``)."""
+        m = self._mode
+        self.mode = VideoMode(m.width, int(y_t), m.refresh)
+
+    def nudge_lines(self, delta: int = 1) -> int:
+        """±N-line nudge (the reference's +1/−1 buttons, ``GUI.jl:529-543``)
+        — the standard manual fix when the image shears.  Returns the new
+        line count."""
+        self.set_line_count(self._mode.height + delta)
+        return self._mode.height
+
+    def snap_to_mode(self) -> str:
+        """Re-match the current (line count, refresh) against the video-mode
+        table and adopt the winner's pixel geometry, keeping the measured
+        refresh (``find_closest_configuration`` on any change,
+        ``GUI.jl:568-580``).  Returns the matched mode name."""
+        from ..video.modes import find_closest_mode
+
+        m = self._mode
+        name, best = find_closest_mode(m.height, m.refresh)
+        self.mode = VideoMode(best.width, best.height, m.refresh)
+        return name
+
     def set_fidelity(self, on: bool) -> None:
         """Hot-swap between the throughput chain (mxu resampler + per-frame
         sync) and the fidelity chain (sub-sample-exact cuts, sync skipped).

@@ -167,6 +167,31 @@ def test_streaming_runtime_correlate_hotswap():
         rt.stop()
 
 
+def test_streaming_operator_overrides():
+    """The reference GUI's manual overrides (fv/y_t textboxes, ±1-line
+    buttons, auto mode re-match — GUI.jl:463-580) as runtime methods."""
+    block = int(FS * 0.1)
+    src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=4)
+    rt = StreamingRuntime(src, MODE, alpha=0.5)
+    rt.set_refresh(59.94)
+    assert abs(rt.mode.refresh - 59.94) < 1e-9
+    assert rt.mode.height == MODE.height
+    assert rt.nudge_lines(+1) == MODE.height + 1
+    rt.nudge_lines(-1)
+    assert rt.mode.height == MODE.height
+    rt.set_line_count(MODE.height + 2)  # slightly off -> snaps back
+    name = rt.snap_to_mode()
+    assert name == "640x480 @ 60Hz"
+    assert rt.mode.height == MODE.height
+    assert abs(rt.mode.refresh - 59.94) < 1e-9  # measured refresh kept
+    # The swapped program still runs.
+    rt.start()
+    try:
+        rt.process_blocks(1)
+    finally:
+        rt.stop()
+
+
 def test_streaming_runtime_record(tmp_path):
     block = 4096
     src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=5)
