@@ -48,10 +48,45 @@ from ..video.modes import VideoMode
 
 __all__ = [
     "sharded_reconstruct_fn",
+    "sharded_batched_reconstruct_fn",
     "sharded_mode_search",
     "sharded_mode_search_2d",
     "ModeSearchResult",
 ]
+
+
+def sharded_batched_reconstruct_fn(
+    config: ReconstructionConfig,
+    mesh: Mesh,
+    axis: str = "blocks",
+):
+    """Serving parallelism: B independent IQ streams (different carriers,
+    antennas, targets), batch axis sharded across the mesh — each device
+    runs the full single-stream chain on its slice of the streams, with no
+    cross-device traffic at all (embarrassingly parallel; contrast
+    :func:`sharded_reconstruct_fn`, which splits ONE stream's timeline and
+    needs halo + EMA-combine collectives).
+
+    Returns ``step(iq[B, ...], ema[B, h, w], alpha)`` like
+    ``make_batched_reconstruct_fn``; B must be a multiple of the mesh size.
+    No reference counterpart (it is a single-stream desktop app).
+    """
+    from ..pipeline.offline import make_batched_reconstruct_fn
+
+    inner = make_batched_reconstruct_fn(config)
+    stream = NamedSharding(mesh, P(axis))       # leading stream axis sharded
+    repl = NamedSharding(mesh, P())
+
+    def step(iq, ema, alpha):
+        iq = jax.lax.with_sharding_constraint(iq, stream)
+        ema = jax.lax.with_sharding_constraint(ema, stream)
+        return inner(iq, ema, alpha)
+
+    return jax.jit(
+        step,
+        in_shardings=(stream, stream, repl),
+        out_shardings=(stream, stream, stream, stream),
+    )
 
 
 def sharded_reconstruct_fn(

@@ -206,6 +206,33 @@ def test_subsample_align_improves_psnr():
     assert p_sub > p_base + 0.3, (p_base, p_sub)
 
 
+def test_sharded_batched_serving_matches_single_device():
+    """Stream-axis sharding (8 streams over 8 devices) must equal the
+    unsharded vmapped step — serving parallelism has no cross-device math."""
+    from tempest_tpu.parallel.sharded import sharded_batched_reconstruct_fn
+    from tempest_tpu.pipeline.offline import make_batched_reconstruct_fn
+
+    mesh = make_mesh(8)
+    cfg = ReconstructionConfig(
+        sample_rate=FS, mode=MODE, n_frames=2, input_format="iq_interleaved"
+    )
+    n = cfg.block_samples
+    iq = np.stack([
+        tt.generate_iq(MODE, FS, n, snr_db=25.0, seed=s).iq[:n].view(np.float32)
+        for s in range(8)
+    ])
+    ema0 = np.zeros((8, 600, 800), np.float32)
+    sharded = sharded_batched_reconstruct_fn(cfg, mesh)
+    iq_dev = jax.device_put(
+        jnp.asarray(iq), NamedSharding(mesh, P("blocks", None)))
+    ema_s, frames_s, *_ = sharded(iq_dev, jnp.asarray(ema0), jnp.float32(0.5))
+    plain = make_batched_reconstruct_fn(cfg)
+    ema_p, frames_p, *_ = plain(
+        jnp.asarray(iq), jnp.asarray(ema0), jnp.float32(0.5))
+    np.testing.assert_allclose(np.asarray(ema_s), np.asarray(ema_p), atol=1e-4)
+    assert frames_s.shape == frames_p.shape
+
+
 def test_align_subpixel_improves_psnr():
     """Sub-pixel sync registration (parabolic peak + fractional roll) must
     beat integer circshift alignment on a noisy moderately-averaged capture:
