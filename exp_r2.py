@@ -38,7 +38,10 @@ def run_variant(name, cfg, fs, iters=12):
     step = make_reconstruct_fn(cfg)
     rng = np.random.default_rng(0)
     n = cfg.block_samples
-    iq = jax.device_put(rng.integers(-16384, 16384, 2 * n, dtype=np.int16))
+    words = rng.integers(-16384, 16384, 2 * n, dtype=np.int16)
+    if cfg.input_format == "iq_planar":
+        words = np.ascontiguousarray(words.reshape(-1, 2).T)
+    iq = jax.device_put(words)
     ema = jnp.zeros(cfg.render_size, jnp.float32)
     alpha = jnp.float32(0.1)
 
@@ -78,9 +81,8 @@ def main():
     mode = ALL_VIDEO_MODES["1920x1080 @ 60Hz"]
 
     def cfg(fs=20e6, **kw):
-        return ReconstructionConfig(
-            sample_rate=fs, mode=mode, input_format="iq_interleaved", **kw
-        )
+        kw.setdefault("input_format", "iq_interleaved")
+        return ReconstructionConfig(sample_rate=fs, mode=mode, **kw)
 
     variants = {
         # Default config re-measure (round-1 baseline: 10.3 ms / 194 Msps) —
@@ -92,9 +94,20 @@ def main():
         # matmuls / static slices.
         "mxu3_6f": (cfg(n_frames=6, resampler="mxu3"), 20e6),
         "mxu3_12f": (cfg(n_frames=12, resampler="mxu3"), 20e6),
+        # host-planar ingest: device does only contiguous elementwise demod.
+        "mxu3_12f_planar": (
+            cfg(n_frames=12, resampler="mxu3", input_format="iq_planar"),
+            20e6),
+        "mxu3_18f_planar": (
+            cfg(n_frames=18, resampler="mxu3", input_format="iq_planar"),
+            20e6),
         "mxu4_12f": (cfg(n_frames=12, resampler="mxu4"), 20e6),
         "mxu3_18f": (cfg(n_frames=18, resampler="mxu3"), 20e6),
         "mxu3_24f": (cfg(n_frames=24, resampler="mxu3"), 20e6),
+        "mxu3_36f": (cfg(n_frames=36, resampler="mxu3"), 20e6),
+        "mxu3_24f_planar": (
+            cfg(n_frames=24, resampler="mxu3", input_format="iq_planar"),
+            20e6),
         # attribution: mxu3 without the sync stage.
         "mxu3_6f_nosync": (
             cfg(n_frames=6, resampler="mxu3", do_align=False), 20e6),

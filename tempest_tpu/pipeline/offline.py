@@ -45,7 +45,16 @@ from ..ops.autocorr import (
     estimate_snr,
     suggest_alpha,
 )
-from ..ops.demod import am_demod, am_envelope_from_iq, fm_demod, fm_demod_from_iq
+from ..ops.demod import (
+    am_demod,
+    am_envelope_from_iq,
+    am_envelope_from_iq_planar,
+    am_power_from_iq,
+    fm_demod,
+    fm_demod_from_iq,
+    fm_demod_from_iq_planar,
+    to_planar_iq,
+)
 from ..ops.framesync import (
     align_frame,
     align_frame_subpixel,
@@ -119,7 +128,12 @@ class ReconstructionConfig:
     align_interp: str = "linear"
     # "complex64": iq is complex [block_samples];
     # "iq_interleaved": iq is int16/float32 [2*block_samples] raw I/Q words —
-    # half the host->device bandwidth, no complex math on device.
+    # half the host->device bandwidth, no complex math on device;
+    # "iq_planar": iq is int16/float32 [2, block_samples] (row 0 = I) — the
+    # interleaved words de-interleaved on the HOST (ops.demod.to_planar_iq),
+    # so the device does only contiguous elementwise demod (the on-device
+    # stride-2 de-interleave lowers pathologically on TPU: measured ~21.6 ms
+    # standalone / ~7 ms in-chain per 4M-sample block vs ~1 ms planar).
     input_format: str = "complex64"
     # Demodulator: "am" envelope (the TEMPEST standard) or "fm"
     # discriminator (reference defines fmDemod, Demodulation.jl:17-23).
@@ -216,8 +230,7 @@ def _timing_kernel(iq: jnp.ndarray, fs: float, corr_seconds: float,
                    interleaved: bool = False,
                    rate_min: float = 50.0, rate_max: float = 90.0):
     if interleaved:
-        ri = iq.reshape(-1, 2).astype(jnp.float32)
-        env = ri[:, 0] ** 2 + ri[:, 1] ** 2
+        env = am_power_from_iq(iq)
     else:
         env = jnp.real(iq) ** 2 + jnp.imag(iq) ** 2  # |z|^2 envelope (GUI.jl:70)
     gamma, _ = autocorrelation(env, fs, 0.0, corr_seconds)
@@ -295,8 +308,7 @@ def _evidence_kernel(iq: jnp.ndarray, fs: float, corr_seconds: float,
                      interleaved: bool,
                      rate_min: float, rate_max: float):
     if interleaved:
-        ri = iq.reshape(-1, 2).astype(jnp.float32)
-        env = ri[:, 0] ** 2 + ri[:, 1] ** 2
+        env = am_power_from_iq(iq)
     else:
         env = jnp.real(iq) ** 2 + jnp.imag(iq) ** 2
     gamma, _ = autocorrelation(env, fs, 0.0, corr_seconds)
@@ -352,7 +364,12 @@ def timing_evidence(
 
 def demodulate(iq: jnp.ndarray, config: ReconstructionConfig) -> jnp.ndarray:
     """Demodulation stage shared by the single-chip and sharded pipelines."""
-    if config.input_format == "iq_interleaved":
+    if config.input_format == "iq_planar":
+        env = (
+            fm_demod_from_iq_planar(iq) if config.demod == "fm"
+            else am_envelope_from_iq_planar(iq)
+        )
+    elif config.input_format == "iq_interleaved":
         env = (
             fm_demod_from_iq(iq) if config.demod == "fm"
             else am_envelope_from_iq(iq)
@@ -582,6 +599,11 @@ def reconstruct_frames(
     Host complex64 input is reinterpreted as interleaved float32 (zero-copy
     view) and run through the interleaved kernel, keeping the host→device
     boundary real (see ``estimate_timing``)."""
+    if config.input_format == "iq_planar" and (
+        getattr(iq, "ndim", 1) == 1
+    ):
+        # Host-side de-interleave of complex or interleaved-word input.
+        iq = to_planar_iq(np.asarray(iq))
     if config.input_format == "complex64" and not (
         isinstance(iq, np.ndarray) and np.iscomplexobj(iq)
         or jnp.iscomplexobj(iq)
@@ -607,9 +629,19 @@ def reconstruct_frames(
     if config.input_format == "iq_interleaved":
         n *= 2  # raw I/Q words, two per complex sample
     iq = jnp.asarray(iq)
-    if iq.shape[0] < n:
-        raise ValueError(f"need {n} samples for {config.n_frames} frames, got {iq.shape[0]}")
-    ema_out, frames, sync, score = step(iq[:n], ema0, jnp.float32(alpha))
+    if config.input_format == "iq_planar":
+        if iq.shape[-1] < n:
+            raise ValueError(
+                f"need {n} samples for {config.n_frames} frames, got {iq.shape[-1]}"
+            )
+        block = iq[:, :n]
+    else:
+        if iq.shape[0] < n:
+            raise ValueError(
+                f"need {n} samples for {config.n_frames} frames, got {iq.shape[0]}"
+            )
+        block = iq[:n]
+    ema_out, frames, sync, score = step(block, ema0, jnp.float32(alpha))
     return Reconstruction(
         image=np.asarray(ema_out),
         frames=np.asarray(frames),

@@ -435,6 +435,44 @@ def test_fm_demod_from_iq_matches_complex():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+@pytest.mark.parametrize("n", [64, 500, 4096, 333])  # incl. non-128-multiples
+def test_iq_ingest_formulations_match_oracle(n):
+    """The one-hot-matmul de-interleave kernels (am_envelope_from_iq,
+    am_power_from_iq, fm_demod_from_iq, planar variants) must equal the
+    direct numpy computation for any length."""
+    from tempest_tpu.ops.demod import (
+        am_envelope_from_iq,
+        am_envelope_from_iq_planar,
+        am_power_from_iq,
+        fm_demod_from_iq,
+        fm_demod_from_iq_planar,
+        to_planar_iq,
+    )
+
+    words = RNG.integers(-16384, 16384, 2 * n).astype(np.int16)
+    i = words[0::2].astype(np.float64)
+    q = words[1::2].astype(np.float64)
+    env_ref = np.sqrt(i * i + q * q)
+    np.testing.assert_allclose(
+        np.asarray(am_envelope_from_iq(jnp.asarray(words))), env_ref,
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(am_power_from_iq(jnp.asarray(words))), i * i + q * q,
+        rtol=1e-6)
+    planar = to_planar_iq(words)
+    assert planar.shape == (2, n) and planar.flags["C_CONTIGUOUS"]
+    np.testing.assert_allclose(
+        np.asarray(am_envelope_from_iq_planar(jnp.asarray(planar))), env_ref,
+        rtol=1e-6)
+    z = i + 1j * q
+    fm_ref = np.concatenate([[0.0], np.angle(z[1:] * np.conj(z[:-1]))])
+    np.testing.assert_allclose(
+        np.asarray(fm_demod_from_iq(jnp.asarray(words))), fm_ref, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(fm_demod_from_iq_planar(jnp.asarray(planar))), fm_ref,
+        atol=1e-5)
+
+
 def test_frames_to_screens_aligned_matches_reference():
     from tempest_tpu.ops.resample import frames_to_screens_aligned
 

@@ -233,6 +233,23 @@ def test_sharded_batched_serving_matches_single_device():
     assert frames_s.shape == frames_p.shape
 
 
+def test_planar_input_format_matches_interleaved():
+    """input_format='iq_planar' (host de-interleave, contiguous device demod)
+    must reproduce the interleaved pipeline exactly."""
+    cap = _capture(0.2)
+    cfg = ReconstructionConfig(
+        sample_rate=FS, mode=MODE, n_frames=3, input_format="iq_interleaved"
+    )
+    words = cap.iq.view(np.float32)
+    rec_i = reconstruct_frames(words, cfg, alpha=0.5)
+    import dataclasses
+
+    cfg_p = dataclasses.replace(cfg, input_format="iq_planar")
+    rec_p = reconstruct_frames(words, cfg_p, alpha=0.5)  # auto-planarised
+    np.testing.assert_allclose(rec_p.image, rec_i.image, atol=1e-5)
+    np.testing.assert_array_equal(rec_p.sync, rec_i.sync)
+
+
 def test_align_subpixel_improves_psnr():
     """Sub-pixel sync registration (parabolic peak + fractional roll) must
     beat integer circshift alignment on a noisy moderately-averaged capture:
