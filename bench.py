@@ -41,16 +41,15 @@ def main() -> None:
     from tempest_tpu.video.modes import ALL_VIDEO_MODES
 
     fs = 20e6
-    # 18-frame blocks: amortise the ~2.9 ms per-block fixed cost (dispatch
-    # floor + demod edges) over more frames while keeping the remote compile
-    # tolerable (measured: 12f 259.6 Msps @ 282 s compile, 18f 267.3 @ 451 s,
-    # 24f 269.9 @ 569 s — diminishing returns; 36-frame programs compile for
-    # ~30 min on this tunnel).  The default resampler is the zero-gather mxu3
-    # chain.
+    # 36-frame blocks (0.6 s of signal).  After the ingest rewire (the int16
+    # de-interleave as one-hot lane matmuls) both runtime and compile fell
+    # sharply: 12f 4.22 ms = 947 Msps @ 92 s compile, 18f 1068 @ 79 s,
+    # 24f 1126 @ 75 s, 36f 9.39 ms = 1277 Msps @ 65 s.  The default
+    # resampler is the zero-gather mxu3 chain.
     config = ReconstructionConfig(
         sample_rate=fs,
         mode=ALL_VIDEO_MODES["1920x1080 @ 60Hz"],
-        n_frames=18,
+        n_frames=36,
         input_format="iq_interleaved",
     )
     step = make_reconstruct_fn(config)

@@ -105,6 +105,9 @@ def main():
         "mxu3_18f": (cfg(n_frames=18, resampler="mxu3"), 20e6),
         "mxu3_24f": (cfg(n_frames=24, resampler="mxu3"), 20e6),
         "mxu3_36f": (cfg(n_frames=36, resampler="mxu3"), 20e6),
+        "mxu3_72f": (cfg(n_frames=72, resampler="mxu3"), 20e6),
+        "mxu3_36f_nosync": (
+            cfg(n_frames=36, resampler="mxu3", do_align=False), 20e6),
         "mxu3_24f_planar": (
             cfg(n_frames=24, resampler="mxu3", input_format="iq_planar"),
             20e6),
