@@ -108,6 +108,13 @@ def main():
         "mxu3_72f": (cfg(n_frames=72, resampler="mxu3"), 20e6),
         "mxu3_36f_nosync": (
             cfg(n_frames=36, resampler="mxu3", do_align=False), 20e6),
+        # fidelity chain (sub-sample-exact cuts) at the new ingest.
+        "gather_12f_subsample": (
+            cfg(n_frames=12, resampler="gather", subsample_align=True,
+                do_align=False), 20e6),
+        # subpixel registration cost on the throughput chain.
+        "mxu3_12f_subpixel": (
+            cfg(n_frames=12, resampler="mxu3", align_subpixel=True), 20e6),
         "mxu3_24f_planar": (
             cfg(n_frames=24, resampler="mxu3", input_format="iq_planar"),
             20e6),
