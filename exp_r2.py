@@ -108,6 +108,14 @@ def main():
         "mxu3_72f": (cfg(n_frames=72, resampler="mxu3"), 20e6),
         "mxu3_36f_nosync": (
             cfg(n_frames=36, resampler="mxu3", do_align=False), 20e6),
+        # weight-streaming levers on the now-dominant resample stage.
+        "mxu3_36f_bf16w": (
+            cfg(n_frames=36, resampler="mxu3", einsum_bf16=True), 20e6),
+        "mxu3_36f_p32": (
+            cfg(n_frames=36, resampler="mxu3", num_phases=32), 20e6),
+        "mxu3_36f_p32_bf16w": (
+            cfg(n_frames=36, resampler="mxu3", num_phases=32,
+                einsum_bf16=True), 20e6),
         # fidelity chain (sub-sample-exact cuts) at the new ingest.
         "gather_12f_subsample": (
             cfg(n_frames=12, resampler="gather", subsample_align=True,

@@ -332,6 +332,7 @@ def frame_to_screen_mxu3(
     x_t: int,
     out_shape: tuple[int, int] = RENDER_SIZE,
     num_phases: int = 64,
+    einsum_bf16: bool = False,
 ) -> jnp.ndarray:
     """``frame_to_screen`` v4: ZERO gathers — every data movement is a
     reshape, a static slice, or a (one-hot) matmul.
@@ -427,10 +428,21 @@ def frame_to_screen_mxu3(
     regrouped = jnp.dot(
         jnp.asarray(reg), aligned, preferred_element_type=jnp.float32
     ).reshape(num_phases, per_p, span_w)
-    z = jnp.einsum(
-        "pbs,psw->pbw", regrouped, jnp.asarray(weights),
-        preferred_element_type=jnp.float32,
-    )
+    # The per-phase weight tensor is the stage's HBM traffic driver
+    # (num_phases * span_w * w_out f32 ≈ 78 MB per frame at 1080p);
+    # einsum_bf16 halves it (weights are interpolation coefficients in
+    # [0, 1] — the bf16 rounding is ~0.2%, below capture noise).
+    if einsum_bf16:
+        z = jnp.einsum(
+            "pbs,psw->pbw", regrouped.astype(jnp.bfloat16),
+            jnp.asarray(weights.astype(np.float32)).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        z = jnp.einsum(
+            "pbs,psw->pbw", regrouped, jnp.asarray(weights),
+            preferred_element_type=jnp.float32,
+        )
     return jnp.dot(
         jnp.asarray(blend), z.reshape(num_phases * per_p, w_out),
         preferred_element_type=jnp.float32,

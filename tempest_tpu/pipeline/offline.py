@@ -159,6 +159,14 @@ class ReconstructionConfig:
     # weight matrices (~1/segments² of the HBM traffic).  Must divide
     # render_size[1].
     segments: int = 1
+    # Fractional-phase quantisation of the mxu resamplers: the envelope's
+    # sub-sample cut offset is rounded to 1/num_phases of a sample (64 →
+    # ±1/128 sample ≈ ±0.02 render px at 1080p).  Halving it halves the
+    # per-phase weight tensor — the resample stage's HBM traffic driver.
+    num_phases: int = 64
+    # bf16 operands for the interpolation einsum (f32 accumulation): halves
+    # the weight streaming at ~0.2% coefficient rounding (mxu3 only).
+    einsum_bf16: bool = False
     # Per-frame loop structure for the per-frame resamplers ("gather", "rows",
     # "mxu"): "vmap" batches all frames into wide ops; "scan" compiles the
     # per-frame chain once and iterates.  MEASURED (v5e, remote tunnel): scan
@@ -451,19 +459,21 @@ def process_frames(
             interpret=jax.default_backend() != "tpu",
         )
     else:
+        np_ = config.num_phases
         resample = {
             "gather": frame_to_screen,
             "rows": frame_to_screen_rows,
-            "mxu": frame_to_screen_mxu,
+            "mxu": partial(frame_to_screen_mxu, num_phases=np_),
             # mxu with the phase-sort permutation as a one-hot matmul
             # instead of a row gather.
-            "mxu2": partial(frame_to_screen_mxu, perm="einsum"),
+            "mxu2": partial(frame_to_screen_mxu, num_phases=np_, perm="einsum"),
             # zero-gather variant: chunk-select/align/regroup as one-hot
             # matmuls + static slices.
-            "mxu3": frame_to_screen_mxu3,
+            "mxu3": partial(frame_to_screen_mxu3, num_phases=np_,
+                            einsum_bf16=config.einsum_bf16),
             # mxu3 with the alignment as one depthwise delta-kernel conv
             # (no slice stack, no regroup matmul).
-            "mxu4": frame_to_screen_mxu4,
+            "mxu4": partial(frame_to_screen_mxu4, num_phases=np_),
         }[config.resampler]
 
         def cut_frame(start, frac=None):

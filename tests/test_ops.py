@@ -424,6 +424,24 @@ def test_frames_to_screens_fft_agrees_with_gather():
         assert np.abs(ref - got[f])[2:-2].max() / scale < 5e-3
 
 
+def test_mxu3_einsum_bf16_and_phase_count_close():
+    """The weight-streaming levers (bf16 einsum operands, halved phase
+    count) must stay within fractions of a percent of the f32/64-phase
+    output even on white-noise input (the worst case for phase
+    quantisation)."""
+    from tempest_tpu.ops.resample import frame_to_screen_mxu3
+
+    sig = jnp.asarray(RNG.random(66666).astype(np.float32))
+    a = np.asarray(frame_to_screen_mxu3(sig, 525, 800, (600, 800)))
+    scale = a.max() - a.min()
+    b = np.asarray(frame_to_screen_mxu3(sig, 525, 800, (600, 800),
+                                        einsum_bf16=True))
+    assert np.abs(a - b).max() / scale < 5e-3
+    c = np.asarray(frame_to_screen_mxu3(sig, 525, 800, (600, 800),
+                                        num_phases=32))
+    assert np.abs(a - c).max() / scale < 2e-2
+
+
 def test_fm_demod_from_iq_matches_complex():
     from tempest_tpu.ops.demod import fm_demod_from_iq
 
