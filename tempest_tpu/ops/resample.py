@@ -435,7 +435,7 @@ def frame_to_screen_mxu3(
     if einsum_bf16:
         z = jnp.einsum(
             "pbs,psw->pbw", regrouped.astype(jnp.bfloat16),
-            jnp.asarray(weights.astype(np.float32)).astype(jnp.bfloat16),
+            jnp.asarray(weights, jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )
     else:
