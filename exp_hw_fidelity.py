@@ -24,11 +24,17 @@ def record(row):
 
 
 def main():
+    import dataclasses
+
     import jax.numpy as jnp
 
     import tempest_tpu as tt
     from tempest_tpu.ops.resample import downgrade_image
-    from tempest_tpu.pipeline.offline import auto_reconstruct
+    from tempest_tpu.pipeline.offline import (
+        ReconstructionConfig,
+        estimate_timing,
+        reconstruct_frames,
+    )
     from tempest_tpu.render.screen import aligned_psnr
 
     mode = tt.ALL_VIDEO_MODES["1920x1080 @ 60Hz"]
@@ -36,14 +42,28 @@ def main():
     cap = tt.generate_iq(mode, fs, int(fs * 0.25), snr_db=18.0, seed=33)
     truth = np.asarray(downgrade_image(jnp.asarray(cap.frame)))
 
-    for name, kw in (("int_roll", {}), ("subpixel", {"align_subpixel": True})):
+    timing = estimate_timing(cap.iq, fs)
+    record({"hw_fidelity": "timing", "mode": timing.mode_name,
+            "fv": round(timing.refresh_hz, 6)})
+    base = ReconstructionConfig(
+        sample_rate=fs, mode=timing.mode, n_frames=14)
+    for name, kw in (
+        ("int_roll", {}),
+        ("subpixel", {"align_subpixel": True}),
+        ("int_roll_f32mxu", {"resampler": "mxu"}),
+        ("exact_cuts", {"resampler": "mxu3", "subsample_align": True,
+                        "do_align": False}),
+    ):
+        cfg = dataclasses.replace(base, **kw)
         t0 = time.perf_counter()
-        timing, recon = auto_reconstruct(cap.iq, fs, alpha=0.5, **kw)
+        recon = reconstruct_frames(cap.iq, cfg, alpha=0.5)
         wall = time.perf_counter() - t0
         db, _ = aligned_psnr(truth, recon.image)
+        fracs = np.abs(recon.sync - np.round(recon.sync)).mean()
         record({
-            "hw_fidelity": name, "mode": timing.mode_name,
-            "fv": round(timing.refresh_hz, 5), "psnr_db": round(db, 2),
+            "hw_fidelity": name, "psnr_db": round(float(db), 4),
+            "sync_dtype": str(recon.sync.dtype),
+            "mean_frac": round(float(fracs), 4),
             "wall_s": round(wall, 1),
         })
 

@@ -120,6 +120,13 @@ def main():
         "gather_12f_subsample": (
             cfg(n_frames=12, resampler="gather", subsample_align=True,
                 do_align=False), 20e6),
+        # exact cuts on the mxu3 matmul tables (block-level, static offsets).
+        "mxu3_12f_exact": (
+            cfg(n_frames=12, resampler="mxu3", subsample_align=True,
+                do_align=False), 20e6),
+        "mxu3_36f_exact": (
+            cfg(n_frames=36, resampler="mxu3", subsample_align=True,
+                do_align=False), 20e6),
         # subpixel registration cost on the throughput chain.
         "mxu3_12f_subpixel": (
             cfg(n_frames=12, resampler="mxu3", align_subpixel=True), 20e6),

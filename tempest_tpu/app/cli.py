@@ -125,7 +125,9 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
         config = ReconstructionConfig(
             sample_rate=args.fs, mode=mode, n_frames=n_frames, invert=args.invert,
             do_align=not args.no_align,
-            resampler="gather" if args.subsample_align else "mxu3",
+            # Exact cuts run on the mxu3 matmul tables offline (static
+            # offsets); only the streaming carry-phase path needs 'gather'.
+            resampler="mxu3",
             subsample_align=args.subsample_align,
             align_subpixel=args.subpixel,
         )

@@ -46,6 +46,7 @@ __all__ = [
     "frame_to_screen_mxu3",
     "frame_to_screen_mxu4",
     "frames_to_screens_mxu",
+    "frames_to_screens_mxu3_exact",
     "frames_to_screens_aligned",
     "frames_to_screens_fft",
     "frame_to_screen_dynamic",
@@ -686,6 +687,157 @@ def frames_to_screens_mxu(
     )
     wr = jnp.asarray(plan["wr"])[None]                         # (1, h, 1)
     return lines[:, :, 0, :] * (1.0 - wr) + lines[:, :, 1, :] * wr
+
+
+def frames_to_screens_mxu3_exact(
+    env: jnp.ndarray,
+    frame_starts: np.ndarray,
+    frac_offsets: np.ndarray,
+    frame_len: int,
+    y_t: int,
+    x_t: int,
+    out_shape: tuple[int, int] = RENDER_SIZE,
+    num_phases: int = 64,
+    einsum_bf16: bool = False,
+) -> jnp.ndarray:
+    """Block-level ``mxu3`` with *sub-sample-exact* frame cuts: each frame's
+    static fractional boundary residual (``frac_offsets[f]`` ∈ [0, 1)) is
+    folded into that frame's host-built geometry tables, so the exact-cut
+    fidelity mode runs at full matmul speed instead of falling back to the
+    4-tap gather resampler (measured 177 vs 947 Msps at 12 frames on v5e).
+
+    Requires static (host-known) starts and offsets — the offline
+    ``subsample_align`` path (``carry_phase=False``).  The interpolation
+    weight tensor is shared across frames (it depends only on the phase
+    quantisation); the per-frame offset only re-assigns lines to chunk /
+    alignment / phase groups, i.e. changes the cheap one-hot select /
+    regroup / blend matrices, which are stacked and applied as batched
+    matmuls.
+    """
+    h_out, w_out = out_shape
+    F = len(frame_starts)
+    starts_np = np.asarray(frame_starts, np.int64)
+    offs_np = np.asarray(frac_offsets, np.float64)
+    n_lines = 2 * h_out
+
+    # Shared geometry pieces (offset-independent).
+    base_start, base_frac, wr, cols, _ = _screen_geometry(
+        frame_len, y_t, x_t, out_shape)
+    span = int(np.ceil(cols[-1] + 1)) + 2
+    span_w = -(-span // 128) * 128
+    win_w = span_w + 128
+    n_chunks_per_win = win_w // 128
+
+    weights = np.zeros((num_phases, span_w, w_out), np.float32)
+    for p in range(num_phases):
+        fp = (p + 0.5) / num_phases
+        pos = fp + cols
+        i0 = pos.astype(np.int64)
+        fr = (pos - i0).astype(np.float32)
+        np.add.at(weights[p], (i0, np.arange(w_out)), 1.0 - fr)
+        np.add.at(weights[p], (i0 + 1, np.arange(w_out)), fr)
+
+    def pack(keys, n_keys):
+        slot = np.zeros(n_lines, np.int64)
+        counts = np.zeros(n_keys, np.int64)
+        for e in np.argsort(keys, kind="stable"):
+            slot[e] = counts[keys[e]]
+            counts[keys[e]] += 1
+        return slot, int(counts.max())
+
+    # Per-frame groupings (the fractional offset shifts every line position
+    # by the same sub-sample amount; starts/phases re-derive per frame).
+    per_frame = []
+    R = 0
+    per_o = per_p = 0
+    a_base = base_start.reshape(-1).astype(np.float64) + base_frac.reshape(-1)
+    for f in range(F):
+        a = a_base + offs_np[f]
+        flat_start = np.maximum(np.floor(a).astype(np.int64), 0)
+        flat_frac = np.clip(a - flat_start, 0.0, 1.0 - 1e-9)
+        phase = np.minimum((flat_frac * num_phases).astype(np.int64),
+                           num_phases - 1)
+        chunk = flat_start // 128
+        off = flat_start % 128
+        slot_o, po = pack(off, 128)
+        slot_p, pp = pack(phase, num_phases)
+        per_frame.append((chunk, off, phase, slot_o, slot_p))
+        R = max(R, int(chunk.max()) + 1)
+        per_o, per_p = max(per_o, po), max(per_p, pp)
+
+    # The dense per-frame one-hot tables total hundreds of MB at F=12+
+    # (sel F×1280×R f32 alone is 160 MB) — too large to ship as program
+    # constants through a remote-compile tunnel (HTTP 413 measured).  Ship
+    # only small integer index tables and build the one-hots ON DEVICE with
+    # broadcast compares (XLA folds or fuses them; values are exact).
+    G_o = 128 * per_o
+    G_p = num_phases * per_p
+    sel_src = np.full((F, G_o), -1, np.int32)        # slot -> chunk index
+    reg_src = np.full((F, G_p), -1, np.int32)        # phase slot -> o-slot
+    blend_idx = np.zeros((F, n_lines), np.int32)     # line tap -> phase slot
+    coeff = np.stack([1.0 - wr[:, 0], wr[:, 0]], axis=1).reshape(-1)
+    for f, (chunk, off, phase, slot_o, slot_p) in enumerate(per_frame):
+        sel_src[f, off * per_o + slot_o] = chunk
+        reg_src[f, phase * per_p + slot_p] = off * per_o + slot_o
+        blend_idx[f] = phase * per_p + slot_p
+
+    def onehot(src, n, dtype):
+        return (jnp.asarray(src)[..., None]
+                == jnp.arange(n, dtype=jnp.int32)).astype(dtype)
+
+    sel = onehot(sel_src, R, jnp.bfloat16)                  # (F, G_o, R)
+    reg = onehot(reg_src, G_o, jnp.float32)                 # (F, G_p, G_o)
+    # blend carries the vertical-blend coefficients on its two taps/row.
+    blend = jnp.einsum(
+        "l,flg->flg", jnp.asarray(coeff, jnp.float32),
+        onehot(blend_idx, G_p, jnp.float32),
+    ).reshape(F, h_out, 2, G_p).sum(axis=2)                 # (F, h, G_p)
+
+    # Batched compute: cut (static slices) → windows → select → align →
+    # regroup → shared-weight einsum → blend.
+    pad_len = 128 * (R + n_chunks_per_win)
+    frames_sig = jnp.stack([
+        jax.lax.dynamic_slice(env, (int(s),), (frame_len,))
+        for s in starts_np
+    ])
+    frames_sig = jnp.concatenate(
+        [frames_sig,
+         jnp.broadcast_to(frames_sig[:, -1:], (F, pad_len - frame_len))],
+        axis=1,
+    )
+    rows128 = frames_sig.reshape(F, -1, 128)
+    env_w = jnp.concatenate(
+        [rows128[:, i : R + i] for i in range(n_chunks_per_win)], axis=2
+    )                                                    # (F, R, win_w)
+    S = jnp.einsum(
+        "fgr,frw->fgw", sel,
+        env_w.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
+    ).reshape(F, 128, per_o, win_w)
+    aligned = jnp.concatenate(
+        [jax.lax.slice(S, (0, o, 0, o), (F, o + 1, per_o, o + span_w))
+         for o in range(128)],
+        axis=1,
+    ).reshape(F, 128 * per_o, span_w)
+    regrouped = jnp.einsum(
+        "fgk,fkw->fgw", reg, aligned,
+        preferred_element_type=jnp.float32,
+    ).reshape(F, num_phases, per_p, span_w)
+    if einsum_bf16:
+        z = jnp.einsum(
+            "fpbs,psw->fpbw", regrouped.astype(jnp.bfloat16),
+            jnp.asarray(weights, jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        z = jnp.einsum(
+            "fpbs,psw->fpbw", regrouped, jnp.asarray(weights),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.einsum(
+        "fhg,fgw->fhw", blend,
+        z.reshape(F, num_phases * per_p, w_out),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def frames_to_screens_aligned(

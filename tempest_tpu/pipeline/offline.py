@@ -71,6 +71,7 @@ from ..ops.resample import (
     frames_to_screens_aligned,
     frames_to_screens_fft,
     frames_to_screens_mxu,
+    frames_to_screens_mxu3_exact,
 )
 from ..video.modes import VideoMode, find_closest_mode
 
@@ -423,6 +424,21 @@ def process_frames(
         zero = jnp.zeros((), jnp.int32)
         return screen, jnp.stack([zero, zero]), jnp.zeros(())
 
+    if (
+        config.resampler == "mxu3"
+        and frac_offsets is not None
+        and isinstance(frac_offsets, np.ndarray)
+    ):
+        # Sub-sample-exact cuts at full matmul speed: static per-frame
+        # boundary residuals fold into host-built geometry tables (the
+        # offline fidelity path; traced offsets fall through to 'gather').
+        screens = frames_to_screens_mxu3_exact(
+            env, np.asarray(frame_starts), frac_offsets, frame_len,
+            mode.height, mode.width, (h, w),
+            num_phases=config.num_phases, einsum_bf16=config.einsum_bf16,
+        )
+        return jax.vmap(sync_one)(screens)
+
     if config.resampler == "aligned":
         # Chunk-aligned gather + small-extent take_along_axis: TPU gathers of
         # 128-lane-aligned rows are ~13x faster than arbitrary-offset element
@@ -540,10 +556,16 @@ def make_reconstruct_fn(config: ReconstructionConfig):
     spf = config.samples_per_frame
     frame_len = int(np.floor(spf))  # samples fed to the resampler per frame
     sub = config.subsample_align
-    if sub and config.resampler != "gather":
+    if sub and config.resampler not in ("gather", "mxu3"):
         raise ValueError(
-            "subsample_align folds the boundary residual into the gather "
-            "positions — set resampler='gather'"
+            "subsample_align needs a resampler that takes the boundary "
+            "residual — 'mxu3' (static cuts, full matmul speed) or "
+            "'gather' (works with traced offsets / carry_phase)"
+        )
+    if sub and config.resampler == "mxu3" and config.carry_phase:
+        raise ValueError(
+            "subsample_align with carry_phase traces the offsets — the "
+            "mxu3 exact-cut tables are host-built; set resampler='gather'"
         )
     # Fractional frame-start offsets (static table, no cumulative drift).
     exact = np.arange(n_frames) * spf
@@ -575,10 +597,9 @@ def make_reconstruct_fn(config: ReconstructionConfig):
 
         @jax.jit
         def step(iq, ema, alpha):
-            return _body(
-                iq, ema, alpha, jnp.asarray(starts),
-                jnp.asarray(fracs) if sub else None,
-            )
+            # starts/fracs stay as static numpy arrays: process_frames routes
+            # static-offset subsample_align to the exact-cut mxu3 tables.
+            return _body(iq, ema, alpha, starts, fracs if sub else None)
 
     return step
 

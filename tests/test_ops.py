@@ -424,6 +424,32 @@ def test_frames_to_screens_fft_agrees_with_gather():
         assert np.abs(ref - got[f])[2:-2].max() / scale < 5e-3
 
 
+def test_frames_to_screens_mxu3_exact_matches_gather():
+    """The block-level exact-cut mxu3 (static per-frame fractional offsets
+    folded into host-built tables) must agree with the gather resampler
+    interpolating at the same offsets, on band-limited signal."""
+    from tempest_tpu.ops.resample import frames_to_screens_mxu3_exact
+
+    y_t, x_t, frame_len = 525, 800, 66666
+    rng = np.random.default_rng(7)
+    env_np = rng.random(frame_len * 3 + 2000).astype(np.float32)
+    spec = np.fft.rfft(env_np)
+    spec[len(spec) // 6:] = 0  # band-limit: interpolation families agree
+    env_np = np.fft.irfft(spec, len(env_np)).astype(np.float32)
+    env = jnp.asarray(env_np)
+    starts = np.array([0, 66666, 133333], np.int64)
+    fracs = np.array([0.0, 0.33, 0.77], np.float32)
+    shape = (600, 800)
+    got = np.asarray(frames_to_screens_mxu3_exact(
+        env, starts, fracs, frame_len, y_t, x_t, shape))
+    assert got.shape == (3, 600, 800)
+    for f, (s, fr) in enumerate(zip(starts, fracs)):
+        ref = np.asarray(frame_to_screen(
+            env[s : s + frame_len], y_t, x_t, shape, offset=float(fr)))
+        scale = np.abs(ref).max()
+        assert np.abs(ref - got[f])[2:-2].max() / scale < 5e-3, f
+
+
 def test_mxu3_einsum_bf16_and_phase_count_close():
     """The weight-streaming levers (bf16 einsum operands, halved phase
     count) must stay within fractions of a percent of the f32/64-phase

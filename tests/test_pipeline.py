@@ -233,6 +233,28 @@ def test_sharded_batched_serving_matches_single_device():
     assert frames_s.shape == frames_p.shape
 
 
+def test_subsample_align_mxu3_matches_gather_path():
+    """subsample_align with resampler='mxu3' (exact cuts via host-built
+    tables, full matmul speed) must agree with the gather fidelity path on
+    the averaged image."""
+    import dataclasses
+
+    cap = _capture(0.3, snr_db=30.0)
+    cfg = ReconstructionConfig(
+        sample_rate=FS, mode=MODE, n_frames=10, resampler="gather",
+        subsample_align=True, do_align=False,
+    )
+    ref = reconstruct_frames(cap.iq, cfg, alpha=0.9)
+    fast = reconstruct_frames(
+        cap.iq, dataclasses.replace(cfg, resampler="mxu3"), alpha=0.9
+    )
+    scale = ref.image.max() - ref.image.min() + 1e-9
+    d = np.abs(fast.image - ref.image)[2:-2] / scale
+    # mxu3 quantises the sub-sample phase to 1/64; real emanations are
+    # broadband so allow percent-level pointwise deviation.
+    assert d.mean() < 0.01 and d.max() < 0.08, (d.mean(), d.max())
+
+
 def test_planar_input_format_matches_interleaved():
     """input_format='iq_planar' (host de-interleave, contiguous device demod)
     must reproduce the interleaved pipeline exactly."""
