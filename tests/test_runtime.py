@@ -262,6 +262,20 @@ def test_cli_synth_analyze_reconstruct(tmp_path, capsys):
         "--out", str(out),
     ]) == 0
     assert out.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+    # Fidelity flags: sub-pixel registration on the auto path, exact cuts
+    # (mxu3 tables) + subpixel on the explicit-mode path.
+    out2 = tmp_path / "r2.png"
+    assert cli_main([
+        "reconstruct", str(cap), "--fs", str(FS), "--alpha", "0.5",
+        "--subpixel", "--out", str(out2),
+    ]) == 0
+    out3 = tmp_path / "r3.png"
+    assert cli_main([
+        "reconstruct", str(cap), "--fs", str(FS), "--alpha", "0.5",
+        "--mode", "640x480 @ 60Hz", "--subsample-align", "--subpixel",
+        "--out", str(out3),
+    ]) == 0
+    assert out3.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
 
 
 def test_cli_modes(capsys):
