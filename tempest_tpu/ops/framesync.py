@@ -80,11 +80,17 @@ def gaussian_kernel(n: int = 5) -> np.ndarray:
 
 def smooth_profile(profile: jnp.ndarray, kernel_len: int = 5) -> jnp.ndarray:
     """Zero-phase Gaussian smoothing with circular wrap (the profile is a
-    circular quantity — the blanking window itself wraps)."""
+    circular quantity — the blanking window itself wraps).
+
+    precision=HIGHEST: TPU f32 convolutions default to bf16 passes, which
+    quantises the smoothed profile enough to perturb the downstream argmax
+    and flatten the sub-pixel parabola (measured: sync fractions collapsed
+    to exactly 0 on v5e and the 1080p PSNR dropped 0.8 dB vs CPU)."""
     h = jnp.asarray(gaussian_kernel(kernel_len))
     half = kernel_len // 2
     padded = jnp.concatenate([profile[-half:], profile, profile[:half]])
-    return jnp.convolve(padded, h, mode="valid")
+    return jnp.convolve(padded, h, mode="valid",
+                        precision=jax.lax.Precision.HIGHEST)
 
 
 def _window_sums(profile: jnp.ndarray, spec: SyncSpec) -> jnp.ndarray:
@@ -113,11 +119,17 @@ def _window_sums(profile: jnp.ndarray, spec: SyncSpec) -> jnp.ndarray:
     for i, w in enumerate(range(spec.w_min, w_max + 1)):
         kernel[i, 0, w_max + w + 1] = 1.0
         kernel[i, 0, w_max - w] = -1.0
+    # precision=HIGHEST is essential here: the conv computes DIFFERENCES of
+    # a monotone prefix sum whose magnitude grows to n·mean(profile); TPU's
+    # default bf16 conv passes round the prefix to ~8 mantissa bits, burying
+    # the window sums (and the score curvature the sub-pixel parabola reads)
+    # in quantisation noise.
     out = jax.lax.conv_general_dilated(
         prefix.astype(jnp.float32)[None, None, :],
         jnp.asarray(kernel),
         window_strides=(1,),
         padding="VALID",
+        precision=jax.lax.Precision.HIGHEST,
     )[0]                                                 # (n_w, n)
     return out[:, :n]
 

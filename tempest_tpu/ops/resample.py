@@ -181,10 +181,16 @@ def _screen_geometry(
     r0 = np.minimum(np.floor(ry).astype(np.int64), max(y_t - 2, 0))
     wr = (ry - r0).astype(np.float32)[:, None]
     lines = np.stack([r0, np.minimum(r0 + 1, y_t - 1)], axis=1)  # (h,2)
-    cx = np.clip((np.arange(w_out) + 0.5) * (x_t / w_out) - 0.5, 0.0, x_t - 1.0)
-    delta = (cx[1] - cx[0]) * ratio if w_out > 1 else 0.0
-    # pos(r,t,c) = (lines*x_t + cx[c] + 0.5)*ratio - 0.5
-    a = (lines * x_t + cx[0] + 0.5) * ratio - 0.5          # (h,2) offset at c=0
+    # Column positions must stay a UNIFORM grid (the affine-family variants
+    # encode them as start + c*delta): do NOT clip cx — clipping the edge
+    # columns (which engages whenever w_out > x_t) used to corrupt delta and
+    # silently mis-render every wide output grid.  The sub-pixel overhang at
+    # the edges (< 1 raster px) reads the neighbouring sample instead of
+    # clamping — boundary-only, and within the padded span.
+    cx0 = 0.5 * (x_t / w_out) - 0.5
+    delta = (x_t / w_out) * ratio if w_out > 1 else 0.0
+    # pos(r,t,c) = (lines*x_t + cx0 + 0.5)*ratio - 0.5 + c*delta
+    a = (lines * x_t + cx0 + 0.5) * ratio - 0.5            # (h,2) offset at c=0
     start = np.floor(a).astype(np.int64)
     frac = (a - start).astype(np.float32)
     cols = (np.arange(w_out) * delta).astype(np.float64)    # c*delta

@@ -424,6 +424,26 @@ def test_frames_to_screens_fft_agrees_with_gather():
         assert np.abs(ref - got[f])[2:-2].max() / scale < 5e-3
 
 
+@pytest.mark.parametrize("w_out", [800, 1200, 1600])
+def test_mxu3_wide_render_grids_match_gather(w_out):
+    """Output grids wider than the raster (w_out > x_t) must render
+    correctly — the geometry helper used to derive the column step from
+    edge-clipped positions, silently corrupting every wide grid."""
+    rng = np.random.default_rng(5)
+    n = 133333
+    env = rng.random(n).astype(np.float32)
+    spec = np.fft.rfft(env)
+    spec[len(spec) // 6:] = 0
+    sig = jnp.asarray(np.fft.irfft(spec, n).astype(np.float32))
+    from tempest_tpu.ops.resample import frame_to_screen_mxu3
+
+    a = np.asarray(frame_to_screen_mxu3(sig, 628, 1056, (600, w_out)))
+    g = np.asarray(frame_to_screen(sig, 628, 1056, (600, w_out)))
+    # Row 0 differs by boundary semantics (gather clips, mxu clamps).
+    err = np.abs(a - g)[1:] / (g.max() - g.min())
+    assert err.max() < 0.01, err.max()
+
+
 def test_frames_to_screens_mxu3_exact_matches_gather():
     """The block-level exact-cut mxu3 (static per-frame fractional offsets
     folded into host-built tables) must agree with the gather resampler
