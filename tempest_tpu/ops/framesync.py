@@ -93,22 +93,33 @@ def smooth_profile(profile: jnp.ndarray, kernel_len: int = 5) -> jnp.ndarray:
                         precision=jax.lax.Precision.HIGHEST)
 
 
+def _circular_prefix(profile: jnp.ndarray, w_max: int) -> jnp.ndarray:
+    """Prefix sum (leading zero) of the wrap-padded profile: ``P[k] =
+    sum(ext[:k])`` with ``ext = [tail w_max | profile | head w_max]``."""
+    ext = jnp.concatenate([profile[-w_max:], profile, profile[:w_max]])
+    return jnp.concatenate([jnp.zeros((1,), profile.dtype), jnp.cumsum(ext)])
+
+
 def _window_sums(profile: jnp.ndarray, spec: SyncSpec) -> jnp.ndarray:
     """Circular window sums ``W[w, c] = sum(profile[c-w : c+w+1])`` for all
     (w in [w_min, w_max], c) as a (W, n) matrix.
 
-    One prefix sum over the wrap-padded profile, then one *static slice pair*
-    per width, stacked.  Row w of the matrix is the prefix shifted by
-    ±(w + ...) — a Toeplitz structure; building it from static slices keeps
-    the whole computation slice/concat-shaped, where an index-matrix read
-    (``prefix[cs + wi]``) lowers to a per-element gather — the pathological
-    TPU access pattern (~430k gathered elements per frame measured as the
-    bulk of the sync stage's 2 ms/block)."""
+    One prefix sum over the wrap-padded MEAN-CENTRED profile, then the
+    Toeplitz family of shifted-slice differences as ONE conv op (per-w
+    ±delta kernels correlated with the prefix; an index-matrix read would
+    lower to per-element gathers — the pathological TPU access pattern).
+
+    Numerics: TPU f32 convs run bf16 passes at default precision, so the
+    conv operand must stay small — a raw prefix sum grows to
+    n·mean(profile) and its bf16 rounding buried the window sums (0.8 dB
+    PSNR loss on v5e; Precision.HIGHEST fixed it but cost 1.7 ms per
+    36-frame block).  Mean-centring keeps the prefix at ±std·√n, making the
+    bf16 noise negligible at full conv speed; the window mean is added back
+    exactly afterwards."""
     n = spec.n
     w_max = spec.w_max
-    ext = jnp.concatenate([profile[-w_max:], profile, profile[:w_max]])
-    # Prefix sum with leading zero: P[k] = sum(ext[:k]).
-    prefix = jnp.concatenate([jnp.zeros((1,), profile.dtype), jnp.cumsum(ext)])
+    mean = jnp.mean(profile)
+    prefix = _circular_prefix(profile - mean, w_max)
     # Row w of the matrix is P[c + w_max+w+1] - P[c + w_max-w] — a Toeplitz
     # family of shifted slices, i.e. a correlation of P with per-w +-delta
     # kernels: ONE conv op (lowered onto the MXU) instead of a W-row slice
@@ -119,19 +130,14 @@ def _window_sums(profile: jnp.ndarray, spec: SyncSpec) -> jnp.ndarray:
     for i, w in enumerate(range(spec.w_min, w_max + 1)):
         kernel[i, 0, w_max + w + 1] = 1.0
         kernel[i, 0, w_max - w] = -1.0
-    # precision=HIGHEST is essential here: the conv computes DIFFERENCES of
-    # a monotone prefix sum whose magnitude grows to n·mean(profile); TPU's
-    # default bf16 conv passes round the prefix to ~8 mantissa bits, burying
-    # the window sums (and the score curvature the sub-pixel parabola reads)
-    # in quantisation noise.
     out = jax.lax.conv_general_dilated(
         prefix.astype(jnp.float32)[None, None, :],
         jnp.asarray(kernel),
         window_strides=(1,),
         padding="VALID",
-        precision=jax.lax.Precision.HIGHEST,
     )[0]                                                 # (n_w, n)
-    return out[:, :n]
+    sizes = 2.0 * jnp.arange(spec.w_min, w_max + 1, dtype=profile.dtype) + 1.0
+    return out[:, :n] + sizes[:, None] * mean
 
 
 def blank_scores(profile: jnp.ndarray, spec: SyncSpec) -> jnp.ndarray:
@@ -201,9 +207,28 @@ def find_blank_subpixel(
     n = spec.n
     flat = jnp.argmax(beta)
     row, c = flat // n, flat % n
-    b0 = beta[row, (c - 1) % n]
-    b1 = beta[row, c]
-    b2 = beta[row, (c + 1) % n]
+    # Re-evaluate the three scores around the argmax EXACTLY from an f32
+    # prefix sum (six scalar reads): the conv-built score matrix rides TPU's
+    # bf16 conv passes, whose quantisation flattens the tiny curvature the
+    # parabola needs (fractions measured exactly 0 on v5e before this).
+    w = (spec.w_min + row).astype(profile.dtype)
+    w_max = spec.w_max
+    prefix = _circular_prefix(profile, w_max)
+    total = jnp.sum(profile)
+    hi = row + spec.w_min + w_max + 1  # prefix index offsets for width w
+    lo = w_max - spec.w_min - row
+
+    def score_at(ci):
+        ci = ci % n
+        win = prefix[ci + hi] - prefix[ci + lo]
+        if method == "contrast":
+            size = 2.0 * w + 1.0
+            d = win / size - (total - win) / (n - size)
+            return d * d
+        b = (total - 2.0 * win) / (2.0 * (n - w)) + win / w
+        return b * b
+
+    b0, b1, b2 = score_at(c - 1), score_at(c), score_at(c + 1)
     denom = b0 - 2.0 * b1 + b2
     frac = jnp.where(
         jnp.abs(denom) > 1e-12 * (jnp.abs(b1) + 1e-30),
