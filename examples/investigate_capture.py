@@ -18,6 +18,7 @@ import numpy as np
 
 sys.path.insert(0, ".")  # run from the repo root
 
+import jax
 import jax.numpy as jnp
 
 import tempest_tpu as tt
@@ -44,9 +45,19 @@ def main() -> int:
         iq = cap.iq
         print(f"[1] synthesised {len(iq)} samples of {mode} @ {args.fs/1e6:.1f} MHz")
 
-    # [2] envelope + spectrum (investigate_data.jl:37-46)
+    # [2] envelope + spectrum (investigate_data.jl:37-46).  The capture goes
+    # to the device as interleaved float32 words and is re-assembled to
+    # complex INSIDE the jitted program — complex host->device transfers are
+    # unimplemented on some TPU runtimes (and never necessary).
     env = np.abs(iq).astype(np.float32)
-    freq, psd = get_welch(args.fs, jnp.asarray(iq[: 1 << 18]))
+    words = np.ascontiguousarray(iq[: 1 << 18], np.complex64).view(np.float32)
+
+    @jax.jit
+    def welch_words(w):
+        z = w[0::2] + 1j * w[1::2]
+        return get_welch(args.fs, z)
+
+    freq, psd = welch_words(jnp.asarray(words))
     peak_f = float(freq[int(np.argmax(np.asarray(psd)))])
     print(f"[2] AM envelope: mean {env.mean():.3f}; Welch PSD peak at "
           f"{peak_f/1e3:.1f} kHz offset")
