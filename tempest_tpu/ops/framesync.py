@@ -130,11 +130,15 @@ def _window_sums(profile: jnp.ndarray, spec: SyncSpec) -> jnp.ndarray:
     for i, w in enumerate(range(spec.w_min, w_max + 1)):
         kernel[i, 0, w_max + w + 1] = 1.0
         kernel[i, 0, w_max - w] = -1.0
+    # Precision.HIGH (3-pass bf16) on top of the centring: centring alone
+    # left ~0.4 dB of argmax flips on-chip (13.00 vs 13.40 dB); HIGH gives
+    # ~f32 accuracy at half HIGHEST's cost.
     out = jax.lax.conv_general_dilated(
         prefix.astype(jnp.float32)[None, None, :],
         jnp.asarray(kernel),
         window_strides=(1,),
         padding="VALID",
+        precision=jax.lax.Precision.HIGH,
     )[0]                                                 # (n_w, n)
     sizes = 2.0 * jnp.arange(spec.w_min, w_max + 1, dtype=profile.dtype) + 1.0
     return out[:, :n] + sizes[:, None] * mean
