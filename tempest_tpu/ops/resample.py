@@ -529,13 +529,15 @@ def frame_to_screen_mxu4(
     sig_pad = jnp.concatenate(
         [sig, jnp.broadcast_to(sig[-1], (pad_len - n_in,)).astype(sig.dtype)]
     )
-    rows128 = sig_pad.reshape(-1, 128)
-    env_w = jnp.concatenate(
-        [rows128[i : R + i] for i in range(n_chunks_per_win)], axis=1
-    )
-    S = jnp.dot(
-        jnp.asarray(sel, jnp.bfloat16), env_w.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
+    rows128 = sig_pad.reshape(-1, 128).astype(jnp.bfloat16)
+    sel_b4 = jnp.asarray(sel, jnp.bfloat16)
+    # Chunk select off shifted row views — no materialised windows (see
+    # frame_to_screen_mxu3).
+    S = jnp.concatenate(
+        [jnp.dot(sel_b4, rows128[i : R + i],
+                 preferred_element_type=jnp.float32)
+         for i in range(n_chunks_per_win)],
+        axis=1,
     )                                              # (G, win_w), phase-sorted
     aligned = jax.lax.conv_general_dilated(
         S[None],                                   # (1, G, win_w)
