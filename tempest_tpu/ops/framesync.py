@@ -82,15 +82,17 @@ def smooth_profile(profile: jnp.ndarray, kernel_len: int = 5) -> jnp.ndarray:
     """Zero-phase Gaussian smoothing with circular wrap (the profile is a
     circular quantity — the blanking window itself wraps).
 
-    precision=HIGHEST: TPU f32 convolutions default to bf16 passes, which
-    quantises the smoothed profile enough to perturb the downstream argmax
-    and flatten the sub-pixel parabola (measured: sync fractions collapsed
-    to exactly 0 on v5e and the 1080p PSNR dropped 0.8 dB vs CPU)."""
-    h = jnp.asarray(gaussian_kernel(kernel_len))
+    Computed as ``kernel_len`` shifted slice-multiplies (exact f32 adds) —
+    TPU f32 convolutions default to bf16 passes, whose quantisation
+    perturbs the downstream argmax and sub-pixel parabola."""
+    h = gaussian_kernel(kernel_len)
     half = kernel_len // 2
+    n = profile.shape[0]
     padded = jnp.concatenate([profile[-half:], profile, profile[:half]])
-    return jnp.convolve(padded, h, mode="valid",
-                        precision=jax.lax.Precision.HIGHEST)
+    out = h[0] * jax.lax.slice(padded, (0,), (n,))
+    for k in range(1, kernel_len):
+        out = out + h[k] * jax.lax.slice(padded, (k,), (k + n,))
+    return out
 
 
 def _circular_prefix(profile: jnp.ndarray, w_max: int) -> jnp.ndarray:
@@ -104,44 +106,27 @@ def _window_sums(profile: jnp.ndarray, spec: SyncSpec) -> jnp.ndarray:
     """Circular window sums ``W[w, c] = sum(profile[c-w : c+w+1])`` for all
     (w in [w_min, w_max], c) as a (W, n) matrix.
 
-    One prefix sum over the wrap-padded MEAN-CENTRED profile, then the
-    Toeplitz family of shifted-slice differences as ONE conv op (per-w
-    ±delta kernels correlated with the prefix; an index-matrix read would
-    lower to per-element gathers — the pathological TPU access pattern).
+    One prefix sum over the wrap-padded profile, then row w of the matrix is
+    ``P[c + w_max+w+1] − P[c + w_max−w]`` — a STATIC SLICE pair per width,
+    stacked.  Pure f32 adds: exact, no MXU involvement.
 
-    Numerics: TPU f32 convs run bf16 passes at default precision, so the
-    conv operand must stay small — a raw prefix sum grows to
-    n·mean(profile) and its bf16 rounding buried the window sums (0.8 dB
-    PSNR loss on v5e; Precision.HIGHEST fixed it but cost 1.7 ms per
-    36-frame block).  Mean-centring keeps the prefix at ±std·√n, making the
-    bf16 noise negligible at full conv speed; the window mean is added back
-    exactly afterwards."""
+    History of this three-way design fight (v5e measurements): an
+    index-matrix read lowers to per-element gathers (~2 ms/block — the
+    pathological TPU pattern); the Toeplitz ±delta-kernel conv is one op but
+    TPU f32 convs run bf16 passes, whose rounding of the large-magnitude
+    prefix corrupted the argmax (−0.8 dB PSNR; Precision.HIGH restored
+    quality but cost 0.85 ms per 36-frame block); the slice stack measured
+    *free* in the resample-stage ladder (XLA folds static slice/concat
+    families) and is bit-exact."""
     n = spec.n
     w_max = spec.w_max
-    mean = jnp.mean(profile)
-    prefix = _circular_prefix(profile - mean, w_max)
-    # Row w of the matrix is P[c + w_max+w+1] - P[c + w_max-w] — a Toeplitz
-    # family of shifted slices, i.e. a correlation of P with per-w +-delta
-    # kernels: ONE conv op (lowered onto the MXU) instead of a W-row slice
-    # stack.
-    n_w = w_max - spec.w_min + 1
-    klen = 2 * w_max + 2
-    kernel = np.zeros((n_w, 1, klen), np.float32)       # (out_ch, in_ch, L)
-    for i, w in enumerate(range(spec.w_min, w_max + 1)):
-        kernel[i, 0, w_max + w + 1] = 1.0
-        kernel[i, 0, w_max - w] = -1.0
-    # Precision.HIGH (3-pass bf16) on top of the centring: centring alone
-    # left ~0.4 dB of argmax flips on-chip (13.00 vs 13.40 dB); HIGH gives
-    # ~f32 accuracy at half HIGHEST's cost.
-    out = jax.lax.conv_general_dilated(
-        prefix.astype(jnp.float32)[None, None, :],
-        jnp.asarray(kernel),
-        window_strides=(1,),
-        padding="VALID",
-        precision=jax.lax.Precision.HIGH,
-    )[0]                                                 # (n_w, n)
-    sizes = 2.0 * jnp.arange(spec.w_min, w_max + 1, dtype=profile.dtype) + 1.0
-    return out[:, :n] + sizes[:, None] * mean
+    prefix = _circular_prefix(profile, w_max)
+    rows = [
+        jax.lax.slice(prefix, (w_max + w + 1,), (w_max + w + 1 + n,))
+        - jax.lax.slice(prefix, (w_max - w,), (w_max - w + n,))
+        for w in range(spec.w_min, w_max + 1)
+    ]
+    return jnp.stack(rows)
 
 
 def blank_scores(profile: jnp.ndarray, spec: SyncSpec) -> jnp.ndarray:
