@@ -518,7 +518,19 @@ def process_frames(
             _, (frames, sync, score) = jax.lax.scan(body, None, xs)
             return frames, sync, score
         if frac_offsets is None:
-            screens = jax.vmap(lambda s: cut_frame(s))(frame_starts)
+            if isinstance(frame_starts, np.ndarray):
+                # Static starts: cut with static slices (measured free on
+                # TPU — XLA folds slice/stack families) and batch the
+                # resampler over the stacked frames.
+                frames_sig = jnp.stack([
+                    jax.lax.slice(env, (int(s),), (int(s) + frame_len,))
+                    for s in frame_starts
+                ])
+                screens = jax.vmap(
+                    lambda s: resample(s, mode.height, mode.width, (h, w))
+                )(frames_sig)
+            else:
+                screens = jax.vmap(lambda s: cut_frame(s))(frame_starts)
         else:
             screens = jax.vmap(cut_frame)(frame_starts, frac_offsets)
 
