@@ -41,11 +41,11 @@ def main() -> None:
     from tempest_tpu.video.modes import ALL_VIDEO_MODES
 
     fs = 20e6
-    # 36-frame blocks (0.6 s of signal).  After the ingest rewire (the int16
-    # de-interleave as one-hot lane matmuls) both runtime and compile fell
-    # sharply: 12f 4.22 ms = 947 Msps @ 92 s compile, 18f 1068 @ 79 s,
-    # 24f 1126 @ 75 s, 36f 9.39 ms = 1277 Msps @ 65 s.  The default
-    # resampler is the zero-gather mxu3 chain.
+    # 36-frame blocks (0.6 s of signal).  After the ingest rewire (int16
+    # de-interleave as one-hot lane matmuls), the slice-stack sync scores,
+    # and static frame cuts: 36f measured 9.16 ms = 1310 Msps (65x real
+    # time), remote compile 27 s.  The default resampler is the zero-gather
+    # mxu3 chain.
     config = ReconstructionConfig(
         sample_rate=fs,
         mode=ALL_VIDEO_MODES["1920x1080 @ 60Hz"],
