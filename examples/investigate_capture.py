@@ -46,18 +46,21 @@ def main() -> int:
         print(f"[1] synthesised {len(iq)} samples of {mode} @ {args.fs/1e6:.1f} MHz")
 
     # [2] envelope + spectrum (investigate_data.jl:37-46).  The capture goes
-    # to the device as interleaved float32 words and is re-assembled to
-    # complex INSIDE the jitted program — complex host->device transfers are
-    # unimplemented on some TPU runtimes (and never necessary).
+    # to the device as PLANAR (2, N) float32 (host de-interleave) and is
+    # re-assembled to complex inside the jitted program — complex
+    # host->device transfers are unimplemented on some TPU runtimes, and
+    # strided on-device de-interleave lowers pathologically there (see
+    # ops/demod.py).
+    from tempest_tpu.ops.demod import to_planar_iq
+
     env = np.abs(iq).astype(np.float32)
-    words = np.ascontiguousarray(iq[: 1 << 18], np.complex64).view(np.float32)
+    planar = to_planar_iq(np.ascontiguousarray(iq[: 1 << 18], np.complex64))
 
     @jax.jit
-    def welch_words(w):
-        z = w[0::2] + 1j * w[1::2]
-        return get_welch(args.fs, z)
+    def welch_planar(p):
+        return get_welch(args.fs, p[0] + 1j * p[1])
 
-    freq, psd = welch_words(jnp.asarray(words))
+    freq, psd = welch_planar(jnp.asarray(planar))
     peak_f = float(freq[int(np.argmax(np.asarray(psd)))])
     print(f"[2] AM envelope: mean {env.mean():.3f}; Welch PSD peak at "
           f"{peak_f/1e3:.1f} kHz offset")

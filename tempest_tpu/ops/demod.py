@@ -106,10 +106,7 @@ def fm_demod_from_iq_planar(iq2: jnp.ndarray) -> jnp.ndarray:
 def to_planar_iq(words: "np.ndarray") -> "np.ndarray":
     """Host-side de-interleave: (2N,) interleaved I/Q words → contiguous
     (2, N).  Accepts int16/float32 interleaved words or complex64 (viewed as
-    float32 words, zero-copy).  numpy import is local so the device module
-    stays jax-only."""
-    import numpy as np
-
+    float32 words, zero-copy)."""
     if np.iscomplexobj(words):
         words = np.ascontiguousarray(words, np.complex64).view(np.float32)
     return np.ascontiguousarray(words.reshape(-1, 2).T)

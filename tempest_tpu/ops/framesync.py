@@ -129,16 +129,29 @@ def _window_sums(profile: jnp.ndarray, spec: SyncSpec) -> jnp.ndarray:
     return jnp.stack(rows)
 
 
+def _blank_score(window, total, w, n):
+    """Reference ``fill_β!`` score from a window sum (scalar or array) —
+    the single definition shared by the (w, c) matrix and the sub-pixel
+    parabola's exact re-reads."""
+    beta = (total - 2.0 * window) / (2.0 * (n - w)) + window / w
+    return beta * beta
+
+
+def _contrast_score(window, total, w, n):
+    """Polarity-symmetric score ``(mean inside − mean outside)^2`` from a
+    window sum — shared like :func:`_blank_score`."""
+    size = 2.0 * w + 1.0
+    d = window / size - (total - window) / (n - size)
+    return d * d
+
+
 def blank_scores(profile: jnp.ndarray, spec: SyncSpec) -> jnp.ndarray:
     """Score matrix beta of shape (w_max - w_min + 1, n) for all blanking
     hypotheses — the vectorised ``fill_β!``."""
-    n = spec.n
     total = jnp.sum(profile)
     ws = jnp.arange(spec.w_min, spec.w_max + 1)[:, None].astype(profile.dtype)
     window = _window_sums(profile, spec)             # sum over [c-w, c+w]
-    inner = 2.0 * window                              # reference's _Σ
-    beta = (total - inner) / (2.0 * (n - ws)) + inner / (2.0 * ws)
-    return beta * beta
+    return _blank_score(window, total, ws, spec.n)
 
 
 def contrast_scores(profile: jnp.ndarray, spec: SyncSpec) -> jnp.ndarray:
@@ -153,15 +166,10 @@ def contrast_scores(profile: jnp.ndarray, spec: SyncSpec) -> jnp.ndarray:
     means instead locks onto the band most *different* from the rest, which
     works for dark or bright blanking without configuration.
     """
-    n = spec.n
     total = jnp.sum(profile)
-    wi = jnp.arange(spec.w_min, spec.w_max + 1)[:, None]
+    wi = jnp.arange(spec.w_min, spec.w_max + 1)[:, None].astype(profile.dtype)
     window = _window_sums(profile, spec)
-    size_in = (2 * wi + 1).astype(profile.dtype)
-    mean_in = window / size_in
-    mean_out = (total - window) / (n - size_in)
-    d = mean_in - mean_out
-    return d * d
+    return _contrast_score(window, total, wi, spec.n)
 
 
 def find_blank(
@@ -207,15 +215,12 @@ def find_blank_subpixel(
     hi = row + spec.w_min + w_max + 1  # prefix index offsets for width w
     lo = w_max - spec.w_min - row
 
+    score = _contrast_score if method == "contrast" else _blank_score
+
     def score_at(ci):
         ci = ci % n
         win = prefix[ci + hi] - prefix[ci + lo]
-        if method == "contrast":
-            size = 2.0 * w + 1.0
-            d = win / size - (total - win) / (n - size)
-            return d * d
-        b = (total - 2.0 * win) / (2.0 * (n - w)) + win / w
-        return b * b
+        return score(win, total, w, n)
 
     b0, b1, b2 = score_at(c - 1), score_at(c), score_at(c + 1)
     denom = b0 - 2.0 * b1 + b2

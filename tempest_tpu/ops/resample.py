@@ -197,6 +197,33 @@ def _screen_geometry(
     return start, frac, wr, cols, float(ratio)
 
 
+def _phase_weights(
+    cols: np.ndarray, span: int, w_out: int, num_phases: int
+) -> np.ndarray:
+    """Per-phase 2-tap interpolation weight matrices (num_phases, span,
+    w_out): phase p interpolates at positions ``(p+0.5)/P + cols`` — shared
+    by every phase-quantised MXU resampler variant."""
+    weights = np.zeros((num_phases, span, w_out), np.float32)
+    for p in range(num_phases):
+        pos = (p + 0.5) / num_phases + cols
+        i0 = pos.astype(np.int64)
+        fr = (pos - i0).astype(np.float32)
+        np.add.at(weights[p], (i0, np.arange(w_out)), 1.0 - fr)
+        np.add.at(weights[p], (i0 + 1, np.arange(w_out)), fr)
+    return weights
+
+
+def _pack_slots(keys: np.ndarray, n_keys: int) -> tuple[np.ndarray, int]:
+    """Stable-sort items into (n_keys, per) slots; returns (slot, per) —
+    the grouping used by the one-hot select/regroup tables."""
+    slot = np.zeros(len(keys), np.int64)
+    counts = np.zeros(n_keys, np.int64)
+    for e in np.argsort(keys, kind="stable"):
+        slot[e] = counts[keys[e]]
+        counts[keys[e]] += 1
+    return slot, int(counts.max())
+
+
 def frame_to_screen_rows(
     sig: jnp.ndarray,
     y_t: int,
@@ -267,14 +294,7 @@ def frame_to_screen_mxu(
     flat_frac = np.clip(frac.reshape(-1).astype(np.float64), 0.0, 1.0 - 1e-9)
     phase = np.minimum((flat_frac * num_phases).astype(np.int64), num_phases - 1)
 
-    weights = np.zeros((num_phases, span_pad, w_out), np.float32)
-    for p in range(num_phases):
-        fp = (p + 0.5) / num_phases
-        pos = fp + cols                       # (w,)
-        i0 = pos.astype(np.int64)
-        fr = (pos - i0).astype(np.float32)
-        np.add.at(weights[p], (i0, np.arange(w_out)), 1.0 - fr)
-        np.add.at(weights[p], (i0 + 1, np.arange(w_out)), fr)
+    weights = _phase_weights(cols, span_pad, w_out, num_phases)
 
     # Sort the 2h lines by phase → contiguous per-phase batches (padded).
     order = np.argsort(phase, kind="stable")
@@ -377,27 +397,13 @@ def frame_to_screen_mxu3(
     phase = np.minimum((flat_frac * num_phases).astype(np.int64), num_phases - 1)
     n_lines = 2 * h_out
 
-    weights = np.zeros((num_phases, span_w, w_out), np.float32)
-    for p in range(num_phases):
-        fp = (p + 0.5) / num_phases
-        pos = fp + cols
-        i0 = pos.astype(np.int64)
-        fr = (pos - i0).astype(np.float32)
-        np.add.at(weights[p], (i0, np.arange(w_out)), 1.0 - fr)
-        np.add.at(weights[p], (i0 + 1, np.arange(w_out)), fr)
+    weights = _phase_weights(cols, span_w, w_out, num_phases)
 
     chunk = flat_start // 128
     off = flat_start % 128
     R = int(chunk.max()) + 1
 
-    def pack(keys, n_keys):
-        """Stable-sort lines into (n_keys, per) slots; returns (slot, per)."""
-        slot = np.zeros(n_lines, np.int64)
-        counts = np.zeros(n_keys, np.int64)
-        for e in np.argsort(keys, kind="stable"):
-            slot[e] = counts[keys[e]]
-            counts[keys[e]] += 1
-        return slot, int(counts.max())
+    pack = _pack_slots
 
     slot_o, per_o = pack(off, 128)
     slot_p, per_p = pack(phase, num_phases)
@@ -494,14 +500,7 @@ def frame_to_screen_mxu4(
     phase = np.minimum((flat_frac * num_phases).astype(np.int64), num_phases - 1)
     n_lines = 2 * h_out
 
-    weights = np.zeros((num_phases, span_w, w_out), np.float32)
-    for p in range(num_phases):
-        fp = (p + 0.5) / num_phases
-        pos = fp + cols
-        i0 = pos.astype(np.int64)
-        fr = (pos - i0).astype(np.float32)
-        np.add.at(weights[p], (i0, np.arange(w_out)), 1.0 - fr)
-        np.add.at(weights[p], (i0 + 1, np.arange(w_out)), fr)
+    weights = _phase_weights(cols, span_w, w_out, num_phases)
 
     chunk = flat_start // 128
     off = flat_start % 128
@@ -739,22 +738,9 @@ def frames_to_screens_mxu3_exact(
     win_w = span_w + 128
     n_chunks_per_win = win_w // 128
 
-    weights = np.zeros((num_phases, span_w, w_out), np.float32)
-    for p in range(num_phases):
-        fp = (p + 0.5) / num_phases
-        pos = fp + cols
-        i0 = pos.astype(np.int64)
-        fr = (pos - i0).astype(np.float32)
-        np.add.at(weights[p], (i0, np.arange(w_out)), 1.0 - fr)
-        np.add.at(weights[p], (i0 + 1, np.arange(w_out)), fr)
+    weights = _phase_weights(cols, span_w, w_out, num_phases)
 
-    def pack(keys, n_keys):
-        slot = np.zeros(n_lines, np.int64)
-        counts = np.zeros(n_keys, np.int64)
-        for e in np.argsort(keys, kind="stable"):
-            slot[e] = counts[keys[e]]
-            counts[keys[e]] += 1
-        return slot, int(counts.max())
+    pack = _pack_slots
 
     # Per-frame groupings (the fractional offset shifts every line position
     # by the same sub-sample amount; starts/phases re-derive per frame).

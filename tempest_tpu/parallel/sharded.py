@@ -76,6 +76,20 @@ def sharded_batched_reconstruct_fn(
     inner = make_batched_reconstruct_fn(config)
     stream = NamedSharding(mesh, P(axis))       # leading stream axis sharded
     repl = NamedSharding(mesh, P())
+    out_sh = (stream, stream, stream, stream)
+
+    if config.carry_phase:
+        # Per-stream fractional frame phase rides the stream axis too.
+        def step(iq, ema, alpha, phase):
+            iq = jax.lax.with_sharding_constraint(iq, stream)
+            ema = jax.lax.with_sharding_constraint(ema, stream)
+            return inner(iq, ema, alpha, phase)
+
+        return jax.jit(
+            step,
+            in_shardings=(stream, stream, repl, stream),
+            out_shardings=out_sh,
+        )
 
     def step(iq, ema, alpha):
         iq = jax.lax.with_sharding_constraint(iq, stream)
@@ -85,7 +99,7 @@ def sharded_batched_reconstruct_fn(
     return jax.jit(
         step,
         in_shardings=(stream, stream, repl),
-        out_shardings=(stream, stream, stream, stream),
+        out_shardings=out_sh,
     )
 
 

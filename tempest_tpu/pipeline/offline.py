@@ -454,7 +454,7 @@ def process_frames(
         # config.segments > 1 to shrink spans and weight traffic.
         screens = frames_to_screens_mxu(
             env, frame_starts, frame_len, mode.height, mode.width, (h, w),
-            segments=config.segments,
+            num_phases=config.num_phases, segments=config.segments,
         )
     elif config.resampler == "fft":
         # Gather-free spectral line rectification: bandlimited-resample each

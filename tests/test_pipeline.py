@@ -272,6 +272,36 @@ def test_planar_input_format_matches_interleaved():
     np.testing.assert_array_equal(rec_p.sync, rec_i.sync)
 
 
+def test_sharded_batched_serving_carry_phase():
+    """The serving-parallel step must also support carry_phase configs
+    (per-stream fractional frame phase rides the stream axis)."""
+    from tempest_tpu.parallel.sharded import sharded_batched_reconstruct_fn
+    from tempest_tpu.pipeline.offline import make_batched_reconstruct_fn
+
+    mesh = make_mesh(8)
+    cfg = ReconstructionConfig(
+        sample_rate=FS, mode=MODE, n_frames=1, carry_phase=True,
+        input_format="iq_interleaved",
+    )
+    n = cfg.block_samples
+    iq = np.stack([
+        tt.generate_iq(MODE, FS, n, snr_db=25.0, seed=s).iq[:n].view(np.float32)
+        for s in range(8)
+    ])
+    ema0 = np.zeros((8, 600, 800), np.float32)
+    phases = np.linspace(0.0, 0.9, 8).astype(np.float32)
+    sharded = sharded_batched_reconstruct_fn(cfg, mesh)
+    iq_dev = jax.device_put(
+        jnp.asarray(iq), NamedSharding(mesh, P("blocks", None)))
+    ema_s, *_ = sharded(
+        iq_dev, jnp.asarray(ema0), jnp.float32(0.5), jnp.asarray(phases))
+    plain = make_batched_reconstruct_fn(cfg)
+    ema_p, *_ = plain(
+        jnp.asarray(iq), jnp.asarray(ema0), jnp.float32(0.5),
+        jnp.asarray(phases))
+    np.testing.assert_allclose(np.asarray(ema_s), np.asarray(ema_p), atol=1e-4)
+
+
 def test_align_subpixel_improves_psnr():
     """Sub-pixel sync registration (parabolic peak + fractional roll) must
     beat integer circshift alignment on a noisy moderately-averaged capture:
