@@ -304,6 +304,21 @@ def test_frame_sync_subpixel_accuracy(cy, cx):
     assert float(score) > 0
 
 
+def test_frame_sync_subpixel_reference_scorer():
+    """The sub-pixel refinement must also work on the reference's fill_β!
+    scorer (method='reference'), staying consistent with its integer argmax."""
+    from tempest_tpu.ops.framesync import find_blank, find_blank_subpixel
+
+    img = _image_with_smooth_blank(120, 160, 30.4, 50.7)
+    profile = np.asarray(img).sum(axis=1).astype(np.float32)
+    spec = sync_spec_for_axis(120, 0.01)
+    c_int, s_int = find_blank(jnp.asarray(profile), spec, method="reference")
+    c_sub, s_sub = find_blank_subpixel(
+        jnp.asarray(profile), spec, method="reference")
+    assert abs(float(c_sub) - float(c_int)) <= 0.5
+    np.testing.assert_allclose(float(s_sub), float(s_int), rtol=1e-5)
+
+
 def test_align_frame_subpixel_integer_matches_roll():
     img = RNG.standard_normal((24, 32)).astype(np.float32)
     for interp in ("linear", "cubic"):
