@@ -130,6 +130,10 @@ def main():
         # subpixel registration cost on the throughput chain.
         "mxu3_12f_subpixel": (
             cfg(n_frames=12, resampler="mxu3", align_subpixel=True), 20e6),
+        # the fidelity flagship: exact cuts + sub-pixel registration.
+        "mxu3_12f_exact_subpixel": (
+            cfg(n_frames=12, resampler="mxu3", subsample_align=True,
+                align_subpixel=True), 20e6),
         "mxu3_24f_planar": (
             cfg(n_frames=24, resampler="mxu3", input_format="iq_planar"),
             20e6),
