@@ -223,19 +223,11 @@ def cmd_search(args: argparse.Namespace) -> int:
     iq = read_complex_binary(args.input, args.format, count=args.samples)
     timing = estimate_timing(iq, args.fs)
     cands = candidate_modes(timing.refresh_hz, tol_hz=args.tol)
-    if args.fast:
-        from ..parallel.sharded import profile_mode_search
-
-        print(f"fv = {timing.refresh_hz:.4f} Hz; profile-scoring "
-              f"{len(cands)} candidate modes (fast path)")
-        res = profile_mode_search(iq, args.fs, timing.refresh_hz, cands,
-                                  n_frames=args.frames or 2)
-    else:
-        print(f"fv = {timing.refresh_hz:.4f} Hz; scoring {len(cands)} "
-              f"candidate modes on {args.devices or 'all'} devices")
-        mesh = make_mesh(args.devices)
-        res = sharded_mode_search(iq, args.fs, timing.refresh_hz, cands, mesh,
-                                  n_frames=args.frames or 2)
+    print(f"fv = {timing.refresh_hz:.4f} Hz; scoring {len(cands)} candidate modes "
+          f"on {args.devices or 'all'} devices")
+    mesh = make_mesh(args.devices)
+    res = sharded_mode_search(iq, args.fs, timing.refresh_hz, cands, mesh,
+                              n_frames=args.frames or 2)
     order = np.argsort(res.scores)[::-1]
     for rank, i in enumerate(order[:10]):
         marker = " <== best" if i == res.best_index else ""
@@ -417,9 +409,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tol", type=float, default=2.0, help="refresh tolerance [Hz]")
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--devices", type=int, default=None)
-    p.add_argument("--fast", action="store_true",
-                   help="profile-based scoring (line-rate prefix sums; ~ms "
-                        "instead of the full resample-and-sync score)")
     p.set_defaults(fn=cmd_search)
 
     p = sub.add_parser("synth", help="generate a synthetic golden capture")

@@ -51,7 +51,6 @@ __all__ = [
     "sharded_batched_reconstruct_fn",
     "sharded_mode_search",
     "sharded_mode_search_2d",
-    "profile_mode_search",
     "ModeSearchResult",
 ]
 
@@ -319,87 +318,6 @@ class ModeSearchResult:
     best_mode: VideoMode
     scores: np.ndarray       # (n_candidates,) sync contrast per hypothesis
     names: list[str]
-
-
-def profile_mode_search(
-    iq: np.ndarray | jnp.ndarray,
-    fs: float,
-    refresh_hz: float,
-    candidates: list[tuple[str, VideoMode]],
-    n_frames: int = 2,
-) -> ModeSearchResult:
-    """Fast hypothesis scoring from *line-rate profiles* — no resampling.
-
-    For candidate line count ``y_t`` the frame's row profile is ``y_t``
-    differences of ONE prefix sum of the envelope (line r spans samples
-    ``[r·spl, (r+1)·spl)``, ``spl = frame_len / y_t``); the vertical
-    blanking contrast on that profile scores the hypothesis.  ~1k reads per
-    candidate instead of the dynamic-geometry resampler's ~2M interpolation
-    gathers (which are the pathological TPU access pattern —
-    ``sharded_mode_search`` measured seconds per call on v5e, this runs in
-    milliseconds).  Vertical-only: candidates in a refresh band differ by
-    line count, which the y-blank contrast discriminates directly; use
-    ``sharded_mode_search`` when the full 2-axis score is wanted.
-    """
-    from ..ops.framesync import (
-        contrast_scores,
-        smooth_profile,
-        sync_spec_for_axis,
-    )
-
-    if not candidates:
-        raise ValueError("empty candidate set")
-    names = [n for n, _ in candidates]
-    spf = fs / refresh_hz
-    frame_len = int(np.floor(spf))
-    starts = np.round(np.arange(n_frames) * spf).astype(np.int64)
-    need = int(starts[-1]) + frame_len + 1
-    interleaved = False
-    if isinstance(iq, np.ndarray) and np.iscomplexobj(iq):
-        iq = np.ascontiguousarray(iq, np.complex64).view(np.float32)
-        interleaved = True
-    iq = jnp.asarray(iq)
-    n_have = iq.shape[0] // (2 if interleaved else 1)
-    if n_have < need:
-        raise ValueError(f"need {need} samples for the mode search, got {n_have}")
-    iq = iq[: 2 * need] if interleaved else iq[:need]
-
-    # Static per-candidate line boundaries (host-built).
-    bounds = []
-    for _, m in candidates:
-        spl = frame_len / m.height
-        b = np.floor(np.arange(m.height + 1) * spl).astype(np.int32)
-        bounds.append(b)
-
-    @jax.jit
-    def run(iq_in):
-        if interleaved:
-            env = am_envelope_from_iq(iq_in)
-        else:
-            env = am_demod(iq_in).astype(jnp.float32)
-        prefix = jnp.concatenate(
-            [jnp.zeros((1,), jnp.float32), jnp.cumsum(env)])
-
-        scores = []
-        for (name, m), b in zip(candidates, bounds):
-            spec = sync_spec_for_axis(m.height, 0.01)
-            per_frame = []
-            for s in starts:
-                idx = jnp.asarray(b + int(s))
-                profile = prefix[idx[1:]] - prefix[idx[:-1]]
-                beta = contrast_scores(smooth_profile(profile), spec)
-                per_frame.append(jnp.max(beta))
-            scores.append(jnp.mean(jnp.stack(per_frame)))
-        return jnp.stack(scores)
-
-    scores = np.asarray(run(iq))
-    best = int(np.argmax(scores))
-    return ModeSearchResult(
-        best_index=best,
-        best_mode=candidates[best][1],
-        scores=scores,
-        names=names,
-    )
 
 
 def sharded_mode_search(

@@ -126,22 +126,6 @@ def test_sharded_mode_search_finds_true_mode():
     assert res.scores.shape == (len(cands),)
 
 
-def test_profile_mode_search_finds_true_mode():
-    """The fast profile-based hypothesis scorer (line-rate prefix sums, no
-    resampling) must find the true mode among the refresh-band candidates."""
-    from tempest_tpu.parallel.sharded import profile_mode_search
-
-    cap = _capture(0.2)
-    cands = candidate_modes(60.0, tol_hz=0.5)
-    assert len(cands) > 8
-    res = profile_mode_search(cap.iq, FS, 60.0, cands, n_frames=2)
-    assert res.names[res.best_index] == "640x480 @ 60Hz"
-    assert res.scores.shape == (len(cands),)
-    # Clear margin over the runner-up (scores are comparable contrasts).
-    order = np.argsort(res.scores)[::-1]
-    assert res.scores[order[0]] > 1.2 * res.scores[order[1]]
-
-
 def test_sharded_welch_matches_single():
     from tempest_tpu.ops.spectrum import get_welch, get_welch_sharded
 

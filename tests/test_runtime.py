@@ -417,12 +417,6 @@ def test_cli_search(tmp_path, capsys):
     assert cli_main(["search", str(cap), "--fs", str(FS), "--tol", "0.5"]) == 0
     text = capsys.readouterr().out
     assert "640x480 @ 60Hz" in text and "best" in text
-    # Fast profile-based scoring path.
-    assert cli_main([
-        "search", str(cap), "--fs", str(FS), "--tol", "0.5", "--fast",
-    ]) == 0
-    text = capsys.readouterr().out
-    assert "640x480 @ 60Hz" in text and "best" in text
 
 
 def test_record_rotation(tmp_path, monkeypatch):
