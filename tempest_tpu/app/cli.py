@@ -223,11 +223,19 @@ def cmd_search(args: argparse.Namespace) -> int:
     iq = read_complex_binary(args.input, args.format, count=args.samples)
     timing = estimate_timing(iq, args.fs)
     cands = candidate_modes(timing.refresh_hz, tol_hz=args.tol)
-    print(f"fv = {timing.refresh_hz:.4f} Hz; scoring {len(cands)} candidate modes "
-          f"on {args.devices or 'all'} devices")
-    mesh = make_mesh(args.devices)
-    res = sharded_mode_search(iq, args.fs, timing.refresh_hz, cands, mesh,
-                              n_frames=args.frames or 2)
+    if args.fast:
+        from ..parallel.sharded import mode_search_static
+
+        print(f"fv = {timing.refresh_hz:.4f} Hz; static-table scoring "
+              f"{len(cands)} candidate modes")
+        res = mode_search_static(iq, args.fs, timing.refresh_hz, cands,
+                                 n_frames=args.frames or 2)
+    else:
+        print(f"fv = {timing.refresh_hz:.4f} Hz; scoring {len(cands)} "
+              f"candidate modes on {args.devices or 'all'} devices")
+        mesh = make_mesh(args.devices)
+        res = sharded_mode_search(iq, args.fs, timing.refresh_hz, cands, mesh,
+                                  n_frames=args.frames or 2)
     order = np.argsort(res.scores)[::-1]
     for rank, i in enumerate(order[:10]):
         marker = " <== best" if i == res.best_index else ""
@@ -409,6 +417,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tol", type=float, default=2.0, help="refresh tolerance [Hz]")
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--devices", type=int, default=None)
+    p.add_argument("--fast", action="store_true",
+                   help="static-table scoring (stacked per-candidate mxu3 "
+                        "tables; no dynamic-geometry gathers — milliseconds "
+                        "instead of seconds on TPU)")
     p.set_defaults(fn=cmd_search)
 
     p = sub.add_parser("synth", help="generate a synthetic golden capture")

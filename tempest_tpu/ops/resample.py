@@ -791,8 +791,9 @@ def frames_to_screens_mxu3_exact(
     ).reshape(F, h_out, 2, G_p).sum(axis=2)                 # (F, h, G_p)
 
     # Batched compute: cut (static slices) → windows → select → align →
-    # regroup → shared-weight einsum → blend.
-    pad_len = 128 * (R + n_chunks_per_win)
+    # regroup → shared-weight einsum → blend.  Rows must cover both the
+    # selected windows AND the whole frame slice.
+    pad_len = 128 * max(R + n_chunks_per_win, -(-frame_len // 128))
     frames_sig = jnp.stack([
         jax.lax.dynamic_slice(env, (int(s),), (frame_len,))
         for s in starts_np

@@ -51,6 +51,7 @@ __all__ = [
     "sharded_batched_reconstruct_fn",
     "sharded_mode_search",
     "sharded_mode_search_2d",
+    "mode_search_static",
     "ModeSearchResult",
 ]
 
@@ -318,6 +319,188 @@ class ModeSearchResult:
     best_mode: VideoMode
     scores: np.ndarray       # (n_candidates,) sync contrast per hypothesis
     names: list[str]
+
+
+def mode_search_static(
+    iq: np.ndarray | jnp.ndarray,
+    fs: float,
+    refresh_hz: float,
+    candidates: list[tuple[str, VideoMode]],
+    n_frames: int = 2,
+    score_size: tuple[int, int] = (150, 200),
+    num_phases: int = 16,
+) -> ModeSearchResult:
+    """Hypothesis search on STATIC per-candidate tables — the fast variant
+    of :func:`sharded_mode_search`.
+
+    Same scoring semantics (render each candidate's frames, take the
+    two-axis ``frame_sync`` contrast), but every candidate's geometry is
+    host-built into stacked one-hot select/regroup/blend/weight tables (the
+    ``frames_to_screens_mxu3_exact`` pattern, stacked over candidates
+    instead of frames) and the whole hypothesis set runs as a handful of
+    batched einsums.  The dynamic-geometry resampler it replaces scores via
+    per-element gathers — the pathological TPU pattern, measured seconds
+    per call on v5e — because one executable must serve every geometry;
+    here the hypothesis set is baked into the executable instead (a new
+    candidate set is a recompile, which the jit cache absorbs per band).
+
+    Scoring runs on a reduced ``score_size`` grid with coarser phase
+    quantisation — blanking contrast discrimination doesn't need render
+    fidelity.
+    """
+    from ..ops.framesync import frame_sync
+    from ..ops.resample import _pack_slots, _screen_geometry
+
+    if not candidates:
+        raise ValueError("empty candidate set")
+    names = [n for n, _ in candidates]
+    C = len(candidates)
+    h_out, w_out = score_size
+    n_lines = 2 * h_out
+    spf = fs / refresh_hz
+    frame_len = int(np.floor(spf))
+    starts = np.round(np.arange(n_frames) * spf).astype(np.int64)
+    need = int(starts[-1]) + frame_len + 1
+    interleaved = False
+    if isinstance(iq, np.ndarray) and np.iscomplexobj(iq):
+        iq = np.ascontiguousarray(iq, np.complex64).view(np.float32)
+        interleaved = True
+    iq = jnp.asarray(iq)
+    n_have = iq.shape[0] // (2 if interleaved else 1)
+    if n_have < need:
+        raise ValueError(f"need {need} samples for the mode search, got {n_have}")
+    iq = iq[: 2 * need] if interleaved else iq[:need]
+
+    # Host-built per-candidate geometry, padded to common shapes.
+    geoms = []
+    span_max = 0
+    for _, m in candidates:
+        start, frac, wr, cols, _ = _screen_geometry(
+            frame_len, m.height, m.width, score_size)
+        geoms.append((start, frac, wr, cols))
+        span_max = max(span_max, int(np.ceil(cols[-1] + 1)) + 2)
+    span_w = -(-span_max // 128) * 128
+    win_w = span_w + 128
+    ncw = win_w // 128
+
+    per_cand = []
+    R = 0
+    per_o = per_p = 0
+    for start, frac, wr, cols in geoms:
+        raw = start.reshape(-1)
+        flat_start = np.maximum(raw, 0)
+        flat_frac = np.clip(frac.reshape(-1) + (raw - flat_start),
+                            0.0, 1.0 - 1e-9)
+        phase = np.minimum((flat_frac * num_phases).astype(np.int64),
+                           num_phases - 1)
+        chunk = flat_start // 128
+        off = flat_start % 128
+        slot_o, po = _pack_slots(off, 128)
+        slot_p, pp = _pack_slots(phase, num_phases)
+        per_cand.append((chunk, off, phase, slot_o, slot_p))
+        R = max(R, int(chunk.max()) + 1)
+        per_o, per_p = max(per_o, po), max(per_p, pp)
+
+    G_o = 128 * per_o
+    G_p = num_phases * per_p
+    sel_src = np.full((C, G_o), -1, np.int32)
+    reg_src = np.full((C, G_p), -1, np.int32)
+    blend_idx = np.zeros((C, n_lines), np.int32)
+    coeffs = np.zeros((C, n_lines), np.float32)
+    # Per-candidate per-phase interpolation index/weight tables (weights are
+    # built on device from these — dense f32 weight stacks would be hundreds
+    # of MB of program constants, breaking remote-compile request limits).
+    wi0 = np.zeros((C, num_phases, w_out), np.int32)
+    wfr = np.zeros((C, num_phases, w_out), np.float32)
+    for c, ((start, frac, wr, cols), (chunk, off, phase, slot_o, slot_p)) in \
+            enumerate(zip(geoms, per_cand)):
+        sel_src[c, off * per_o + slot_o] = chunk
+        reg_src[c, phase * per_p + slot_p] = off * per_o + slot_o
+        blend_idx[c] = phase * per_p + slot_p
+        coeffs[c] = np.stack([1.0 - wr[:, 0], wr[:, 0]], axis=1).reshape(-1)
+        for p in range(num_phases):
+            pos = (p + 0.5) / num_phases + cols
+            wi0[c, p] = pos.astype(np.int64)
+            wfr[c, p] = (pos - wi0[c, p]).astype(np.float32)
+
+    F = n_frames
+    # Rows must cover both the selected windows AND the whole frame slice.
+    pad_len = 128 * max(R + ncw, -(-frame_len // 128))
+
+    @jax.jit
+    def run(iq_in):
+        if interleaved:
+            env = am_envelope_from_iq(iq_in)
+        else:
+            env = am_demod(iq_in).astype(jnp.float32)
+
+        frames_sig = jnp.stack([
+            jax.lax.slice(env, (int(s),), (int(s) + frame_len,))
+            for s in starts
+        ])
+        frames_sig = jnp.concatenate(
+            [frames_sig,
+             jnp.broadcast_to(frames_sig[:, -1:], (F, pad_len - frame_len))],
+            axis=1,
+        )
+        rows128 = frames_sig.reshape(F, -1, 128).astype(jnp.bfloat16)
+
+        def onehot(src, n, dtype):
+            return (jnp.asarray(src)[..., None]
+                    == jnp.arange(n, dtype=jnp.int32)).astype(dtype)
+
+        sel = onehot(sel_src, R, jnp.bfloat16)            # (C, G_o, R)
+        reg = onehot(reg_src, G_o, jnp.float32)           # (C, G_p, G_o)
+        blend = jnp.einsum(
+            "cl,clg->clg", jnp.asarray(coeffs),
+            onehot(blend_idx, G_p, jnp.float32),
+        ).reshape(C, h_out, 2, G_p).sum(axis=2)           # (C, h, G_p)
+        span_idx = jnp.arange(span_w, dtype=jnp.int32)
+        i0 = jnp.asarray(wi0)[..., None, :]               # (C, P, 1, w)
+        fr = jnp.asarray(wfr)[..., None, :]
+        weights = ((span_idx[None, None, :, None] == i0) * (1.0 - fr)
+                   + (span_idx[None, None, :, None] == i0 + 1) * fr
+                   ).astype(jnp.float32)                  # (C, P, span_w, w)
+
+        S = jnp.concatenate(
+            [jnp.einsum("cgr,frk->cfgk", sel, rows128[:, i : R + i],
+                        preferred_element_type=jnp.float32)
+             for i in range(ncw)],
+            axis=3,
+        ).reshape(C, F, 128, per_o, win_w)
+        aligned = jnp.concatenate(
+            [jax.lax.slice(S, (0, 0, o, 0, o), (C, F, o + 1, per_o, o + span_w))
+             for o in range(128)],
+            axis=2,
+        ).reshape(C, F, G_o, span_w)
+        regrouped = jnp.einsum(
+            "cgk,cfkw->cfgw", reg, aligned,
+            preferred_element_type=jnp.float32,
+        ).reshape(C, F, num_phases, per_p, span_w)
+        z = jnp.einsum(
+            "cfpbs,cpsw->cfpbw", regrouped, weights,
+            preferred_element_type=jnp.float32,
+        )
+        screens = jnp.einsum(
+            "chg,cfgw->cfhw", blend, z.reshape(C, F, G_p, w_out),
+            preferred_element_type=jnp.float32,
+        )
+
+        def score_one(screen):
+            _, _, score = frame_sync(screen)
+            return score
+
+        scores = jax.vmap(jax.vmap(score_one))(screens)   # (C, F)
+        return jnp.mean(scores, axis=1)
+
+    scores = np.asarray(run(iq))
+    best = int(np.argmax(scores))
+    return ModeSearchResult(
+        best_index=best,
+        best_mode=candidates[best][1],
+        scores=scores,
+        names=names,
+    )
 
 
 def sharded_mode_search(

@@ -126,6 +126,20 @@ def test_sharded_mode_search_finds_true_mode():
     assert res.scores.shape == (len(cands),)
 
 
+def test_mode_search_static_finds_true_mode():
+    """The static-table hypothesis search (stacked per-candidate mxu3
+    tables, batched einsums — no dynamic-geometry gathers) must agree with
+    the full search's winner."""
+    from tempest_tpu.parallel.sharded import mode_search_static
+
+    cap = _capture(0.2)
+    cands = candidate_modes(60.0, tol_hz=0.5)
+    assert len(cands) > 8
+    res = mode_search_static(cap.iq, FS, 60.0, cands, n_frames=2)
+    assert res.names[res.best_index] == "640x480 @ 60Hz"
+    assert res.scores.shape == (len(cands),)
+
+
 def test_sharded_welch_matches_single():
     from tempest_tpu.ops.spectrum import get_welch, get_welch_sharded
 
