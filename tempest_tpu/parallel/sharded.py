@@ -29,6 +29,7 @@ correlation plot (``GUI.jl:512-523``).
 from __future__ import annotations
 
 import dataclasses
+import functools as _functools
 
 import numpy as np
 import jax
@@ -348,15 +349,9 @@ def mode_search_static(
     quantisation — blanking contrast discrimination doesn't need render
     fidelity.
     """
-    from ..ops.framesync import frame_sync
-    from ..ops.resample import _pack_slots, _screen_geometry
-
     if not candidates:
         raise ValueError("empty candidate set")
     names = [n for n, _ in candidates]
-    C = len(candidates)
-    h_out, w_out = score_size
-    n_lines = 2 * h_out
     spf = fs / refresh_hz
     frame_len = int(np.floor(spf))
     starts = np.round(np.arange(n_frames) * spf).astype(np.int64)
@@ -371,12 +366,40 @@ def mode_search_static(
         raise ValueError(f"need {need} samples for the mode search, got {n_have}")
     iq = iq[: 2 * need] if interleaved else iq[:need]
 
+    run = _static_search_program(
+        frame_len, tuple(int(x) for x in starts),
+        tuple((m.height, m.width) for _, m in candidates),
+        interleaved, score_size, num_phases,
+    )
+    scores = np.asarray(run(iq))
+    best = int(np.argmax(scores))
+    return ModeSearchResult(
+        best_index=best,
+        best_mode=candidates[best][1],
+        scores=scores,
+        names=names,
+    )
+
+
+@_functools.lru_cache(maxsize=16)
+def _static_search_program(frame_len, starts, cand_geom, interleaved,
+                           score_size, num_phases):
+    """Build (once per distinct search configuration) the jitted static-table
+    scoring program — cached so repeated searches reuse the compiled
+    executable instead of retracing per call."""
+    from ..ops.framesync import frame_sync
+    from ..ops.resample import _pack_slots, _screen_geometry
+
+    C = len(cand_geom)
+    h_out, w_out = score_size
+    n_lines = 2 * h_out
+
     # Host-built per-candidate geometry, padded to common shapes.
     geoms = []
     span_max = 0
-    for _, m in candidates:
+    for y_t, x_t in cand_geom:
         start, frac, wr, cols, _ = _screen_geometry(
-            frame_len, m.height, m.width, score_size)
+            frame_len, y_t, x_t, score_size)
         geoms.append((start, frac, wr, cols))
         span_max = max(span_max, int(np.ceil(cols[-1] + 1)) + 2)
     span_w = -(-span_max // 128) * 128
@@ -423,7 +446,7 @@ def mode_search_static(
             wi0[c, p] = pos.astype(np.int64)
             wfr[c, p] = (pos - wi0[c, p]).astype(np.float32)
 
-    F = n_frames
+    F = len(starts)
     # Rows must cover both the selected windows AND the whole frame slice.
     pad_len = 128 * max(R + ncw, -(-frame_len // 128))
 
@@ -493,14 +516,7 @@ def mode_search_static(
         scores = jax.vmap(jax.vmap(score_one))(screens)   # (C, F)
         return jnp.mean(scores, axis=1)
 
-    scores = np.asarray(run(iq))
-    best = int(np.argmax(scores))
-    return ModeSearchResult(
-        best_index=best,
-        best_mode=candidates[best][1],
-        scores=scores,
-        names=names,
-    )
+    return run
 
 
 def sharded_mode_search(
