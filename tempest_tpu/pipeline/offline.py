@@ -723,8 +723,7 @@ def auto_reconstruct(
     if alpha == "auto":
         alpha = timing.suggested_alpha
     if refine_with_search:
-        from ..parallel.mesh import make_mesh
-        from ..parallel.sharded import sharded_mode_search
+        from ..parallel.sharded import mode_search_static
         from ..video.modes import candidate_modes, find_configuration
 
         cands = candidate_modes(timing.refresh_hz, tol_hz=search_tol_hz)
@@ -736,9 +735,11 @@ def auto_reconstruct(
                 env = np.hypot(w[0::2], w[1::2])
             else:
                 env = np.abs(iq).astype(np.float32)
-            res = sharded_mode_search(
-                env, fs, timing.refresh_hz, cands, make_mesh(),
-            )
+            # Static-table search: same two-axis frame_sync scoring as
+            # sharded_mode_search, but batched einsums over stacked
+            # per-candidate tables instead of dynamic-geometry gathers
+            # (0.37 s vs ~30 s warm for 26 candidates on v5e).
+            res = mode_search_static(env, fs, timing.refresh_hz, cands)
             best = res.best_mode
             timing = TimingEstimate(
                 refresh_hz=timing.refresh_hz,
