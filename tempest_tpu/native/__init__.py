@@ -62,7 +62,8 @@ def load_host_core() -> ctypes.CDLL | None:
         lib.ring_take.restype = c.c_int
         lib.ring_take.argtypes = [c.c_void_p, c.POINTER(c.c_float), c.c_double]
         lib.ring_close.argtypes = [c.c_void_p]
-        for name in ("ring_overflows", "ring_available", "ring_produced", "ring_consumed"):
+        for name in ("ring_overflows", "ring_available", "ring_produced",
+                     "ring_consumed", "ring_last_seq"):
             fn = getattr(lib, name)
             fn.restype = c.c_int64
             fn.argtypes = [c.c_void_p]
@@ -142,6 +143,12 @@ class NativeRing:
     @property
     def available(self) -> int:
         return self._lib.ring_available(self._handle)
+
+    @property
+    def last_seq(self) -> int:
+        """Production sequence of the last block taken (-1 before any take) —
+        lets consumers keep absolute stream position across overflow drops."""
+        return self._lib.ring_last_seq(self._handle)
 
     def __del__(self) -> None:
         handle = getattr(self, "_handle", None)

@@ -36,6 +36,7 @@ struct Ring {
     int64_t overflows;
     int64_t produced;
     int64_t consumed;
+    int64_t last_seq;     // production sequence of the last block taken
     bool    closed;
     std::mutex m;
     std::condition_variable nonempty;
@@ -51,6 +52,7 @@ Ring* ring_create(int64_t block_floats, int64_t depth) {
     r->depth = depth;
     r->write_idx = r->count = r->overflows = 0;
     r->produced = r->consumed = 0;
+    r->last_seq = -1;
     r->closed = false;
     return r;
 }
@@ -91,6 +93,11 @@ int ring_take(Ring* r, float* out, double timeout_ms) {
     int64_t read_idx = (r->write_idx - r->count + r->depth) % r->depth;
     std::memcpy(out, r->arena + read_idx * r->block_floats,
                 (size_t)r->block_floats * sizeof(float));
+    // Unread blocks are the most recent `count` puts (overwrite drops the
+    // oldest), so the delivered block's production sequence is
+    // produced - count — consumers track their absolute stream position
+    // across overflow drops with this.
+    r->last_seq = r->produced - r->count;
     r->count--;
     r->consumed++;
     return 1;
@@ -108,6 +115,7 @@ int64_t ring_overflows(Ring* r) { std::lock_guard<std::mutex> lk(r->m); return r
 int64_t ring_available(Ring* r) { std::lock_guard<std::mutex> lk(r->m); return r->count; }
 int64_t ring_produced(Ring* r)  { std::lock_guard<std::mutex> lk(r->m); return r->produced; }
 int64_t ring_consumed(Ring* r)  { std::lock_guard<std::mutex> lk(r->m); return r->consumed; }
+int64_t ring_last_seq(Ring* r)  { std::lock_guard<std::mutex> lk(r->m); return r->last_seq; }
 
 // ------------------------------------------------------- sample conversion
 // Interleaved int16 I/Q -> float32 interleaved, with scaling.  The unpack the

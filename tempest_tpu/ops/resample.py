@@ -47,6 +47,7 @@ __all__ = [
     "frame_to_screen_mxu4",
     "frames_to_screens_mxu",
     "frames_to_screens_mxu3_exact",
+    "StreamingExactPlan",
     "frames_to_screens_aligned",
     "frames_to_screens_fft",
     "frame_to_screen_dynamic",
@@ -197,31 +198,65 @@ def _screen_geometry(
     return start, frac, wr, cols, float(ratio)
 
 
+def _catmull_rom(t: np.ndarray) -> tuple[np.ndarray, ...]:
+    """Catmull-Rom (cubic, C¹) weights for taps at offsets (-1, 0, 1, 2)
+    around the integer part of the read position, fraction ``t``."""
+    t2, t3 = t * t, t * t * t
+    return (
+        0.5 * (-t3 + 2.0 * t2 - t),
+        0.5 * (3.0 * t3 - 5.0 * t2 + 2.0),
+        0.5 * (-3.0 * t3 + 4.0 * t2 + t),
+        0.5 * (t3 - t2),
+    )
+
+
 def _phase_weights(
-    cols: np.ndarray, span: int, w_out: int, num_phases: int
+    cols: np.ndarray, span: int, w_out: int, num_phases: int, taps: int = 2
 ) -> np.ndarray:
-    """Per-phase 2-tap interpolation weight matrices (num_phases, span,
-    w_out): phase p interpolates at positions ``(p+0.5)/P + cols`` — shared
-    by every phase-quantised MXU resampler variant."""
+    """Per-phase interpolation weight matrices (num_phases, span, w_out):
+    phase p interpolates at positions ``(p+0.5)/P + cols`` — shared by every
+    phase-quantised MXU resampler variant.
+
+    ``taps=2`` is linear (the reference's ``imresize`` class,
+    ``Resampler.jl:117-126``); ``taps=4`` is Catmull-Rom — same matrix shape
+    and therefore the *same einsum cost* (the span is already 128-padded),
+    i.e. higher interpolation order for free on the MXU.  Edge taps clamp to
+    the span (border replication, affects only the first output column)."""
     weights = np.zeros((num_phases, span, w_out), np.float32)
+    ar = np.arange(w_out)
     for p in range(num_phases):
         pos = (p + 0.5) / num_phases + cols
         i0 = pos.astype(np.int64)
         fr = (pos - i0).astype(np.float32)
-        np.add.at(weights[p], (i0, np.arange(w_out)), 1.0 - fr)
-        np.add.at(weights[p], (i0 + 1, np.arange(w_out)), fr)
+        if taps == 2:
+            np.add.at(weights[p], (i0, ar), 1.0 - fr)
+            np.add.at(weights[p], (i0 + 1, ar), fr)
+        elif taps == 4:
+            for off, w in zip((-1, 0, 1, 2), _catmull_rom(fr)):
+                np.add.at(weights[p], (np.clip(i0 + off, 0, span - 1), ar), w)
+        else:
+            raise ValueError(f"interp taps must be 2 or 4, got {taps}")
     return weights
 
 
 def _pack_slots(keys: np.ndarray, n_keys: int) -> tuple[np.ndarray, int]:
     """Stable-sort items into (n_keys, per) slots; returns (slot, per) —
-    the grouping used by the one-hot select/regroup tables."""
-    slot = np.zeros(len(keys), np.int64)
-    counts = np.zeros(n_keys, np.int64)
-    for e in np.argsort(keys, kind="stable"):
-        slot[e] = counts[keys[e]]
-        counts[keys[e]] += 1
-    return slot, int(counts.max())
+    the grouping used by the one-hot select/regroup tables.  Vectorised
+    (the streaming plan builds K·F of these): slot = rank within the key's
+    stable-sorted run."""
+    keys = np.asarray(keys)
+    n = len(keys)
+    if n == 0:
+        return np.zeros(0, np.int64), 1
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    idx = np.arange(n, dtype=np.int64)
+    new = np.r_[True, sk[1:] != sk[:-1]]
+    run_start = idx[new][np.cumsum(new) - 1]   # start index of each run
+    slot_sorted = idx - run_start
+    slot = np.empty(n, np.int64)
+    slot[order] = slot_sorted
+    return slot, int(slot_sorted.max()) + 1
 
 
 def frame_to_screen_rows(
@@ -269,6 +304,7 @@ def frame_to_screen_mxu(
     out_shape: tuple[int, int] = RENDER_SIZE,
     num_phases: int = 64,
     perm: str = "gather",
+    interp_taps: int = 2,
 ) -> jnp.ndarray:
     """``frame_to_screen`` v3: scanline interpolation as batched MXU matmuls.
 
@@ -294,7 +330,7 @@ def frame_to_screen_mxu(
     flat_frac = np.clip(frac.reshape(-1).astype(np.float64), 0.0, 1.0 - 1e-9)
     phase = np.minimum((flat_frac * num_phases).astype(np.int64), num_phases - 1)
 
-    weights = _phase_weights(cols, span_pad, w_out, num_phases)
+    weights = _phase_weights(cols, span_pad, w_out, num_phases, interp_taps)
 
     # Sort the 2h lines by phase → contiguous per-phase batches (padded).
     order = np.argsort(phase, kind="stable")
@@ -360,6 +396,7 @@ def frame_to_screen_mxu3(
     out_shape: tuple[int, int] = RENDER_SIZE,
     num_phases: int = 64,
     einsum_bf16: bool = False,
+    interp_taps: int = 2,
 ) -> jnp.ndarray:
     """``frame_to_screen`` v4: ZERO gathers — every data movement is a
     reshape, a static slice, or a (one-hot) matmul.
@@ -397,7 +434,7 @@ def frame_to_screen_mxu3(
     phase = np.minimum((flat_frac * num_phases).astype(np.int64), num_phases - 1)
     n_lines = 2 * h_out
 
-    weights = _phase_weights(cols, span_w, w_out, num_phases)
+    weights = _phase_weights(cols, span_w, w_out, num_phases, interp_taps)
 
     chunk = flat_start // 128
     off = flat_start % 128
@@ -471,6 +508,7 @@ def frame_to_screen_mxu4(
     x_t: int,
     out_shape: tuple[int, int] = RENDER_SIZE,
     num_phases: int = 64,
+    interp_taps: int = 2,
 ) -> jnp.ndarray:
     """``mxu3`` with the alignment stage as ONE grouped convolution.
 
@@ -500,7 +538,7 @@ def frame_to_screen_mxu4(
     phase = np.minimum((flat_frac * num_phases).astype(np.int64), num_phases - 1)
     n_lines = 2 * h_out
 
-    weights = _phase_weights(cols, span_w, w_out, num_phases)
+    weights = _phase_weights(cols, span_w, w_out, num_phases, interp_taps)
 
     chunk = flat_start // 128
     off = flat_start % 128
@@ -709,6 +747,7 @@ def frames_to_screens_mxu3_exact(
     out_shape: tuple[int, int] = RENDER_SIZE,
     num_phases: int = 64,
     einsum_bf16: bool = False,
+    interp_taps: int = 2,
 ) -> jnp.ndarray:
     """Block-level ``mxu3`` with *sub-sample-exact* frame cuts: each frame's
     static fractional boundary residual (``frac_offsets[f]`` ∈ [0, 1)) is
@@ -738,7 +777,7 @@ def frames_to_screens_mxu3_exact(
     win_w = span_w + 128
     n_chunks_per_win = win_w // 128
 
-    weights = _phase_weights(cols, span_w, w_out, num_phases)
+    weights = _phase_weights(cols, span_w, w_out, num_phases, interp_taps)
 
     pack = _pack_slots
 
@@ -837,6 +876,201 @@ def frames_to_screens_mxu3_exact(
         z.reshape(F, num_phases * per_p, w_out),
         preferred_element_type=jnp.float32,
     )
+
+
+class StreamingExactPlan:
+    """Carry-phase sub-sample-exact frame cuts at full matmul speed — the
+    streaming counterpart of :func:`frames_to_screens_mxu3_exact`.
+
+    In streaming fidelity mode each block's first frame boundary sits at a
+    *host-known but per-block-varying* fractional sample offset (the carry
+    phase).  Tracing that offset forces the 4-tap gather resampler (measured
+    ~5× slower than the mxu3 tables); baking it into constants would need a
+    recompile per block.  This plan takes a third route:
+
+    * the phase's fractional part is quantised to ``phase_bins`` bins
+      (error ≤ 1/(2·bins) sample — at 64 bins, below the mxu resamplers' own
+      1/num_phases line-phase quantisation);
+    * for every bin the mxu3 exact-cut *grouping* tables (chunk select /
+      phase regroup / vertical blend) are precomputed host-side as small
+      **int32 index arrays padded to bin-invariant shapes**, so one compiled
+      program — taking the tables as inputs and rebuilding the one-hot
+      matrices on device with broadcast compares — serves every bin (no
+      per-bin executables to warm, ~20 KB of extra host→device traffic per
+      frame per block);
+    * the phase's integer part ``m`` shifts the whole block: one traced
+      ``dynamic_slice`` re-bases the envelope, after which every frame cut
+      is a static slice at ``u[f] = floor(f·spf)`` (the per-frame residuals
+      ``f·spf - u[f]`` are folded into the bin tables).
+
+    The interpolation weight tensor — the stage's HBM traffic driver — stays
+    a shared compile-time constant (it depends only on the line-phase
+    quantisation, not on the carry phase).
+
+    The reference's live chain cuts buffer-aligned and visibly drifts
+    (``/root/reference/src/GUI.jl:165-166``); this keeps streaming cuts
+    sub-sample-exact at matmul throughput.
+    """
+
+    def __init__(
+        self,
+        frame_len: int,
+        spf: float,
+        n_frames: int,
+        y_t: int,
+        x_t: int,
+        out_shape: tuple[int, int] = RENDER_SIZE,
+        num_phases: int = 64,
+        phase_bins: int = 64,
+        interp_taps: int = 2,
+    ) -> None:
+        h_out, w_out = out_shape
+        self.frame_len = int(frame_len)
+        self.spf = float(spf)
+        self.n_frames = int(n_frames)
+        self.num_phases = int(num_phases)
+        self.phase_bins = int(phase_bins)
+        self.h_out, self.w_out = h_out, w_out
+
+        base_start, base_frac, wr, cols, _ = _screen_geometry(
+            frame_len, y_t, x_t, out_shape)
+        span = int(np.ceil(cols[-1] + 1)) + 2
+        self.span_w = -(-span // 128) * 128
+        self.win_w = self.span_w + 128
+        self.n_chunks_per_win = self.win_w // 128
+        self.weights = _phase_weights(cols, self.span_w, w_out, num_phases,
+                                      interp_taps)
+        self.coeff = np.stack([1.0 - wr[:, 0], wr[:, 0]], axis=1).reshape(-1)
+
+        a_base = base_start.reshape(-1).astype(np.float64) + base_frac.reshape(-1)
+        n_lines = 2 * h_out
+        F, K = self.n_frames, self.phase_bins
+        # Static frame-cut starts and residuals: frame f's exact boundary is
+        # m + k/K + u[f] + r[f]; the cut happens at the static u[f] and the
+        # whole sub-sample remainder k/K + r[f] ∈ [0, 2) folds into the
+        # per-bin line tables (floor handles the extra integer sample).
+        self.u = np.floor(np.arange(F) * self.spf).astype(np.int64)
+        r = np.arange(F) * self.spf - self.u
+
+        # Pass 1: groupings for every (bin, frame); global shape maxima.
+        chunk = np.empty((K, F, n_lines), np.int64)
+        off = np.empty((K, F, n_lines), np.int64)
+        phase = np.empty((K, F, n_lines), np.int64)
+        slot_o = np.empty((K, F, n_lines), np.int64)
+        slot_p = np.empty((K, F, n_lines), np.int64)
+        R = per_o = per_p = 0
+        for k in range(K):
+            for f in range(F):
+                a = a_base + (k / K + r[f])
+                fstart = np.maximum(np.floor(a).astype(np.int64), 0)
+                frac = np.clip(a - fstart, 0.0, 1.0 - 1e-9)
+                ph = np.minimum((frac * num_phases).astype(np.int64),
+                                num_phases - 1)
+                ch, of = fstart // 128, fstart % 128
+                so, po = _pack_slots(of, 128)
+                sp, pp = _pack_slots(ph, num_phases)
+                chunk[k, f], off[k, f], phase[k, f] = ch, of, ph
+                slot_o[k, f], slot_p[k, f] = so, sp
+                R = max(R, int(ch.max()) + 1)
+                per_o, per_p = max(per_o, po), max(per_p, pp)
+        self.R, self.per_o, self.per_p = R, per_o, per_p
+        G_o, G_p = 128 * per_o, num_phases * per_p
+
+        # Pass 2: bin-invariant-shape index tables (-1 = empty slot → zero
+        # one-hot row on device).
+        self.sel_src = np.full((K, F, G_o), -1, np.int32)
+        self.reg_src = np.full((K, F, G_p), -1, np.int32)
+        self.blend_idx = np.zeros((K, F, n_lines), np.int32)
+        for k in range(K):
+            for f in range(F):
+                o_slot = off[k, f] * per_o + slot_o[k, f]
+                p_slot = phase[k, f] * per_p + slot_p[k, f]
+                self.sel_src[k, f, o_slot] = chunk[k, f]
+                self.reg_src[k, f, p_slot] = o_slot
+                self.blend_idx[k, f] = p_slot
+
+        # Device layout: rows must cover the selected windows AND the frame.
+        self.pad_len = 128 * max(R + self.n_chunks_per_win,
+                                 -(-self.frame_len // 128))
+        # Envelope samples needed past the traced shift m: the last frame's
+        # slice end.  A carry_phase block holds ⌈spf·F⌉+1+⌈spf⌉ samples and
+        # m ≤ ⌊spf⌋+1, so m + L0 always fits (asserted in the jitted step).
+        self.L0 = int(self.u[-1]) + self.frame_len
+
+    # ----------------------------------------------------------- host side
+    def bin_for_phase(self, phase: float) -> tuple[int, int]:
+        """Quantise a block's carry phase (fractional sample offset of the
+        first frame boundary, in [0, spf)) → (bin index, integer shift)."""
+        m = int(np.floor(phase))
+        q = float(phase) - m
+        k = int(round(q * self.phase_bins))
+        if k >= self.phase_bins:
+            k -= self.phase_bins
+            m += 1
+        return k, m
+
+    def tables(self, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Bin k's grouping tables (sel_src, reg_src, blend_idx)."""
+        return self.sel_src[k], self.reg_src[k], self.blend_idx[k]
+
+    # --------------------------------------------------------- device side
+    def resample(
+        self,
+        env: jnp.ndarray,
+        m: jnp.ndarray,
+        sel_src: jnp.ndarray,
+        reg_src: jnp.ndarray,
+        blend_idx: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Traceable: (env, traced shift, traced bin tables) → (F, h, w)
+        screens.  Same compute graph as ``frames_to_screens_mxu3_exact``
+        with the one-hot select/regroup/blend matrices rebuilt on device
+        from the int32 tables (broadcast compares — exact values)."""
+        F, P = self.n_frames, self.num_phases
+        env_m = jax.lax.dynamic_slice(env, (m,), (self.L0,))
+        env_m = jnp.concatenate([
+            env_m,
+            jnp.broadcast_to(env_m[-1],
+                             (self.pad_len - self.frame_len,)).astype(env_m.dtype),
+        ])
+        frames_sig = jnp.stack([
+            jax.lax.slice(env_m, (int(uf),), (int(uf) + self.pad_len,))
+            for uf in self.u
+        ])
+        rows128 = frames_sig.reshape(F, -1, 128).astype(jnp.bfloat16)
+        sel = (sel_src[..., None]
+               == jnp.arange(self.R, dtype=jnp.int32)).astype(jnp.bfloat16)
+        S = jnp.concatenate(
+            [jnp.einsum("fgr,frk->fgk", sel, rows128[:, i : self.R + i],
+                        preferred_element_type=jnp.float32)
+             for i in range(self.n_chunks_per_win)],
+            axis=2,
+        ).reshape(F, 128, self.per_o, self.win_w)
+        aligned = jnp.concatenate(
+            [jax.lax.slice(S, (0, o, 0, o),
+                           (F, o + 1, self.per_o, o + self.span_w))
+             for o in range(128)],
+            axis=1,
+        ).reshape(F, 128 * self.per_o, self.span_w)
+        reg = (reg_src[..., None]
+               == jnp.arange(128 * self.per_o, dtype=jnp.int32)).astype(jnp.float32)
+        regrouped = jnp.einsum(
+            "fgk,fkw->fgw", reg, aligned, preferred_element_type=jnp.float32,
+        ).reshape(F, P, self.per_p, self.span_w)
+        z = jnp.einsum(
+            "fpbs,psw->fpbw", regrouped, jnp.asarray(self.weights),
+            preferred_element_type=jnp.float32,
+        )
+        G_p = P * self.per_p
+        blend = (
+            jnp.asarray(self.coeff, jnp.float32)[None, :, None]
+            * (blend_idx[..., None]
+               == jnp.arange(G_p, dtype=jnp.int32)).astype(jnp.float32)
+        ).reshape(F, self.h_out, 2, G_p).sum(axis=2)
+        return jnp.einsum(
+            "fhg,fgw->fhw", blend, z.reshape(F, G_p, self.w_out),
+            preferred_element_type=jnp.float32,
+        )
 
 
 def frames_to_screens_aligned(

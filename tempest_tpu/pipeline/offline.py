@@ -168,6 +168,14 @@ class ReconstructionConfig:
     # bf16 operands for the interpolation einsum (f32 accumulation): halves
     # the weight streaming at ~0.2% coefficient rounding (mxu3 only).
     einsum_bf16: bool = False
+    # Interpolation order of the MXU resamplers' phase weight matrices: 2 =
+    # linear (the reference's imresize class, Resampler.jl:117-126), 4 =
+    # Catmull-Rom cubic — SAME einsum shapes (the span is 128-padded), i.e.
+    # higher interpolation order at no extra matmul cost.  Honoured by the
+    # mxu/mxu2/mxu3/mxu4 resamplers, the exact-cut tables and the streaming
+    # fidelity plan; the gather/rows/aligned/fft variants keep their own
+    # kernels (fft is already sinc).
+    interp_taps: int = 2
     # Per-frame loop structure for the per-frame resamplers ("gather", "rows",
     # "mxu"): "vmap" batches all frames into wide ops; "scan" compiles the
     # per-frame chain once and iterates.  MEASURED (v5e, remote tunnel): scan
@@ -192,6 +200,13 @@ class ReconstructionConfig:
     # buffer-aligned and drifts, GUI.jl:165-166; SURVEY.md §5).  The block
     # must then hold one extra frame period of slack.
     carry_phase: bool = False
+    # Streaming fidelity at matmul speed: with carry_phase + subsample_align
+    # + resampler='mxu3', the block's fractional carry phase is quantised to
+    # 1/phase_bins of a sample and the exact-cut grouping tables for that bin
+    # are fed to ONE compiled program as small int32 inputs (one-hots rebuilt
+    # on device) — see ops.resample.StreamingExactPlan.  0 disables (that
+    # combination then requires resampler='gather', the traced-offset path).
+    phase_bins: int = 0
 
     @property
     def samples_per_frame(self) -> float:
@@ -393,6 +408,27 @@ def demodulate(iq: jnp.ndarray, config: ReconstructionConfig) -> jnp.ndarray:
     return env
 
 
+def _make_sync_one(config: ReconstructionConfig):
+    """Per-frame sync+align stage (vmapped by callers) — the reference's
+    ``vsync`` + ``circshift`` (``GUI.jl:171-173``) as a pure function."""
+
+    def sync_one(screen):
+        if config.do_align and config.align_subpixel:
+            s_y, s_x, score = frame_sync_subpixel(screen)
+            return (
+                align_frame_subpixel(screen, s_y, s_x, config.align_interp),
+                jnp.stack([s_y, s_x]),
+                score,
+            )
+        if config.do_align:
+            s_y, s_x, score = frame_sync(screen)
+            return align_frame(screen, s_y, s_x), jnp.stack([s_y, s_x]), score
+        zero = jnp.zeros((), jnp.int32)
+        return screen, jnp.stack([zero, zero]), jnp.zeros(())
+
+    return sync_one
+
+
 def process_frames(
     env: jnp.ndarray,
     frame_starts: jnp.ndarray,
@@ -409,20 +445,7 @@ def process_frames(
     before resampling (``config.subsample_align``)."""
     mode = config.mode
     h, w = config.render_size
-
-    def sync_one(screen):
-        if config.do_align and config.align_subpixel:
-            s_y, s_x, score = frame_sync_subpixel(screen)
-            return (
-                align_frame_subpixel(screen, s_y, s_x, config.align_interp),
-                jnp.stack([s_y, s_x]),
-                score,
-            )
-        if config.do_align:
-            s_y, s_x, score = frame_sync(screen)
-            return align_frame(screen, s_y, s_x), jnp.stack([s_y, s_x]), score
-        zero = jnp.zeros((), jnp.int32)
-        return screen, jnp.stack([zero, zero]), jnp.zeros(())
+    sync_one = _make_sync_one(config)
 
     if (
         config.resampler == "mxu3"
@@ -436,6 +459,7 @@ def process_frames(
             env, np.asarray(frame_starts), frac_offsets, frame_len,
             mode.height, mode.width, (h, w),
             num_phases=config.num_phases, einsum_bf16=config.einsum_bf16,
+            interp_taps=config.interp_taps,
         )
         return jax.vmap(sync_one)(screens)
 
@@ -476,20 +500,24 @@ def process_frames(
         )
     else:
         np_ = config.num_phases
+        taps = config.interp_taps
         resample = {
             "gather": frame_to_screen,
             "rows": frame_to_screen_rows,
-            "mxu": partial(frame_to_screen_mxu, num_phases=np_),
+            "mxu": partial(frame_to_screen_mxu, num_phases=np_,
+                           interp_taps=taps),
             # mxu with the phase-sort permutation as a one-hot matmul
             # instead of a row gather.
-            "mxu2": partial(frame_to_screen_mxu, num_phases=np_, perm="einsum"),
+            "mxu2": partial(frame_to_screen_mxu, num_phases=np_, perm="einsum",
+                            interp_taps=taps),
             # zero-gather variant: chunk-select/align/regroup as one-hot
             # matmuls + static slices.
             "mxu3": partial(frame_to_screen_mxu3, num_phases=np_,
-                            einsum_bf16=config.einsum_bf16),
+                            einsum_bf16=config.einsum_bf16, interp_taps=taps),
             # mxu3 with the alignment as one depthwise delta-kernel conv
             # (no slice stack, no regroup matmul).
-            "mxu4": partial(frame_to_screen_mxu4, num_phases=np_),
+            "mxu4": partial(frame_to_screen_mxu4, num_phases=np_,
+                            interp_taps=taps),
         }[config.resampler]
 
         def cut_frame(start, frac=None):
@@ -557,6 +585,47 @@ def ema_fold(ema: jnp.ndarray, frames: jnp.ndarray, alpha) -> jnp.ndarray:
     )
 
 
+def _make_quantised_fidelity_fn(config: ReconstructionConfig, frame_len: int):
+    """Streaming fidelity chain at matmul speed: carry-phase sub-sample-exact
+    cuts through one compiled program with per-bin grouping tables passed as
+    traced int32 inputs (see ``ops.resample.StreamingExactPlan``).
+
+    Returns the same ``step(iq, ema, alpha, phase)`` surface as the traced
+    carry_phase step; ``phase`` must be host-known (it is — the streaming
+    runtime derives it from the absolute sample position)."""
+    from ..ops.resample import StreamingExactPlan
+
+    mode = config.mode
+    h, w = config.render_size
+    plan = StreamingExactPlan(
+        frame_len, config.samples_per_frame, config.n_frames,
+        mode.height, mode.width, (h, w),
+        num_phases=config.num_phases, phase_bins=config.phase_bins,
+        interp_taps=config.interp_taps,
+    )
+    sync_one = _make_sync_one(config)
+
+    @jax.jit
+    def _table_step(iq, ema, alpha, m, sel_src, reg_src, blend_idx):
+        env = demodulate(iq, config)
+        screens = plan.resample(env, m, sel_src, reg_src, blend_idx)
+        frames, sync, score = jax.vmap(sync_one)(screens)
+        return ema_fold(ema, frames, alpha), frames, sync, score
+
+    dev_tables: dict[int, tuple] = {}
+
+    def step(iq, ema, alpha, phase):
+        k, m = plan.bin_for_phase(float(phase))
+        tabs = dev_tables.get(k)
+        if tabs is None:
+            tabs = tuple(jnp.asarray(t) for t in plan.tables(k))
+            dev_tables[k] = tabs
+        return _table_step(iq, ema, alpha, jnp.int32(m), *tabs)
+
+    step.plan = plan  # exposed for tests / warmup introspection
+    return step
+
+
 def make_reconstruct_fn(config: ReconstructionConfig):
     """Build the jitted stage-2 program for a fixed config.
 
@@ -575,10 +644,13 @@ def make_reconstruct_fn(config: ReconstructionConfig):
             "'gather' (works with traced offsets / carry_phase)"
         )
     if sub and config.resampler == "mxu3" and config.carry_phase:
-        raise ValueError(
-            "subsample_align with carry_phase traces the offsets — the "
-            "mxu3 exact-cut tables are host-built; set resampler='gather'"
-        )
+        if config.phase_bins <= 0:
+            raise ValueError(
+                "subsample_align with carry_phase traces the offsets — set "
+                "phase_bins>0 (quantised static tables at matmul speed) or "
+                "resampler='gather' (exact traced offsets, ~5x slower)"
+            )
+        return _make_quantised_fidelity_fn(config, frame_len)
     # Fractional frame-start offsets (static table, no cumulative drift).
     exact = np.arange(n_frames) * spf
     starts = (np.floor(exact) if sub else np.round(exact)).astype(np.int32)
@@ -625,6 +697,16 @@ def make_batched_reconstruct_fn(config: ReconstructionConfig):
     Returns ``step(iq[B, ...], ema[B, h, w], alpha) -> (ema', frames, sync,
     score)`` (alpha shared; add a per-stream alpha by vmapping it too).
     """
+    if (
+        config.carry_phase
+        and config.subsample_align
+        and config.resampler == "mxu3"
+    ):
+        raise ValueError(
+            "batched serving does not support the phase-quantised fidelity "
+            "chain (per-stream host-side bin selection does not vmap); use "
+            "resampler='gather' for batched carry-phase fidelity"
+        )
     inner = make_reconstruct_fn(config)
     if config.carry_phase:
         return jax.jit(jax.vmap(inner, in_axes=(0, 0, None, 0)))

@@ -80,6 +80,8 @@ class RingBuffer:
         self._write = 0          # next slot to write
         self._count = 0          # unread blocks
         self._overflows = 0
+        self._produced = 0       # total puts (monotone block sequence)
+        self.last_seq = -1       # sequence number of the last block taken
         self._closed = False
         self.producer = RateMeter()
         self.consumer = RateMeter()
@@ -99,6 +101,7 @@ class RingBuffer:
                 self._overflows += 1  # oldest block silently overwritten
             else:
                 self._count += 1
+            self._produced += 1
             self._nonempty.notify()
         self.producer.tick(self.block_size)
 
@@ -117,6 +120,13 @@ class RingBuffer:
             if out is None:
                 out = np.empty(self.block_size, np.complex64)
             np.copyto(out, self._arena[read])
+            # Unread blocks are always the most recent `count` puts (overwrite
+            # drops the oldest), so the delivered block's production sequence
+            # is produced - count.  Consumers use this to keep their absolute
+            # stream position (and hence the carry phase) honest across
+            # overflow drops — blind `pos += block_size` accounting shears the
+            # frame grid by block_size % spf per dropped block.
+            self.last_seq = self._produced - self._count
             self._count -= 1
         self.consumer.tick(self.block_size)
         return out

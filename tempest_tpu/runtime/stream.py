@@ -59,17 +59,23 @@ class StreamingRuntime:
         invert: bool = False,
         ring_impl: str = "python",
         fidelity: bool = False,
+        fidelity_bins: int = 64,
     ) -> None:
         """``fidelity=True`` selects the highest-measured-fidelity chain:
         sub-sample-exact frame cuts with the per-frame sync stage skipped
-        (gather resampler; see ReconstructionConfig.subsample_align — +0.61 dB
-        over rounded cuts, and above the per-frame-sync EMA).  Pair with
-        ``correlate()`` + ``refine_refresh_from_drift`` so the frame grid is
-        drift-locked."""
+        (see ReconstructionConfig.subsample_align — +0.61 dB over rounded
+        cuts, and above the per-frame-sync EMA).  Pair with ``correlate()``
+        + ``refine_refresh_from_drift`` so the frame grid is drift-locked.
+
+        ``fidelity_bins`` > 0 (default 64) runs fidelity mode through the
+        phase-quantised mxu3 exact-cut tables (one compiled program, full
+        matmul speed — ops.resample.StreamingExactPlan); 0 selects the
+        traced-offset gather resampler (exact carry phase, ~5× slower)."""
         self.source = source
         self.alpha = alpha
         self.invert = invert
         self.fidelity = fidelity
+        self.fidelity_bins = fidelity_bins
         self._mode = mode
         self._n_frames_fixed = n_frames_per_block
         self._rebuild()
@@ -112,9 +118,12 @@ class StreamingRuntime:
             invert=self.invert,
             carry_phase=True,
             input_format="iq_interleaved",
-            resampler="gather" if self.fidelity else "mxu3",
+            resampler=(
+                "gather" if self.fidelity and not self.fidelity_bins else "mxu3"
+            ),
             subsample_align=self.fidelity,
             do_align=not self.fidelity,
+            phase_bins=self.fidelity_bins if self.fidelity else 0,
         )
         self._spf = self.source.sample_rate / self._mode.refresh
         self._abs_pos = 0  # absolute sample index of the next block's start
@@ -248,6 +257,22 @@ class StreamingRuntime:
         self.source.close()
 
     # ---------------------------------------------------------- consumer
+    def _resync_abs_pos(self) -> None:
+        """Re-anchor the absolute sample position to the block just taken.
+
+        The ring is overwrite-oldest (real-time: never block the radio), so
+        when the consumer falls behind, blocks are silently dropped.  Blind
+        ``pos += block_size`` accounting then shears the carried frame phase
+        by ``block_size % spf`` per dropped block — the image jumps a few
+        hundred lines and the EMA smears.  The rings stamp every block with
+        its production sequence; anchoring to ``seq * block_size`` keeps the
+        frame grid locked to the *signal*, not to the consume count.  (The
+        reference has exactly this bug class: its cuts are buffer-aligned and
+        its ring drops silently, ``GUI.jl:165-166``.)"""
+        seq = getattr(self.ring, "last_seq", -1)
+        if seq >= 0:
+            self._abs_pos = seq * self.source.block_size
+
     def process_blocks(
         self,
         n_blocks: int,
@@ -272,6 +297,7 @@ class StreamingRuntime:
                 if self._producer_error is not None:
                     raise RuntimeError("sample source failed") from self._producer_error
                 break
+            self._resync_abs_pos()
             # Fractional offset of the next absolute frame boundary (frames
             # tick at multiples of spf from stream start) inside this block.
             phase = (-self._abs_pos) % self._spf
@@ -279,8 +305,11 @@ class StreamingRuntime:
             iq = jnp.asarray(
                 buf[: self.config.block_samples].view(np.float32)
             )
+            # phase stays a host float: the quantised fidelity step selects
+            # its bin tables host-side; the traced paths accept it as a weak
+            # f32 scalar.
             ema, frames, sync, score = self._step(
-                iq, ema, jnp.float32(self.alpha), jnp.float32(phase)
+                iq, ema, jnp.float32(self.alpha), phase
             )
             self._abs_pos += self.source.block_size
             self.frames_out += frames.shape[0]
@@ -328,6 +357,7 @@ class StreamingRuntime:
             if got is None:
                 raise RuntimeError("ring closed during correlate()")
             chunks.append(buf.copy())
+            self._resync_abs_pos()
             self._abs_pos += self.source.block_size  # keep the frame grid honest
         sig = np.concatenate(chunks)
         if keep_evidence:
@@ -383,6 +413,7 @@ class StreamingRuntime:
                 break
             out[i * self.source.block_size : (i + 1) * self.source.block_size] = buf
             n += self.source.block_size
+            self._resync_abs_pos()
             self._abs_pos += self.source.block_size  # keep the frame grid honest
         write_complex_binary(out[:n], path, fmt)
         return n

@@ -269,6 +269,49 @@ def test_subsample_align_mxu3_matches_gather_path():
     assert d.mean() < 0.01 and d.max() < 0.08, (d.mean(), d.max())
 
 
+def test_phase_quantised_fidelity_matches_exact_tables():
+    """The streaming fidelity step (carry_phase + phase_bins: per-bin
+    grouping tables fed to ONE compiled program as traced int32 inputs)
+    must reproduce frames_to_screens_mxu3_exact evaluated at the quantised
+    offsets — the two are the same compute graph, constants vs inputs."""
+    from tempest_tpu.ops.resample import frames_to_screens_mxu3_exact
+    from tempest_tpu.pipeline.offline import make_reconstruct_fn
+
+    cap = _capture(0.2, snr_db=30.0)
+    cfg = ReconstructionConfig(
+        sample_rate=FS, mode=MODE, n_frames=3, resampler="mxu3",
+        subsample_align=True, do_align=False, carry_phase=True,
+        phase_bins=16, input_format="iq_interleaved",
+    )
+    from tempest_tpu.ops.demod import am_envelope_from_iq
+
+    step = make_reconstruct_fn(cfg)
+    plan = step.plan
+    words = cap.iq[: cfg.block_samples].view(np.float32)
+    # Truth must start from the SAME envelope the step demodulates: a host
+    # np.abs differs from the device sqrt(I²+Q²) at ~1e-7, which is enough
+    # to flip bf16 rounding boundaries in the selection cast.
+    env = np.asarray(am_envelope_from_iq(jnp.asarray(words)))
+    ema0 = jnp.zeros(cfg.render_size, jnp.float32)
+    spf = cfg.samples_per_frame
+    for phase in (0.0, 0.37, spf * 0.631):
+        ema, frames, sync, score = step(words, ema0, jnp.float32(0.9), phase)
+        assert np.all(np.asarray(sync) == 0)  # sync stage off in fidelity
+        k, m = plan.bin_for_phase(phase)
+        offs = k / cfg.phase_bins + (np.arange(cfg.n_frames) * spf - plan.u)
+        truth = frames_to_screens_mxu3_exact(
+            jnp.asarray(env), m + plan.u, offs,
+            int(np.floor(spf)), MODE.height, MODE.width, cfg.render_size,
+        )
+        truth = np.asarray(truth)
+        scale = truth.max() - truth.min() + 1e-9
+        d = np.abs(np.asarray(frames) - truth) / scale
+        # The bottom rows read a few samples past the frame boundary, where
+        # the two paths pad differently (real continuation vs per-frame edge
+        # replication) — exclude them; everywhere else the graphs agree.
+        assert d[:, :-2].max() < 2e-3, float(d[:, :-2].max())
+
+
 def test_planar_input_format_matches_interleaved():
     """input_format='iq_planar' (host de-interleave, contiguous device demod)
     must reproduce the interleaved pipeline exactly."""

@@ -50,6 +50,67 @@ def test_ring_overwrites_oldest():
     assert ring.take()[0] == 4
 
 
+def test_ring_sequence_tracks_drops():
+    """Every taken block carries its production sequence so consumers can
+    keep absolute stream position across overflow drops (carry-phase
+    correctness — blind `pos += block_size` shears the frame grid)."""
+    ring = RingBuffer(2, depth=2)
+    assert ring.last_seq == -1
+    for i in range(5):
+        ring.put(np.full(2, i, np.complex64))
+    assert ring.take()[0] == 3 and ring.last_seq == 3
+    assert ring.take()[0] == 4 and ring.last_seq == 4
+    ring.put(np.full(2, 5, np.complex64))
+    assert ring.take()[0] == 5 and ring.last_seq == 5
+
+
+def test_native_ring_sequence_tracks_drops():
+    from tempest_tpu.native import NativeRing, native_available
+
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    ring = NativeRing(2, depth=2)
+    assert ring.last_seq == -1
+    for i in range(5):
+        ring.put(np.full(2, i, np.complex64))
+    assert ring.take()[0] == 3 and ring.last_seq == 3
+    assert ring.take()[0] == 4 and ring.last_seq == 4
+
+
+def test_streaming_phase_survives_ring_drops():
+    """If the ring drops blocks while the consumer is busy, the runtime must
+    re-anchor its absolute position to the delivered block's sequence —
+    the reconstructed geometry must match an uninterrupted stream's."""
+    block = int(FS * 0.12)
+    src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=22)
+    blocks = []
+    buf = np.empty(block, np.complex64)
+    for _ in range(5):
+        src.read(buf)
+        blocks.append(buf.copy())
+
+    def run(ring_depth, n_consume):
+        s2 = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=22)
+        # alpha=0.5 over 6-frame blocks: by the end, blocks 0-1's EMA weight
+        # is 0.5^18 ≈ 4e-6 — the clean (all 5 blocks) and dropped (blocks
+        # 2-4 only) runs end with the same effective average IF the dropped
+        # run anchors those blocks at their true positions.
+        rt = StreamingRuntime(s2, MODE, alpha=0.5, fidelity=True)
+        rt.ring = type(rt.ring)(block, ring_depth)
+        for b in blocks:
+            rt.ring.put(b)
+        img = rt.process_blocks(n_consume)
+        rt.stop()
+        return rt, img
+
+    rt_c, clean = run(8, 5)
+    assert rt_c.ring.overflows == 0
+    rt_d, dropped = run(3, 3)  # blocks 0 and 1 overwritten before consuming
+    assert rt_d.ring.overflows == 2
+    d = np.abs(clean - dropped) / (clean.max() - clean.min() + 1e-9)
+    assert d.mean() < 0.02, d.mean()
+
+
 def test_ring_blocking_take_and_close():
     ring = RingBuffer(2, depth=2)
     results = []
@@ -340,6 +401,44 @@ def test_fidelity_mode_streams_and_hot_swaps():
         assert np.any(syncs[1] != 0)  # sync measurements back
     finally:
         rt.stop()
+
+
+def test_streaming_fidelity_quantised_matches_gather():
+    """fidelity=True now defaults to the phase-quantised mxu3 exact-cut
+    tables (one compiled program, matmul speed); over a multi-block stream
+    its EMA must match the traced-offset gather fidelity chain (the carry
+    phase is quantised to 1/64 sample — far below the envelope's detail
+    scale)."""
+    block = int(FS * 0.12)
+
+    def run(bins):
+        src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=21)
+        rt = StreamingRuntime(src, MODE, alpha=0.6, fidelity=True,
+                              fidelity_bins=bins)
+        # Feed the ring deterministically (no producer thread): both runs
+        # must consume the *same* blocks — a free-running producer overflows
+        # the ring while the consumer compiles, dropping a run-dependent
+        # subset.
+        buf = np.empty(block, np.complex64)
+        for _ in range(4):
+            src.read(buf)
+            rt.ring.put(buf)
+        try:
+            img = rt.process_blocks(4)
+        finally:
+            rt.stop()
+        return rt, img
+
+    rt_q, img_q = run(64)
+    assert rt_q.config.phase_bins == 64
+    assert rt_q.config.resampler == "mxu3" and rt_q.config.subsample_align
+    rt_g, img_g = run(0)
+    assert rt_g.config.resampler == "gather" and rt_g.config.phase_bins == 0
+    scale = img_g.max() - img_g.min() + 1e-9
+    d = np.abs(img_q - img_g) / scale
+    # Pointwise agreement: the quantisation error (<=1/128 sample) plus the
+    # gather path's 3-tap vs the tables' 2-tap interpolation difference.
+    assert d[:-2].mean() < 0.01 and d[:-2].max() < 0.08, (d.mean(), d.max())
 
 
 def test_blanking_polarity_detection():
