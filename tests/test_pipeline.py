@@ -312,6 +312,32 @@ def test_phase_quantised_fidelity_matches_exact_tables():
         assert d[:, :-2].max() < 2e-3, float(d[:, :-2].max())
 
 
+def test_interp_taps_quality_rule():
+    """Catmull-Rom (interp_taps=4) must beat linear on OVERSAMPLED captures
+    (≥1 sample/raster px) and lose below — the measured alias-energy rule
+    (docs/performance.md) that drives auto_reconstruct's auto selection."""
+    import dataclasses
+
+    from tempest_tpu.render.screen import aligned_psnr
+
+    def psnr_pair(fs, seconds):
+        cap = tt.generate_iq(MODE, fs, int(fs * seconds), snr_db=30.0, seed=3)
+        truth = np.asarray(downgrade_image(jnp.asarray(cap.frame)))
+        cfg2 = ReconstructionConfig(
+            sample_rate=fs, mode=MODE, n_frames=int(seconds * 60) - 2,
+            subsample_align=True, do_align=False,
+        )
+        cfg4 = dataclasses.replace(cfg2, interp_taps=4)
+        p2, _ = aligned_psnr(truth, reconstruct_frames(cap.iq, cfg2, 0.9).image)
+        p4, _ = aligned_psnr(truth, reconstruct_frames(cap.iq, cfg4, 0.9).image)
+        return p2, p4
+
+    p2u, p4u = psnr_pair(4e6, 0.4)     # 0.16 samples/raster px: undersampled
+    assert p2u > p4u + 0.15, (p2u, p4u)
+    p2o, p4o = psnr_pair(32e6, 0.3)    # 1.27 samples/raster px: oversampled
+    assert p4o > p2o + 0.15, (p2o, p4o)
+
+
 def test_planar_input_format_matches_interleaved():
     """input_format='iq_planar' (host de-interleave, contiguous device demod)
     must reproduce the interleaved pipeline exactly."""
