@@ -39,10 +39,15 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     iq = read_complex_binary(args.input, args.format, count=args.samples)
     t0 = time.perf_counter()
     evidence = None
-    if args.plots:
+    want_evidence = args.plots or args.peaks or args.pick_line_peak is not None
+    if want_evidence:
         timing, evidence = timing_evidence(
             iq, args.fs, args.seconds, args.rate_min, args.rate_max
         )
+        if args.pick_line_peak is not None:
+            from ..pipeline.offline import pick_line_peak
+
+            timing = pick_line_peak(timing, evidence, args.pick_line_peak)
     else:
         timing = estimate_timing(
             iq, args.fs, args.seconds, args.rate_min, args.rate_max
@@ -55,7 +60,22 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     print(f"mode geometry     : {timing.mode.width} x {timing.mode.height} @ {timing.mode.refresh:.3f} Hz")
     print(f"snr proxy         : {timing.snr_db:.1f} dB (suggested alpha {timing.suggested_alpha:.2f})")
     print(f"analysis time     : {dt*1e3:.1f} ms")
-    if evidence is not None:
+    if evidence is not None and evidence.line_peaks is not None and len(evidence.line_peaks):
+        from ..video.modes import find_closest_mode
+
+        # Ranked alternatives — the reference's click-the-other-peak recovery
+        # (GUI.jl:512-523) as a printed list; re-run with --pick-line-peak N
+        # (or reconstruct --pick-line-peak N) to adopt one.
+        k = args.peaks or 5
+        top = evidence.line_peaks[:k]
+        s0 = max(float(top[0][2]), 1e-12)
+        print("ranked line peaks :")
+        for i, (lag, y, sc) in enumerate(top):
+            name, _m = find_closest_mode(float(y), timing.refresh_hz)
+            mark = " *picked" if args.pick_line_peak == i else ""
+            print(f"  #{i}: lag {lag:9.2f} samples -> {y:7.1f} lines -> "
+                  f"{name} (score {sc/s0:.2f}){mark}")
+    if args.plots:
         from ..render.plots import render_line_plot, sparkline
         from ..render.screen import write_png
 
@@ -117,6 +137,7 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
             invert=args.invert, refine_with_search=args.search,
             rate_min=args.rate_min, rate_max=args.rate_max,
             align_subpixel=args.subpixel,
+            pick_line_peak=args.pick_line_peak,
         )
         print(f"detected mode: {timing.mode_name} (fv={timing.refresh_hz:.4f} Hz)")
     else:
@@ -354,6 +375,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "+ line-period window, detected peaks marked) as "
                         "PREFIX_refresh.png / PREFIX_lines.png")
     p.add_argument("--waterfall", default=None, help="write a waterfall PNG here")
+    p.add_argument("--peaks", type=int, default=0, metavar="K",
+                   help="print the top-K ranked line-period peaks with their "
+                        "mode matches (the reference's interactive peak pick, "
+                        "GUI.jl:512-523, as a list)")
+    p.add_argument("--pick-line-peak", type=int, default=None, metavar="N",
+                   help="adopt ranked line peak N (0-based) instead of the "
+                        "automatic lock")
     p.set_defaults(fn=cmd_analyze)
 
     p = sub.add_parser("reconstruct", help="reconstruct the screen from a capture")
@@ -379,6 +407,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "fractional roll) — shift-and-add accumulation")
     p.add_argument("--search", action="store_true",
                    help="refine the detected mode by sharded sync-score search")
+    p.add_argument("--pick-line-peak", type=int, default=None, metavar="N",
+                   help="with --mode auto: adopt ranked line peak N instead "
+                        "of the automatic lock (see analyze --peaks)")
     p.add_argument("--out", default="reconstruction.png")
     p.set_defaults(fn=cmd_reconstruct)
 

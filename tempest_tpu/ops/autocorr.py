@@ -25,6 +25,7 @@ TPU-native design notes:
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 __all__ = [
@@ -35,6 +36,7 @@ __all__ = [
     "estimate_line_count",
     "estimate_snr",
     "suggest_alpha",
+    "top_line_period_peaks",
 ]
 
 _EPS = 1e-30
@@ -264,6 +266,83 @@ def suggest_alpha(snr_db: jnp.ndarray | float) -> jnp.ndarray:
     (very noisy), matching the measured proxy range for 30 → −5 dB IQ SNR."""
     t = jnp.clip((2.0 - jnp.asarray(snr_db, jnp.float32)) / 17.0, 0.0, 1.0)
     return 0.1 + 0.8 * t
+
+
+def top_line_period_peaks(
+    gamma: np.ndarray,
+    fs: float,
+    fv: float,
+    k: int = 5,
+    y_min: int = 200,
+    y_max: int = 2500,
+    harmonics: int = 6,
+    scale: str = "log",
+    rate_min: float = 50.0,
+    rate_max: float = 90.0,
+) -> np.ndarray:
+    """Ranked line-period candidates — the *operator override* for when the
+    automatic lock lands on the wrong peak (strong interferer, pathological
+    content).  The reference handles this interactively: the human clicks a
+    different peak of the zoomed autocorrelation and ``delay2yt`` converts
+    the clicked delay to a line count (``/root/reference/src/GUI.jl:512-523,
+    238-252``).  Here the full ranked list is first-class: every local
+    maximum of the same prominence-comb score ``estimate_line_count``
+    maximises, refined to fractional lag, deduplicated, ordered by score.
+
+    Host-side numpy (an evidence/diagnostic surface, not a hot path).
+    Returns an (m, 3) float array of rows ``(lag_samples, y_t, score)``,
+    ``m ≤ k``, best first; row 0 is (up to refinement details) the automatic
+    estimate's choice.
+    """
+    g = np.asarray(gamma, np.float64)
+    n = g.shape[0]
+    lin_raw = 10.0 ** (g / 10.0) if scale == "log" else g
+    lin = lin_raw + np.roll(lin_raw, 1) + np.roll(lin_raw, -1)  # box-3 widen
+    lag_lo = max(int(fs / (rate_max * y_max)) - 2, 2)
+    lag_hi = min(int(fs / (rate_min * y_min)) + 2, n - 1)
+    floor = np.median(lin[lag_lo : lag_hi + 1])
+    cand = np.arange(lag_lo, lag_hi + 1, dtype=np.float64)
+
+    def comb(pos: np.ndarray) -> np.ndarray:
+        score = np.zeros_like(pos)
+        count = np.zeros_like(pos)
+        xs = np.arange(n, dtype=np.float64)
+        for h in range(1, harmonics + 1):
+            p = h * pos
+            valid = p < n - 1
+            score += np.where(valid, np.interp(p, xs, lin) - floor, 0.0)
+            count += valid
+        return score / np.maximum(count, 1.0)
+
+    scores = comb(cand)
+    # Local maxima of the comb score, ranked.
+    locmax = np.r_[False, (scores[1:-1] > scores[:-2])
+                   & (scores[1:-1] >= scores[2:]), False]
+    order = np.argsort(scores[locmax])[::-1]
+    lags = cand[locmax][order]
+    peak_scores = scores[locmax][order]
+
+    picked: list[tuple[float, float, float]] = []
+    for lag, sc in zip(lags, peak_scores):
+        # Fractional refinement (numpy mirror of refine_period, k-weighted).
+        offs = np.arange(-3 / 0.125, 3 / 0.125 + 1) * 0.125
+        fine = lag + offs
+        fs_score = np.zeros_like(fine)
+        wsum = np.zeros_like(fine)
+        xs = np.arange(n, dtype=np.float64)
+        for h in range(1, harmonics + 1):
+            p = h * fine
+            valid = p < n - 1
+            fs_score += np.where(valid, h * np.interp(p, xs, lin), 0.0)
+            wsum += np.where(valid, float(h), 0.0)
+        lag_f = float(fine[np.argmax(fs_score / np.maximum(wsum, 1.0))])
+        y_t = fs / (fv * lag_f)
+        if any(abs(y_t - y) < 2.0 for _, y, _ in picked):
+            continue  # refines into an already-listed candidate
+        picked.append((lag_f, y_t, float(sc)))
+        if len(picked) == k:
+            break
+    return np.array(picked, np.float64).reshape(-1, 3)
 
 
 def estimate_line_count(

@@ -82,6 +82,7 @@ __all__ = [
     "Reconstruction",
     "estimate_timing",
     "timing_evidence",
+    "pick_line_peak",
     "make_reconstruct_fn",
     "make_batched_reconstruct_fn",
     "reconstruct_frames",
@@ -313,6 +314,10 @@ class TimingEvidence:
     gamma_lines: np.ndarray    # 10log10|Γ|² over the line-lag window
     line_lag: float            # detected line period [samples]
     line_count: float          # fs / (fv * line_lag)
+    # Ranked alternative line-period peaks, rows (lag, y_t, comb score) —
+    # the operator's recovery path when the automatic lock is wrong (the
+    # reference's click on the other peak, GUI.jl:512-523).
+    line_peaks: np.ndarray | None = None
 
     def rate_mark(self) -> float:
         """Fractional x position of the refresh peak on the rates axis."""
@@ -374,6 +379,8 @@ def timing_evidence(
     n = int(gamma.shape[0])
     lag_lo = max(int(fs / (rate_max * y_max)) - 2, 2)
     lag_hi = min(int(fs / (rate_min * y_min)) + 2, n - 1)
+    from ..ops.autocorr import top_line_period_peaks
+
     evidence = TimingEvidence(
         rates_hz=np.asarray(rates),
         gamma_rates=np.asarray(g_rates),
@@ -382,8 +389,38 @@ def timing_evidence(
         gamma_lines=np.asarray(gamma[lag_lo : lag_hi + 1]),
         line_lag=float(fs / (fv_f * y_f)),
         line_count=y_f,
+        line_peaks=top_line_period_peaks(
+            np.asarray(gamma), fs, fv_f,
+            rate_min=rate_min, rate_max=rate_max,
+            y_min=y_min, y_max=y_max,
+        ),
     )
     return timing, evidence
+
+
+def pick_line_peak(
+    timing: TimingEstimate, evidence: TimingEvidence, n: int
+) -> TimingEstimate:
+    """Adopt ranked line-period peak ``n`` (0-based) from the evidence: the
+    operator override for a wrong automatic lock — the reference's
+    click-the-other-peak + ``delay2yt`` (``GUI.jl:512-523,238-252``), made
+    scriptable.  Returns a new TimingEstimate snapped to the closest video
+    mode at the picked line count (measured refresh kept)."""
+    if evidence.line_peaks is None or not len(evidence.line_peaks):
+        raise ValueError("evidence carries no ranked line peaks")
+    if not 0 <= n < len(evidence.line_peaks):
+        raise IndexError(
+            f"peak {n} out of range (have {len(evidence.line_peaks)})"
+        )
+    y = float(evidence.line_peaks[n][1])
+    name, mode = find_closest_mode(y, timing.refresh_hz)
+    return TimingEstimate(
+        refresh_hz=timing.refresh_hz,
+        line_count=y,
+        mode_name=name,
+        mode=VideoMode(mode.width, mode.height, timing.refresh_hz),
+        snr_db=timing.snr_db,
+    )
 
 
 def demodulate(iq: jnp.ndarray, config: ReconstructionConfig) -> jnp.ndarray:
@@ -775,6 +812,10 @@ def reconstruct_frames(
     )
 
 
+# Alias: auto_reconstruct's `pick_line_peak` *parameter* shadows the function.
+_pick_line_peak_fn = pick_line_peak
+
+
 def auto_reconstruct(
     iq: np.ndarray,
     fs: float,
@@ -787,6 +828,7 @@ def auto_reconstruct(
     rate_min: float = 50.0,
     rate_max: float = 90.0,
     align_subpixel: bool = False,
+    pick_line_peak: int | None = None,
 ) -> tuple[TimingEstimate, Reconstruction]:
     """Fully automatic capture → image: the end-to-end equivalent of the
     reference's offline script (``production/investigate_data.jl``), with the
@@ -795,13 +837,22 @@ def auto_reconstruct(
     ``refine_with_search=True`` additionally scores every video mode within
     ``search_tol_hz`` of the measured refresh by sync contrast (sharded across
     all visible devices) and keeps the winner — a safety net when the
-    line-count estimate is ambiguous at low SNR."""
+    line-count estimate is ambiguous at low SNR.
+
+    ``pick_line_peak=N`` adopts ranked line-period peak N from the
+    correlation evidence instead of the automatic lock — the reference's
+    interactive click on the other peak (``GUI.jl:512-523``), for when an
+    interferer or pathological content fools the comb."""
     iq = np.asarray(iq)
     # Real input is interleaved I/Q words (the convention estimate_timing /
     # reconstruct_frames document): two words per complex sample.
     interleaved = not np.iscomplexobj(iq)
     n_complex = len(iq) // 2 if interleaved else len(iq)
-    timing = estimate_timing(iq, fs, corr_seconds, rate_min, rate_max)
+    if pick_line_peak is not None:
+        timing, ev = timing_evidence(iq, fs, corr_seconds, rate_min, rate_max)
+        timing = _pick_line_peak_fn(timing, ev, pick_line_peak)
+    else:
+        timing = estimate_timing(iq, fs, corr_seconds, rate_min, rate_max)
     if alpha == "auto":
         alpha = timing.suggested_alpha
     if refine_with_search:

@@ -183,6 +183,23 @@ class StreamingRuntime:
         self.mode = VideoMode(best.width, best.height, m.refresh)
         return name
 
+    def pick_line_peak(self, n: int) -> str:
+        """Adopt ranked line-period peak ``n`` from the last correlation
+        evidence (``correlate(keep_evidence=True)``) — the reference's
+        click-the-other-peak recovery (``GUI.jl:512-523``) as a runtime
+        command.  Returns the matched mode name."""
+        if self.last_evidence is None:
+            raise RuntimeError(
+                "no correlation evidence — run correlate(keep_evidence=True) first"
+            )
+        from ..pipeline.offline import TimingEstimate, pick_line_peak
+
+        m = self._mode
+        timing = TimingEstimate(m.refresh, m.height, "", m)
+        picked = pick_line_peak(timing, self.last_evidence, n)
+        self.mode = picked.mode
+        return picked.mode_name
+
     def set_fidelity(self, on: bool) -> None:
         """Hot-swap between the throughput chain (mxu resampler + per-frame
         sync) and the fidelity chain (sub-sample-exact cuts, sync skipped).

@@ -312,6 +312,46 @@ def test_phase_quantised_fidelity_matches_exact_tables():
         assert d[:, :-2].max() < 2e-3, float(d[:, :-2].max())
 
 
+def test_pick_line_peak_recovers_true_mode():
+    """A strong line-periodic interferer locks the automatic comb onto the
+    wrong line rate; the ranked peak list must still contain the true line
+    peak, and picking it must recover the true mode — the reference's
+    interactive click-the-other-peak (GUI.jl:512-523, delay2yt :238-252)
+    fully automated."""
+    from tempest_tpu.pipeline.offline import pick_line_peak, timing_evidence
+
+    n = int(FS * 0.4)
+    cap = _capture(0.4, snr_db=20.0)
+    spf = FS / 60.0
+    t = np.arange(n)
+    # Interferer: strong AM at a WRONG line rate (700 lines/frame), with a
+    # slow random-walk phase so its SHORT-lag correlations (the line-period
+    # window, ~100-600 samples) stay strong while its LONG-lag correlations
+    # (the 50-90 Hz refresh band, ~44k-80k samples) decohere — the refresh
+    # lock stays near the true signal's, only the line comb is fooled.
+    L_i = spf / 700.0
+    rng = np.random.default_rng(9)
+    phi = np.cumsum(rng.normal(0.0, 0.02, n))
+    am = 1.0 + 0.8 * np.cos(2 * np.pi * t / L_i + phi)
+    interferer = (1.2 * am * np.exp(2j * np.pi * 0.13 * t)).astype(np.complex64)
+    iq = (cap.iq[:n] + interferer).astype(np.complex64)
+
+    timing, ev = timing_evidence(iq, FS, 0.1)
+    assert abs(timing.refresh_hz - 60.0) < 0.5
+    assert abs(timing.line_count - 525) > 20, timing.line_count  # fooled
+    assert ev.line_peaks is not None and len(ev.line_peaks) >= 2
+    ys = ev.line_peaks[:, 1]
+    idx = int(np.argmin(np.abs(ys - 525)))
+    assert abs(ys[idx] - 525) < 3, ys  # the true peak is in the ranked list
+    picked = pick_line_peak(timing, ev, idx)
+    assert picked.mode_name == "640x480 @ 60Hz"
+    assert abs(picked.mode.height - 525) < 1
+    # auto_reconstruct honours the same override end-to-end.
+    timing2, recon = auto_reconstruct(iq, FS, alpha=0.6, pick_line_peak=idx)
+    assert timing2.mode_name == "640x480 @ 60Hz"
+    assert recon.image.std() > 0
+
+
 def test_interp_taps_quality_rule():
     """Catmull-Rom (interp_taps=4) must beat linear on OVERSAMPLED captures
     (≥1 sample/raster px) and lose below — the measured alias-energy rule

@@ -337,6 +337,32 @@ def test_cli_synth_analyze_reconstruct(tmp_path, capsys):
         "--out", str(out3),
     ]) == 0
     assert out3.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+    # Ranked peak list + explicit pick (the reference's interactive
+    # click-the-other-peak, GUI.jl:512-523, as CLI surface).
+    assert cli_main([
+        "analyze", str(cap), "--fs", str(FS), "--peaks", "3",
+        "--pick-line-peak", "0",
+    ]) == 0
+    text = capsys.readouterr().out
+    assert "ranked line peaks" in text and "#0" in text and "*picked" in text
+
+
+def test_runtime_pick_line_peak():
+    """The runtime override: correlate with evidence, then adopt a ranked
+    peak — must hot-swap the mode like the reference's click."""
+    block = int(FS * 0.15)
+    src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=17)
+    rt = StreamingRuntime(src, MODE, alpha=0.5)
+    rt.start()
+    try:
+        rt.correlate(seconds=0.1, keep_evidence=True)
+        assert rt.last_evidence is not None
+        assert rt.last_evidence.line_peaks is not None
+        name = rt.pick_line_peak(0)   # peak 0 = the automatic choice
+        assert name == "640x480 @ 60Hz"
+        assert rt.mode.height == MODE.height
+    finally:
+        rt.stop()
 
 
 def test_cli_modes(capsys):
