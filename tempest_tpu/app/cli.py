@@ -186,14 +186,25 @@ def cmd_stream(args: argparse.Namespace) -> int:
         mode=mode,
         snr_db=args.snr,
     )
+    overrides = {}
+    if args.resampler:
+        overrides["resampler"] = args.resampler
+    if args.num_phases:
+        overrides["num_phases"] = args.num_phases
+    if args.interp_taps:
+        overrides["interp_taps"] = args.interp_taps
     # With --drift-lock the warm-up needs per-frame sync measurements, so
     # fidelity mode (which skips sync) is switched on after the lock.
     rt = StreamingRuntime(source, mode, alpha=args.alpha, invert=args.invert,
-                          fidelity=args.fidelity and not args.drift_lock)
+                          fidelity=args.fidelity and not args.drift_lock,
+                          fidelity_bins=args.fidelity_bins,
+                          ring_impl=args.ring,
+                          config_overrides=overrides or None)
     if args.render == "terminal":
-        sink = TerminalRenderer()
+        sink = TerminalRenderer(crosshair=args.crosshair)
     elif args.render == "png":
-        sink = FileRenderer(prefix=args.out_prefix, every=args.every)
+        sink = FileRenderer(prefix=args.out_prefix, every=args.every,
+                            crosshair=args.crosshair)
     else:
         sink = None
     if args.resume:
@@ -221,6 +232,15 @@ def cmd_stream(args: argparse.Namespace) -> int:
             if args.fidelity:
                 rt.set_fidelity(True)
                 print("fidelity mode: sub-sample-exact cuts, sync skipped")
+        if args.console:
+            # Live operator session (the reference's interactive GUI layer,
+            # GUI.jl:394-658, as a stdin command loop) — runs until `quit`
+            # or EOF; --blocks does not apply.
+            from ..runtime.console import HELP, OperatorConsole
+
+            print(HELP)
+            OperatorConsole(rt, sink, crosshair=args.crosshair).run()
+        elif args.drift_lock:
             rt.process_blocks(args.blocks - warm, sink)
         else:
             rt.process_blocks(args.blocks, sink)
@@ -439,6 +459,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default=None, help="resume streaming state from checkpoint")
     p.add_argument("--out-prefix", default="frame")
     p.add_argument("--every", type=int, default=1)
+    p.add_argument("--console", action="store_true",
+                   help="interactive operator console on stdin (nudge lines, "
+                        "correlate, pick peaks, record, fidelity, ... — the "
+                        "reference's GUI controls as commands; `help` lists "
+                        "them); runs until `quit`/EOF")
+    p.add_argument("--crosshair", action="store_true",
+                   help="overlay the detected sync position on the live view "
+                        "(displayScreen_vsync! parity)")
+    p.add_argument("--ring", default="python", choices=["python", "native"],
+                   help="host ring buffer implementation (native = C++, "
+                        "GIL-free)")
+    p.add_argument("--fidelity-bins", type=int, default=64,
+                   help="carry-phase quantisation bins for --fidelity "
+                        "(0 = traced-offset gather chain)")
+    p.add_argument("--resampler", default=None,
+                   help="override the resampler variant (mxu3/mxu/mxu4/"
+                        "gather/fft/...; throughput mode only)")
+    p.add_argument("--num-phases", type=int, default=None,
+                   help="fractional-phase quantisation of the mxu resamplers")
+    p.add_argument("--interp-taps", type=int, default=None, choices=[2, 4],
+                   help="interpolation order: 2=linear, 4=Catmull-Rom "
+                        "(see docs/performance.md for when 4 helps)")
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("search", help="sharded multi-mode hypothesis search")

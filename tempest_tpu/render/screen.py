@@ -116,17 +116,34 @@ def write_png(img: np.ndarray, path: str, invert: bool = False) -> None:
         f.write(png)
 
 
+def _maybe_crosshair(img: np.ndarray, info: dict | None, on: bool) -> np.ndarray:
+    """Overlay the last frame's detected sync position when enabled and
+    present in the sink info (live displayScreen_vsync! parity)."""
+    if not on or not info:
+        return img
+    sync = info.get("sync")
+    if sync is None or not len(sync):
+        return img
+    s_y, s_x = np.asarray(sync)[-1]
+    return overlay_sync(img, int(s_y), int(s_x))
+
+
 class TerminalRenderer:
     """ANSI grayscale in the terminal: home-cursor + 256-color background
     cells, downsampled to the terminal grid (reference
     ``TerminalRendererScreen``, ``ScreenRenderer.jl:45-58``)."""
 
-    def __init__(self, rows: int = 40, cols: int = 120, invert: bool = False) -> None:
+    def __init__(self, rows: int = 40, cols: int = 120, invert: bool = False,
+                 crosshair: bool = False) -> None:
         self.rows = rows
         self.cols = cols
         self.invert = invert
+        # Live sync crosshair (the reference's displayScreen_vsync!,
+        # ScreenRenderer.jl:182-187, on the live view).
+        self.crosshair = crosshair
 
     def render(self, img: np.ndarray, info: dict | None = None) -> str:
+        img = _maybe_crosshair(img, info, self.crosshair)
         u8 = to_uint8(img, self.invert)
         h, w = u8.shape
         ys = (np.arange(self.rows) * h) // self.rows
@@ -155,13 +172,16 @@ class TerminalRenderer:
 class FileRenderer:
     """Sink that writes every Nth frame to numbered PNG files."""
 
-    def __init__(self, prefix: str = "frame", every: int = 1, invert: bool = False):
+    def __init__(self, prefix: str = "frame", every: int = 1, invert: bool = False,
+                 crosshair: bool = False):
         self.prefix = prefix
         self.every = every
         self.invert = invert
+        self.crosshair = crosshair
         self._n = 0
 
     def __call__(self, img: np.ndarray, info: dict | None = None) -> None:
         if self._n % self.every == 0:
+            img = _maybe_crosshair(img, info, self.crosshair)
             write_png(img, f"{self.prefix}_{self._n:05d}.png", self.invert)
         self._n += 1

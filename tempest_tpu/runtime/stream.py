@@ -60,6 +60,7 @@ class StreamingRuntime:
         ring_impl: str = "python",
         fidelity: bool = False,
         fidelity_bins: int = 64,
+        config_overrides: dict | None = None,
     ) -> None:
         """``fidelity=True`` selects the highest-measured-fidelity chain:
         sub-sample-exact frame cuts with the per-frame sync stage skipped
@@ -70,7 +71,22 @@ class StreamingRuntime:
         ``fidelity_bins`` > 0 (default 64) runs fidelity mode through the
         phase-quantised mxu3 exact-cut tables (one compiled program, full
         matmul speed — ops.resample.StreamingExactPlan); 0 selects the
-        traced-offset gather resampler (exact carry phase, ~5× slower)."""
+        traced-offset gather resampler (exact carry phase, ~5× slower).
+
+        ``config_overrides`` passes extra ReconstructionConfig fields through
+        to the compiled programs (resampler, num_phases, interp_taps,
+        einsum_bf16, demod, …) — the runtime-knob passthrough the reference
+        gives ``openAtomicSDR`` kwargs (``AtomicAbstractSDRs.jl:273-280``).
+        Fields the runtime owns (carry_phase, input_format, n_frames, mode,
+        sample_rate) cannot be overridden."""
+        if config_overrides:
+            owned = {"carry_phase", "input_format", "n_frames", "mode",
+                     "sample_rate", "block_samples"}
+            bad = owned & set(config_overrides)
+            if bad:
+                raise ValueError(f"config_overrides may not set {sorted(bad)}"
+                                 " — the streaming runtime owns these")
+        self._overrides = dict(config_overrides or {})
         self.source = source
         self.alpha = alpha
         self.invert = invert
@@ -125,6 +141,10 @@ class StreamingRuntime:
             do_align=not self.fidelity,
             phase_bins=self.fidelity_bins if self.fidelity else 0,
         )
+        if self._overrides:
+            import dataclasses
+
+            self.config = dataclasses.replace(self.config, **self._overrides)
         self._spf = self.source.sample_rate / self._mode.refresh
         self._abs_pos = 0  # absolute sample index of the next block's start
         if self.config.block_samples > self.source.block_size:

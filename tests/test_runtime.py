@@ -365,6 +365,89 @@ def test_runtime_pick_line_peak():
         rt.stop()
 
 
+def test_operator_console_scripted_session(tmp_path, monkeypatch):
+    """A scripted command stream drives a LIVE session end-to-end: overrides,
+    correlate, peak pick, fidelity hot-swap, record, pause/resume — the
+    reference's interactive layer (GUI.jl:394-658) bound to a running
+    stream, with every effect asserted."""
+    import io
+
+    from tempest_tpu.runtime.console import OperatorConsole
+
+    monkeypatch.chdir(tmp_path)
+    block = int(FS * 0.1)
+    src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=33)
+    rt = StreamingRuntime(src, MODE, alpha=0.5)
+    rt.start()
+    out = io.StringIO()
+    sunk = []
+    cmds = [
+        "status",
+        "+ 2",          # nudge: 525 -> 527
+        "lines 500",    # textbox override
+        "snap",         # re-match -> back to 525
+        "alpha 0.7",
+        "correlate",    # task 1: live re-estimate (keeps evidence)
+        "peaks",
+        "pick 0",
+        "fidelity on",  # hot-swap to the quantised exact-cut chain
+        "crosshair on",
+        "record 1",     # task 3: one raw block to auto-rotated dumpIQ_N.dat
+        "pause",
+        "start",
+        "bogus 123",    # operator typo must not kill the session
+        "quit",
+    ]
+    console = OperatorConsole(
+        rt, sink=lambda img, info: sunk.append(img.shape),
+        commands=cmds, out=out,
+    )
+    img = console.run()
+    rt.stop()
+    text = out.getvalue()
+    assert rt.mode.height == 525 and rt.mode.width == 800  # snap restored
+    assert rt.alpha == 0.7
+    assert rt.fidelity and rt.config.phase_bins == 64
+    assert console.crosshair
+    assert rt.last_record_path and (tmp_path / rt.last_record_path).exists()
+    assert "lines = 527" in text and "lines = 500" in text
+    assert "snapped to 640x480 @ 60Hz" in text
+    assert "correlate: 640x480 @ 60Hz" in text
+    assert "#0:" in text                      # ranked peaks listed
+    assert "picked peak 0 -> 640x480 @ 60Hz" in text
+    assert "paused" in text and "resumed" in text
+    assert "unknown command: bogus" in text
+    assert img is not None and img.shape == (600, 800)
+    assert sunk and console.blocks_done >= 5
+
+
+def test_cli_stream_console(tmp_path, monkeypatch, capsys):
+    """`stream --console` binds stdin to the live session."""
+    import io
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr("sys.stdin", io.StringIO("status\n+ 1\nquit\n"))
+    assert cli_main([
+        "stream", "--source", "synthetic", "--mode", "640x480 @ 60Hz",
+        "--fs", str(FS), "--block-seconds", "0.1", "--snr", "25",
+        "--console", "--render", "none",
+    ]) == 0
+    text = capsys.readouterr().out
+    assert "commands (reference GUI widget in parens)" in text
+    assert "lines = 526" in text
+
+
+def test_terminal_renderer_crosshair():
+    from tempest_tpu.render.screen import TerminalRenderer
+
+    img = np.zeros((60, 80), np.float32)
+    img[10:50, 10:70] = np.linspace(0, 1, 60)[None, :]
+    info = {"sync": np.array([[5, 7]]), "mode": MODE, "frames_out": 1}
+    r_on = TerminalRenderer(rows=12, cols=24, crosshair=True).render(img, info)
+    r_off = TerminalRenderer(rows=12, cols=24).render(img, info)
+    assert r_on != r_off  # the crosshair rows/cols change the cells
+
+
 def test_cli_modes(capsys):
     assert cli_main(["modes"]) == 0
     text = capsys.readouterr().out
