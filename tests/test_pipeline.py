@@ -352,6 +352,38 @@ def test_pick_line_peak_recovers_true_mode():
     assert recon.image.std() > 0
 
 
+def test_alignment_mode_drift_law():
+    """The measured mode-selection rule (docs/performance.md): with a
+    drift-locked refresh, exact cuts match-or-beat per-frame sync on deep
+    averages; with 100 ppm of residual refresh error, per-frame sync must
+    win by a wide margin (it tracks the moving blank; unsync'd exact cuts
+    shear)."""
+    import dataclasses
+
+    from tempest_tpu.render.screen import aligned_psnr
+    from tempest_tpu.video.modes import VideoMode
+
+    cap = _capture(0.8, snr_db=30.0)
+    truth = np.asarray(downgrade_image(jnp.asarray(cap.frame)))
+
+    def psnr(cfg):
+        r = reconstruct_frames(cap.iq, cfg, alpha=0.9)
+        return aligned_psnr(truth, r.image)[0]
+
+    locked = ReconstructionConfig(sample_rate=FS, mode=MODE, n_frames=40)
+    p_sync = psnr(locked)
+    p_exact = psnr(dataclasses.replace(
+        locked, subsample_align=True, do_align=False))
+    assert p_exact > p_sync - 0.05, (p_sync, p_exact)
+
+    drifted = dataclasses.replace(
+        locked, mode=VideoMode(MODE.width, MODE.height, 60.0 * 1.0001))
+    p_sync_d = psnr(drifted)
+    p_exact_d = psnr(dataclasses.replace(
+        drifted, subsample_align=True, do_align=False))
+    assert p_sync_d > p_exact_d + 1.0, (p_sync_d, p_exact_d)
+
+
 def test_interp_taps_quality_rule():
     """Catmull-Rom (interp_taps=4) must beat linear on OVERSAMPLED captures
     (≥1 sample/raster px) and lose below — the measured alias-energy rule
