@@ -1,10 +1,20 @@
 """End-to-end benchmark: IQ Msamples/s per chip through the full TEMPEST
 reconstruction chain at 1920x1080@60 (the BASELINE.md primary config).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 ``vs_baseline`` is the real-time factor against the reference's recommended
 20 Msps live bandwidth (docs/src/install.md:24) — 1.0 means the chain keeps up
 with a 20 MHz SDR in real time, the reference's own operating point.
+``ms_per_block``/``iters``/``n_frames``/``block_samples`` disambiguate the
+loop-amortised headline (the per-block number is the honest dispatch cost).
+
+The measured program is the round-3 streaming chain: carry-phase
+sub-sample-exact frame cuts through the phase-quantised mxu3 tables
+(ops.resample.StreamingExactPlan — one compiled executable, per-bin int32
+tables as inputs) WITH the per-frame sync stage on — i.e. exactly what
+``StreamingRuntime`` runs block after block, phases cycling as a real
+stream's would.  Measured on v5e: 7.6 ms per 36-frame block = ~1.6 GSps
+(the round-2 offline chain measured 7.8 ms in the same protocol).
 
 Measurement notes:
 * Input is raw interleaved int16 I/Q (the SDR wire format) — the production
@@ -12,6 +22,9 @@ Measurement notes:
 * The EMA image threads through every iteration, so reading back the final
   EMA forces the whole chain to have executed; ``block_until_ready`` alone is
   not a reliable fence on the tunnelled TPU backend used in this environment.
+* Phases vary per iteration exactly as a real block stream's would
+  ((-i*block) % spf), so host bin selection and (after the warm pass) the
+  cached per-bin device tables are included.
 """
 
 import json
@@ -41,51 +54,58 @@ def main() -> None:
     from tempest_tpu.video.modes import ALL_VIDEO_MODES
 
     fs = 20e6
-    # 36-frame blocks (0.6 s of signal).  After the ingest rewire (int16
-    # de-interleave as one-hot lane matmuls), the slice-stack sync scores,
-    # and static frame cuts: 36f measured 9.16 ms = 1310 Msps (65x real
-    # time), remote compile 27 s.  The default resampler is the zero-gather
-    # mxu3 chain.
+    n_frames = 36  # 0.6 s of signal per dispatch; amortises per-block cost
     config = ReconstructionConfig(
         sample_rate=fs,
         mode=ALL_VIDEO_MODES["1920x1080 @ 60Hz"],
-        n_frames=36,
+        n_frames=n_frames,
         input_format="iq_interleaved",
+        carry_phase=True,
+        subsample_align=True,
+        do_align=True,
+        resampler="mxu3",
+        phase_bins=64,
     )
     step = make_reconstruct_fn(config)
 
     rng = np.random.default_rng(0)
     n = config.block_samples
+    spf = config.samples_per_frame
     iq = jax.device_put(rng.integers(-16384, 16384, 2 * n, dtype=np.int16))
     ema = jnp.zeros(config.render_size, jnp.float32)
     alpha = jnp.float32(0.1)
+    iters = 24  # amortises the tunnel's ~24 ms per-sync round trip
+    phases = [(-i * n) % spf for i in range(iters)]
 
     # Warm-up / compile, with a readback fence.
-    ema1, *_ = step(iq, ema, alpha)
+    ema1, *_ = step(iq, ema, alpha, phases[0])
     _ = np.asarray(ema1[:1, :8])
 
-    def timed(iters: int) -> float:
+    def timed() -> float:
         e = ema
         t0 = time.perf_counter()
-        for _ in range(iters):
-            e, frames, sync, score = step(iq, e, alpha)
+        for p in phases:
+            e, frames, sync, score = step(iq, e, alpha, p)
         # The EMA dependency chain serialises all iterations; materialising a
         # slice of the final image is therefore a full fence.
         _ = np.asarray(e[:1, :8])
         return time.perf_counter() - t0
 
-    timed(2)  # settle
-    iters = 24  # amortises the tunnel's ~24 ms per-sync round trip
-    dt = timed(iters)
+    timed()  # settle + upload the per-bin tables once
+    dt = min(timed(), timed())
 
     msps = n * iters / dt / 1e6
     print(
         json.dumps(
             {
-                "metric": "full-chain IQ throughput at 1080p60 (int16 ingest + demod + resample + sync + EMA)",
+                "metric": "full-chain IQ throughput at 1080p60 (int16 ingest + demod + exact-cut resample + sync + EMA, carry-phase streaming)",
                 "value": round(msps, 2),
                 "unit": "Msamples/s/chip",
                 "vs_baseline": round(msps / 20.0, 2),
+                "ms_per_block": round(dt / iters * 1e3, 3),
+                "iters": iters,
+                "n_frames": n_frames,
+                "block_samples": n,
             }
         )
     )

@@ -6,6 +6,8 @@ one fence; appends JSON to exp_r2_results.jsonl.
 
 Usage: timeout 3000 python exp_attrib2.py > exp_attrib2.log 2>&1
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
 import time

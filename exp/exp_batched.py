@@ -6,6 +6,8 @@ methodology; appends JSON lines to exp_r2_results.jsonl.
 
 Usage: timeout 3000 python exp_batched.py [B n_frames]...  (default 4x6f, 2x12f)
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
 import sys

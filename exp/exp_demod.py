@@ -4,6 +4,8 @@ fold reduction.  Appends JSON lines to exp_r2_results.jsonl.
 
 Usage: timeout 3000 python exp_demod.py [variant ...] > exp_demod.log 2>&1
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
 import sys

@@ -3,6 +3,8 @@ de-interleave cost, and try a host-planar (2, N) layout.
 
 Usage: timeout 3000 python exp_demod2.py > exp_demod2.log 2>&1
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
 import sys

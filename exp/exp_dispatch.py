@@ -2,6 +2,8 @@
 program chained N times (dependency chain, one readback fence).  If chained
 calls cost ~ms each regardless of compute, block sizing / multi-stream
 batching is the only lever below that floor."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import time
 

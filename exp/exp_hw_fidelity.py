@@ -4,6 +4,8 @@
 Appends JSON lines to exp_r2_results.jsonl.
 Usage: timeout 3000 python exp_hw_fidelity.py > exp_hw_fidelity.log 2>&1
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
 import time

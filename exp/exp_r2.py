@@ -8,6 +8,8 @@ minutes each — incremental output survives a timeout).
 Usage: timeout 5400 python exp_r2.py [variant ...] > exp_r2.log 2>&1
 Variants default to the full list below.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import dataclasses
 import json

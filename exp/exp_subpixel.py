@@ -1,4 +1,6 @@
 """Measure align_subpixel PSNR effect on synthetic captures (CPU)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import dataclasses
 

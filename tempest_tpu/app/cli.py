@@ -359,6 +359,22 @@ def cmd_warmup(args: argparse.Namespace) -> int:
                      jnp.zeros(cfg_b.render_size, jnp.float32), jnp.float32(0.1))
         _ = np.asarray(out[0][:1, :4])
         print(f"compiled {name} (batch/int16): {_time.perf_counter()-t0:.1f} s")
+        # Streaming fidelity path: the phase-quantised exact-cut tables (one
+        # program serves every bin — stream --fidelity's default chain).
+        cfg_f = ReconstructionConfig(
+            sample_rate=args.fs, mode=mode, n_frames=args.frames,
+            input_format="iq_interleaved", carry_phase=True,
+            subsample_align=True, do_align=False, resampler="mxu3",
+            phase_bins=64,
+        )
+        step_f = make_reconstruct_fn(cfg_f)
+        t0 = _time.perf_counter()
+        out = step_f(jnp.zeros(2 * cfg_f.block_samples, jnp.float32),
+                     jnp.zeros(cfg_f.render_size, jnp.float32),
+                     jnp.float32(0.1), 0.0)
+        _ = np.asarray(out[0][:1, :4])
+        print(f"compiled {name} (stream fidelity/tables): "
+              f"{_time.perf_counter()-t0:.1f} s")
     # Timing estimator program too.
     n = int(args.fs * 0.2)
     t0 = _time.perf_counter()

@@ -304,7 +304,12 @@ def sharded_mode_search_2d(
     )
     y_dev = jax.device_put(y_arr, NamedSharding(mesh, P(mode_axis)))
     x_dev = jax.device_put(x_arr, NamedSharding(mesh, P(mode_axis)))
-    scores = np.asarray(sharded(env_dev, y_dev, x_dev))[0][:n_cand]
+    # Replicate before the host transfer: in a multi-controller run the raw
+    # output's shards are only partially addressable from each process.
+    rep = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))(
+        sharded(env_dev, y_dev, x_dev)
+    )
+    scores = np.asarray(rep)[0][:n_cand]
     best = int(np.argmax(scores))
     return ModeSearchResult(
         best_index=best,

@@ -53,11 +53,17 @@ class ReplaySource:
         self.sample_rate = float(sample_rate)
         self.block_size = int(block_size)
         self._iter = iter_complex_blocks(path, self.block_size, fmt, loop=True)
+        self._closed = False
 
     def read(self, out: np.ndarray) -> None:
+        # A clean, explicit error after close() — not the bare StopIteration
+        # a swapped-in empty iterator used to leak to a racing producer.
+        if self._closed:
+            raise RuntimeError("ReplaySource is closed")
         np.copyto(out, next(self._iter))
 
     def close(self) -> None:
+        self._closed = True
         self._iter = iter(())
 
 

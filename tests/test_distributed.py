@@ -27,11 +27,15 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _parse_checksum(out: str) -> float:
+def _parse_tag(out: str, tag: str) -> list[float]:
     for line in out.splitlines():
-        if line.startswith("CHECKSUM "):
-            return float(line.split()[1])
-    raise AssertionError(f"no CHECKSUM line in worker output:\n{out}")
+        if line.startswith(tag + " "):
+            return [float(v) for v in line.split()[1:]]
+    raise AssertionError(f"no {tag} line in worker output:\n{out}")
+
+
+def _parse_checksum(out: str) -> float:
+    return _parse_tag(out, "CHECKSUM")[0]
 
 
 def test_two_process_bootstrap_matches_single_process():
@@ -89,3 +93,31 @@ def test_two_process_bootstrap_matches_single_process():
     )
     ref = float(np.linalg.norm(np.asarray(ema)) + np.asarray(sync).sum())
     assert checksums[0] == pytest.approx(ref, rel=1e-4)
+
+    # Hypothesis searches under the distributed runtime: both processes must
+    # agree with each other AND with the same programs on a single-process
+    # 2x2 submesh (2-D time x modes search) / local run (static tables).
+    from tempest_tpu.parallel.sharded import (
+        mode_search_static,
+        sharded_mode_search_2d,
+    )
+
+    s2d = [_parse_tag(o, "SEARCH2D") for o in outs]
+    sst = [_parse_tag(o, "STATIC") for o in outs]
+    assert s2d[0] == pytest.approx(s2d[1], rel=1e-5)
+    assert sst[0] == pytest.approx(sst[1], rel=1e-5)
+
+    cands = [(nm, tt.ALL_VIDEO_MODES[nm]) for nm in
+             ("640x480 @ 60Hz", "800x600 @ 60Hz",
+              "1024x768 @ 60Hz", "1152x864 @ 60Hz")]
+    mesh2d = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                  ("blocks", "modes"))
+    sig = tt.generate_iq(mode, fs, 2 * S, snr_db=25.0, seed=5)
+    env_search = np.abs(sig.iq).astype(np.float32)
+    ref2d = sharded_mode_search_2d(
+        env_search, fs, 60.0, cands, mesh2d, frames_per_shard=1)
+    assert s2d[0][0] == pytest.approx(float(ref2d.scores.sum()), rel=1e-4)
+    assert int(s2d[0][1]) == ref2d.best_index == 0  # true mode wins
+    ref_s = mode_search_static(env_search, fs, 60.0, cands, n_frames=1)
+    assert sst[0][0] == pytest.approx(float(ref_s.scores.sum()), rel=1e-4)
+    assert int(sst[0][1]) == ref_s.best_index == 0

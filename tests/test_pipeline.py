@@ -427,6 +427,31 @@ def test_planar_input_format_matches_interleaved():
     np.testing.assert_array_equal(rec_p.sync, rec_i.sync)
 
 
+def test_fused_batched_serving_matches_vmap():
+    """The fused serving program (all B*F frames through one resample/sync
+    batch) must reproduce the vmapped single-stream program to f32
+    reassociation."""
+    from tempest_tpu.pipeline.offline import make_batched_reconstruct_fn
+
+    cfg = ReconstructionConfig(
+        sample_rate=FS, mode=MODE, n_frames=3, input_format="iq_interleaved"
+    )
+    n = cfg.block_samples
+    iq = np.stack([
+        tt.generate_iq(MODE, FS, n, snr_db=25.0, seed=s).iq[:n].view(np.float32)
+        for s in range(3)
+    ])
+    ema0 = jnp.zeros((3, 600, 800), jnp.float32)
+    fused = make_batched_reconstruct_fn(cfg, fuse=True)
+    plain = make_batched_reconstruct_fn(cfg)             # default: vmap
+    ef, ff, sf, cf = fused(jnp.asarray(iq), ema0, jnp.float32(0.5))
+    ep, fp, sp, cp = plain(jnp.asarray(iq), ema0, jnp.float32(0.5))
+    assert ff.shape == fp.shape == (3, 3, 600, 800)
+    np.testing.assert_allclose(np.asarray(ef), np.asarray(ep), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ff), np.asarray(fp), atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(sf), np.asarray(sp))
+
+
 def test_sharded_batched_serving_carry_phase():
     """The serving-parallel step must also support carry_phase configs
     (per-stream fractional frame phase rides the stream axis)."""

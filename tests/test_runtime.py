@@ -600,6 +600,7 @@ def test_cli_warmup(capsys):
     ]) == 0
     text = capsys.readouterr().out
     assert "compiled 640x480 @ 60Hz (stream/f32)" in text
+    assert "compiled 640x480 @ 60Hz (stream fidelity/tables)" in text
     assert "compiled timing estimator" in text
 
 
