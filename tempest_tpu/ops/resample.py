@@ -1026,17 +1026,35 @@ class StreamingExactPlan:
         screens.  Same compute graph as ``frames_to_screens_mxu3_exact``
         with the one-hot select/regroup/blend matrices rebuilt on device
         from the int32 tables (broadcast compares — exact values)."""
-        F, P = self.n_frames, self.num_phases
+        return self.resample_frames(self.cut(env, m), sel_src, reg_src,
+                                    blend_idx)
+
+    def cut(self, env: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+        """One traced re-base by the integer phase, then static frame cuts:
+        (env, m) → (n_frames, pad_len) signal slices."""
         env_m = jax.lax.dynamic_slice(env, (m,), (self.L0,))
         env_m = jnp.concatenate([
             env_m,
             jnp.broadcast_to(env_m[-1],
                              (self.pad_len - self.frame_len,)).astype(env_m.dtype),
         ])
-        frames_sig = jnp.stack([
+        return jnp.stack([
             jax.lax.slice(env_m, (int(uf),), (int(uf) + self.pad_len,))
             for uf in self.u
         ])
+
+    def resample_frames(
+        self,
+        frames_sig: jnp.ndarray,
+        sel_src: jnp.ndarray,
+        reg_src: jnp.ndarray,
+        blend_idx: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """(G, pad_len) pre-cut frame slices + per-frame tables → (G, h, w).
+        ``G`` may be any frame count (e.g. B·n_frames for batched serving —
+        the graph treats frames independently and the weight tensor is
+        shared), as long as each slice's tables were built by this plan."""
+        F, P = frames_sig.shape[0], self.num_phases
         rows128 = frames_sig.reshape(F, -1, 128).astype(jnp.bfloat16)
         sel = (sel_src[..., None]
                == jnp.arange(self.R, dtype=jnp.int32)).astype(jnp.bfloat16)

@@ -780,6 +780,62 @@ def _make_fused_batched_fn(config: ReconstructionConfig):
     return step
 
 
+def _make_batched_quantised_fidelity_fn(config: ReconstructionConfig,
+                                        frame_len: int):
+    """Batched serving of the streaming fidelity chain: B independent
+    carry-phase streams, each quantised to its own bin, all B·F frames
+    through ONE tables graph.
+
+    All K bins' grouping tables live device-resident as (K, F, …) int32
+    arrays built once; each block, the per-stream bin indices (traced)
+    gather their (F, …) slabs on device — no per-block table uploads at all.
+    The integer phases become B contiguous dynamic-slice re-bases."""
+    from ..ops.resample import StreamingExactPlan
+
+    mode = config.mode
+    h, w = config.render_size
+    F = config.n_frames
+    plan = StreamingExactPlan(
+        frame_len, config.samples_per_frame, F, mode.height, mode.width,
+        (h, w), num_phases=config.num_phases, phase_bins=config.phase_bins,
+        interp_taps=config.interp_taps,
+    )
+    sync_one = _make_sync_one(config)
+    sel_all = jnp.asarray(plan.sel_src)      # (K, F, G_o) int32
+    reg_all = jnp.asarray(plan.reg_src)      # (K, F, G_p)
+    blend_all = jnp.asarray(plan.blend_idx)  # (K, F, n_lines)
+
+    @jax.jit
+    def inner(iq_b, ema_b, alpha, m_b, k_b):
+        env_b = jax.vmap(lambda iq: demodulate(iq, config))(iq_b)
+        B = env_b.shape[0]
+        frames_sig = jnp.concatenate([
+            plan.cut(env_b[b], m_b[b]) for b in range(B)
+        ])                                        # (B*F, pad_len)
+        screens = plan.resample_frames(
+            frames_sig,
+            sel_all[k_b].reshape(B * F, -1),
+            reg_all[k_b].reshape(B * F, -1),
+            blend_all[k_b].reshape(B * F, -1),
+        )
+        frames, sync, score = jax.vmap(sync_one)(screens)
+        frames = frames.reshape(B, F, h, w)
+        kk = jnp.arange(F - 1, -1, -1, dtype=jnp.float32)
+        wgt = (1.0 - alpha) * alpha ** kk
+        ema_out = alpha ** F * ema_b + jnp.einsum(
+            "f,bfhw->bhw", wgt, frames, preferred_element_type=jnp.float32)
+        return (ema_out, frames, sync.reshape(B, F, 2), score.reshape(B, F))
+
+    def step(iq_b, ema_b, alpha, phases):
+        km = [plan.bin_for_phase(float(p)) for p in np.asarray(phases)]
+        k_b = jnp.asarray([k for k, _ in km], jnp.int32)
+        m_b = jnp.asarray([m for _, m in km], jnp.int32)
+        return inner(iq_b, ema_b, alpha, m_b, k_b)
+
+    step.plan = plan
+    return step
+
+
 def make_batched_reconstruct_fn(config: ReconstructionConfig, fuse: bool | None = None):
     """Multi-stream variant: B independent IQ channels (different carriers,
     antennas, or targets) reconstruct concurrently on one chip — production
@@ -802,11 +858,13 @@ def make_batched_reconstruct_fn(config: ReconstructionConfig, fuse: bool | None 
         and config.subsample_align
         and config.resampler == "mxu3"
     ):
-        raise ValueError(
-            "batched serving does not support the phase-quantised fidelity "
-            "chain (per-stream host-side bin selection does not vmap); use "
-            "resampler='gather' for batched carry-phase fidelity"
-        )
+        if config.phase_bins <= 0:
+            raise ValueError(
+                "batched carry-phase fidelity needs phase_bins>0 (per-stream "
+                "quantised bin tables) or resampler='gather' (traced offsets)"
+            )
+        return _make_batched_quantised_fidelity_fn(
+            config, int(np.floor(config.samples_per_frame)))
     fusable = (
         not config.carry_phase
         and not config.subsample_align

@@ -452,6 +452,41 @@ def test_fused_batched_serving_matches_vmap():
     np.testing.assert_array_equal(np.asarray(sf), np.asarray(sp))
 
 
+def test_batched_quantised_fidelity_matches_per_stream():
+    """Batched carry-phase fidelity (per-stream bin tables gathered on
+    device from the K-resident set) must equal running each stream through
+    the single-stream quantised step."""
+    from tempest_tpu.pipeline.offline import (
+        make_batched_reconstruct_fn,
+        make_reconstruct_fn,
+    )
+
+    cfg = ReconstructionConfig(
+        sample_rate=FS, mode=MODE, n_frames=2, input_format="iq_interleaved",
+        carry_phase=True, subsample_align=True, do_align=False,
+        resampler="mxu3", phase_bins=16,
+    )
+    n = cfg.block_samples
+    B = 3
+    iq = np.stack([
+        tt.generate_iq(MODE, FS, n, snr_db=25.0, seed=s).iq[:n].view(np.float32)
+        for s in range(B)
+    ])
+    phases = [0.0, 0.4, FS / 60.0 * 0.73]
+    ema0 = jnp.zeros((B, 600, 800), jnp.float32)
+    bstep = make_batched_reconstruct_fn(cfg)
+    eb, fb, sb, cb = bstep(jnp.asarray(iq), ema0, jnp.float32(0.7), phases)
+    assert fb.shape == (B, 2, 600, 800)
+    single = make_reconstruct_fn(cfg)
+    for b in range(B):
+        e1, f1, *_ = single(
+            jnp.asarray(iq[b]), ema0[0], jnp.float32(0.7), phases[b])
+        np.testing.assert_allclose(np.asarray(fb[b]), np.asarray(f1),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(eb[b]), np.asarray(e1),
+                                   atol=1e-4)
+
+
 def test_sharded_batched_serving_carry_phase():
     """The serving-parallel step must also support carry_phase configs
     (per-stream fractional frame phase rides the stream axis)."""
