@@ -34,6 +34,7 @@ from .ops.autocorr import (
     zoom_autocorr,
     estimate_refresh,
     estimate_line_count,
+    top_line_period_peaks,
 )
 from .ops.resample import (
     linear_resample,
@@ -56,10 +57,14 @@ from .ops.framesync import (
 )
 from .pipeline.offline import (
     TimingEstimate,
+    TimingEvidence,
     ReconstructionConfig,
     Reconstruction,
     estimate_timing,
+    timing_evidence,
+    pick_line_peak,
     make_reconstruct_fn,
+    make_batched_reconstruct_fn,
     reconstruct_frames,
     auto_reconstruct,
 )
