@@ -622,6 +622,31 @@ def ema_fold(ema: jnp.ndarray, frames: jnp.ndarray, alpha) -> jnp.ndarray:
     )
 
 
+_PLAN_CACHE: dict = {}
+
+
+def _get_plan(config: ReconstructionConfig, frame_len: int):
+    """Cache StreamingExactPlan builds (the K·F table packing is ~0.3-0.7 s
+    host work at 36f) so fidelity hot-swaps and repeated program builds under
+    the same config are free — the host-side analogue of the jit cache."""
+    from ..ops.resample import StreamingExactPlan
+
+    mode = config.mode
+    key = (frame_len, round(config.samples_per_frame, 6), config.n_frames,
+           mode.height, mode.width, config.render_size, config.num_phases,
+           config.phase_bins, config.interp_taps)
+    plan = _PLAN_CACHE.get(key)
+    if plan is None:
+        plan = StreamingExactPlan(
+            frame_len, config.samples_per_frame, config.n_frames,
+            mode.height, mode.width, config.render_size,
+            num_phases=config.num_phases, phase_bins=config.phase_bins,
+            interp_taps=config.interp_taps,
+        )
+        _PLAN_CACHE[key] = plan
+    return plan
+
+
 def _make_quantised_fidelity_fn(config: ReconstructionConfig, frame_len: int):
     """Streaming fidelity chain at matmul speed: carry-phase sub-sample-exact
     cuts through one compiled program with per-bin grouping tables passed as
@@ -630,16 +655,8 @@ def _make_quantised_fidelity_fn(config: ReconstructionConfig, frame_len: int):
     Returns the same ``step(iq, ema, alpha, phase)`` surface as the traced
     carry_phase step; ``phase`` must be host-known (it is — the streaming
     runtime derives it from the absolute sample position)."""
-    from ..ops.resample import StreamingExactPlan
-
-    mode = config.mode
     h, w = config.render_size
-    plan = StreamingExactPlan(
-        frame_len, config.samples_per_frame, config.n_frames,
-        mode.height, mode.width, (h, w),
-        num_phases=config.num_phases, phase_bins=config.phase_bins,
-        interp_taps=config.interp_taps,
-    )
+    plan = _get_plan(config, frame_len)
     sync_one = _make_sync_one(config)
 
     @jax.jit
@@ -790,16 +807,9 @@ def _make_batched_quantised_fidelity_fn(config: ReconstructionConfig,
     arrays built once; each block, the per-stream bin indices (traced)
     gather their (F, …) slabs on device — no per-block table uploads at all.
     The integer phases become B contiguous dynamic-slice re-bases."""
-    from ..ops.resample import StreamingExactPlan
-
-    mode = config.mode
     h, w = config.render_size
     F = config.n_frames
-    plan = StreamingExactPlan(
-        frame_len, config.samples_per_frame, F, mode.height, mode.width,
-        (h, w), num_phases=config.num_phases, phase_bins=config.phase_bins,
-        interp_taps=config.interp_taps,
-    )
+    plan = _get_plan(config, frame_len)
     sync_one = _make_sync_one(config)
     sel_all = jnp.asarray(plan.sel_src)      # (K, F, G_o) int32
     reg_all = jnp.asarray(plan.reg_src)      # (K, F, G_p)
