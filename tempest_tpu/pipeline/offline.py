@@ -1003,7 +1003,7 @@ def auto_reconstruct(
         alpha = timing.suggested_alpha
     if refine_with_search:
         from ..parallel.sharded import mode_search_static
-        from ..video.modes import candidate_modes, find_configuration
+        from ..video.modes import candidate_modes
 
         cands = candidate_modes(timing.refresh_hz, tol_hz=search_tol_hz)
         if len(cands) > 1:
