@@ -39,6 +39,7 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     iq = read_complex_binary(args.input, args.format, count=args.samples)
     t0 = time.perf_counter()
     evidence = None
+    pick_failed = False
     want_evidence = args.plots or args.peaks or args.pick_line_peak is not None
     if want_evidence:
         timing, evidence = timing_evidence(
@@ -47,7 +48,13 @@ def cmd_analyze(args: argparse.Namespace) -> int:
         if args.pick_line_peak is not None:
             from ..pipeline.offline import pick_line_peak
 
-            timing = pick_line_peak(timing, evidence, args.pick_line_peak)
+            try:
+                timing = pick_line_peak(timing, evidence, args.pick_line_peak)
+            except (IndexError, ValueError) as e:
+                # Still print the ranked list below so the operator can pick
+                # a valid index on the next run, but fail the command.
+                print(f"error: --pick-line-peak {args.pick_line_peak}: {e}")
+                pick_failed = True
     else:
         timing = estimate_timing(
             iq, args.fs, args.seconds, args.rate_min, args.rate_max
@@ -116,7 +123,7 @@ def cmd_analyze(args: argparse.Namespace) -> int:
         write_png(power_db, args.waterfall)
         print(f"waterfall         : wrote {args.waterfall} "
               f"({power_db.shape[1]} slices x {power_db.shape[0]} bins)")
-    return 0
+    return 2 if pick_failed else 0
 
 
 def cmd_reconstruct(args: argparse.Namespace) -> int:
@@ -132,13 +139,20 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
     iq = read_complex_binary(args.input, args.format, count=args.samples)
     alpha = args.alpha if args.alpha == "auto" else float(args.alpha)
     if args.mode == "auto":
-        timing, recon = auto_reconstruct(
-            iq, args.fs, n_frames=args.frames, alpha=alpha,
-            invert=args.invert, refine_with_search=args.search,
-            rate_min=args.rate_min, rate_max=args.rate_max,
-            align_subpixel=args.subpixel,
-            pick_line_peak=args.pick_line_peak,
-        )
+        try:
+            timing, recon = auto_reconstruct(
+                iq, args.fs, n_frames=args.frames, alpha=alpha,
+                invert=args.invert, refine_with_search=args.search,
+                rate_min=args.rate_min, rate_max=args.rate_max,
+                align_subpixel=args.subpixel,
+                pick_line_peak=args.pick_line_peak,
+            )
+        except (IndexError, ValueError) as e:
+            if args.pick_line_peak is None:
+                raise
+            print(f"error: --pick-line-peak {args.pick_line_peak}: {e}")
+            print("hint: run `analyze --peaks N` to list the ranked peaks")
+            return 2
         print(f"detected mode: {timing.mode_name} (fv={timing.refresh_hz:.4f} Hz)")
     else:
         mode = ALL_VIDEO_MODES[args.mode]

@@ -31,6 +31,7 @@ TPU-native details:
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 from functools import partial
 
@@ -622,13 +623,17 @@ def ema_fold(ema: jnp.ndarray, frames: jnp.ndarray, alpha) -> jnp.ndarray:
     )
 
 
-_PLAN_CACHE: dict = {}
+_PLAN_CACHE: collections.OrderedDict = collections.OrderedDict()
+_PLAN_CACHE_MAX = 4   # plans hold tens of MB of int32 tables at 1080p/36f —
+                      # a live session scanning line counts must not leak them
 
 
 def _get_plan(config: ReconstructionConfig, frame_len: int):
     """Cache StreamingExactPlan builds (the K·F table packing is ~0.3-0.7 s
     host work at 36f) so fidelity hot-swaps and repeated program builds under
-    the same config are free — the host-side analogue of the jit cache."""
+    the same config are free — the host-side analogue of the jit cache.
+    LRU-bounded: an operator nudging lines/refresh produces a fresh key per
+    change, and each plan is tens of MB of host tables."""
     from ..ops.resample import StreamingExactPlan
 
     mode = config.mode
@@ -644,6 +649,10 @@ def _get_plan(config: ReconstructionConfig, frame_len: int):
             interp_taps=config.interp_taps,
         )
         _PLAN_CACHE[key] = plan
+        while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+            _PLAN_CACHE.popitem(last=False)
+    else:
+        _PLAN_CACHE.move_to_end(key)
     return plan
 
 

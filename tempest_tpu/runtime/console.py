@@ -116,14 +116,17 @@ class OperatorConsole:
         return cmds
 
     def _wrapped_sink(self, img: np.ndarray, info: dict) -> None:
-        self._sync_hist.append(np.asarray(info.get("sync")))
+        if self.rt.config.do_align:
+            # Only real sync measurements feed the drift estimator — in
+            # fidelity mode the stage is off and returns zeros, which would
+            # silently bias `drift` toward a no-op.
+            self._sync_hist.append(np.asarray(info.get("sync")))
         if self.sink is None:
             return
-        if self.crosshair and info.get("sync") is not None and len(info["sync"]):
-            from ..render.screen import overlay_sync
+        if self.crosshair:
+            from ..render.screen import _maybe_crosshair
 
-            s_y, s_x = info["sync"][-1]
-            img = overlay_sync(img, int(s_y), int(s_x))
+            img = _maybe_crosshair(img, info, True)
         self.sink(img, info)
 
     # ------------------------------------------------------------- dispatch
@@ -214,7 +217,11 @@ class OperatorConsole:
                 self._say(f"fidelity = {on}")
             elif cmd == "drift":
                 hist = [s for s in self._sync_hist if s is not None and s.size]
-                if not hist:
+                if not self.rt.config.do_align and not hist:
+                    self._say("fidelity mode skips the sync stage — "
+                              "`fidelity off`, stream a few blocks, then "
+                              "`drift`")
+                elif not hist:
                     self._say("no sync history yet (need processed blocks "
                               "with the sync stage on)")
                 else:
@@ -251,6 +258,16 @@ class OperatorConsole:
                         self.dispatch(self._q.get(timeout=0.25))
                     except queue.Empty:
                         pass
+                continue
+            if self._scripted is None and self.rt.ring.available == 0:
+                # Source quiet (stalled hardware, slow replay): keep the
+                # command loop responsive instead of blocking inside
+                # ring.take — `quit`/`status`/`health` must keep working,
+                # they are the failure-diagnosis surface.
+                try:
+                    self.dispatch(self._q.get(timeout=0.25))
+                except queue.Empty:
+                    pass
                 continue
             before = self.rt.frames_out
             out = self.rt.process_blocks(1, sink=self._wrapped_sink)

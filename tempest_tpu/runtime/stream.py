@@ -107,6 +107,10 @@ class StreamingRuntime:
         self._stop = threading.Event()
         self._producer_error: BaseException | None = None
         self._ema = np.zeros(self.config.render_size, np.float32)
+        # Absolute-position base: block seq 0 of THIS session's source sits at
+        # this stream offset (nonzero after a checkpoint resume, where the
+        # source is assumed to continue the checkpointed signal).
+        self._abs_base = 0
         self.frames_out = 0
         self._record_idx = 0           # next auto-rotated capture index
         self.last_record_path: str | None = None
@@ -308,7 +312,7 @@ class StreamingRuntime:
         its ring drops silently, ``GUI.jl:165-166``.)"""
         seq = getattr(self.ring, "last_seq", -1)
         if seq >= 0:
-            self._abs_pos = seq * self.source.block_size
+            self._abs_pos = self._abs_base + seq * self.source.block_size
 
     def process_blocks(
         self,
@@ -548,6 +552,12 @@ class StreamingRuntime:
         self._rebuild()
         self._ema = state.ema
         self._abs_pos = state.abs_pos
+        # The NEXT delivered block continues the checkpointed stream at
+        # state.abs_pos: anchor the sequence-based position tracking there
+        # (so the first _resync_abs_pos does not clobber the restored frame
+        # phase), accounting for any blocks this session already consumed.
+        consumed = getattr(self.ring, "last_seq", -1) + 1
+        self._abs_base = state.abs_pos - consumed * self.source.block_size
         self.frames_out = state.frames_out
 
     def summary(self) -> str:

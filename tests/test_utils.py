@@ -53,6 +53,20 @@ def test_runtime_checkpoint_resume(tmp_path):
     assert rt2._abs_pos == rt._abs_pos
     np.testing.assert_array_equal(rt2._ema, rt._ema)
 
+    # Phase-continuous resume must survive actually processing a block: the
+    # ring's sequence-based re-anchoring (ring seq 0 of the NEW source) must
+    # not clobber the restored absolute position — the resumed stream's next
+    # block continues the checkpointed signal at abs_pos, so after one block
+    # the position is abs_pos + block, not block.
+    saved_pos = rt2._abs_pos
+    rt2.start()
+    try:
+        rt2.process_blocks(1)
+    finally:
+        rt2.stop()
+    assert rt2._abs_pos == saved_pos + block
+    assert rt2.frames_out > rt.frames_out
+
 
 def test_producer_error_propagates():
     class FailingSource:
