@@ -65,6 +65,11 @@ def main() -> None:
         do_align=True,
         resampler="mxu3",
         phase_bins=64,
+        # Weights einsum in bf16: BIT-EXACT on TPU (DEFAULT-precision f32
+        # matmuls run bf16 MXU passes anyway — the cast only removes
+        # materialised f32 intermediate bytes; measured 6.45 -> 6.31 ms on
+        # the 36f fidelity block, exp/exp_r3_regroup_bf16.py).
+        einsum_bf16=True,
     )
     step = make_reconstruct_fn(config)
 

@@ -478,8 +478,11 @@ def frame_to_screen_mxu3(
         axis=0,
     ).reshape(128 * per_o, span_w)
     # 4. phase regroup (one-hot matmul), 5. weight einsum, 6. blend matmul.
+    # bf16 regroup is LOSSLESS: aligned elements are single bf16-select
+    # outputs and the one-hot is 0/1 (see StreamingExactPlan).
     regrouped = jnp.dot(
-        jnp.asarray(reg), aligned, preferred_element_type=jnp.float32
+        jnp.asarray(reg, jnp.bfloat16), aligned.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
     ).reshape(num_phases, per_p, span_w)
     # The per-phase weight tensor is the stage's HBM traffic driver
     # (num_phases * span_w * w_out f32 ≈ 78 MB per frame at 1080p);
@@ -822,7 +825,9 @@ def frames_to_screens_mxu3_exact(
                 == jnp.arange(n, dtype=jnp.int32)).astype(dtype)
 
     sel = onehot(sel_src, R, jnp.bfloat16)                  # (F, G_o, R)
-    reg = onehot(reg_src, G_o, jnp.float32)                 # (F, G_p, G_o)
+    # bf16 regroup is LOSSLESS (aligned elements are single bf16-select
+    # outputs; the one-hot is 0/1) — see StreamingExactPlan.resample_frames.
+    reg = onehot(reg_src, G_o, jnp.bfloat16)                # (F, G_p, G_o)
     # blend carries the vertical-blend coefficients on its two taps/row.
     blend = jnp.einsum(
         "l,flg->flg", jnp.asarray(coeff, jnp.float32),
@@ -857,7 +862,7 @@ def frames_to_screens_mxu3_exact(
         axis=1,
     ).reshape(F, 128 * per_o, span_w)
     regrouped = jnp.einsum(
-        "fgk,fkw->fgw", reg, aligned,
+        "fgk,fkw->fgw", reg, aligned.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     ).reshape(F, num_phases, per_p, span_w)
     if einsum_bf16:
@@ -923,6 +928,7 @@ class StreamingExactPlan:
         num_phases: int = 64,
         phase_bins: int = 64,
         interp_taps: int = 2,
+        einsum_bf16: bool = False,
     ) -> None:
         h_out, w_out = out_shape
         self.frame_len = int(frame_len)
@@ -930,6 +936,7 @@ class StreamingExactPlan:
         self.n_frames = int(n_frames)
         self.num_phases = int(num_phases)
         self.phase_bins = int(phase_bins)
+        self.einsum_bf16 = bool(einsum_bf16)
         self.h_out, self.w_out = h_out, w_out
 
         base_start, base_frac, wr, cols, _ = _screen_geometry(
@@ -1070,15 +1077,33 @@ class StreamingExactPlan:
              for o in range(128)],
             axis=1,
         ).reshape(F, 128 * self.per_o, self.span_w)
+        # Regroup in pure bf16 — LOSSLESS: every `aligned` element is a single
+        # envelope sample that already went through the bf16 select cast
+        # (bf16 × 1.0 accumulated in f32), so the cast back is exact, and the
+        # one-hot is 0/1.  Halves the stage's materialised bytes; measured
+        # 6.45 → 6.38 ms per 36f fidelity block on v5e with max abs err 0.0
+        # on both CPU and TPU (exp/exp_r3_regroup_bf16.py).
         reg = (reg_src[..., None]
-               == jnp.arange(128 * self.per_o, dtype=jnp.int32)).astype(jnp.float32)
+               == jnp.arange(128 * self.per_o, dtype=jnp.int32)).astype(jnp.bfloat16)
         regrouped = jnp.einsum(
-            "fgk,fkw->fgw", reg, aligned, preferred_element_type=jnp.float32,
-        ).reshape(F, P, self.per_p, self.span_w)
-        z = jnp.einsum(
-            "fpbs,psw->fpbw", regrouped, jnp.asarray(self.weights),
+            "fgk,fkw->fgw", reg, aligned.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
-        )
+        ).reshape(F, P, self.per_p, self.span_w)
+        if self.einsum_bf16:
+            # Weights in bf16: bit-exact on TPU (f32 matmuls at DEFAULT run
+            # bf16 MXU passes anyway — the cast only drops materialised f32
+            # bytes; 6.38 → 6.31 ms measured), ~0.2% on CPU where f32
+            # matmuls are true f32.
+            z = jnp.einsum(
+                "fpbs,psw->fpbw", regrouped.astype(jnp.bfloat16),
+                jnp.asarray(self.weights, jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            z = jnp.einsum(
+                "fpbs,psw->fpbw", regrouped, jnp.asarray(self.weights),
+                preferred_element_type=jnp.float32,
+            )
         G_p = P * self.per_p
         blend = (
             jnp.asarray(self.coeff, jnp.float32)[None, :, None]

@@ -639,14 +639,14 @@ def _get_plan(config: ReconstructionConfig, frame_len: int):
     mode = config.mode
     key = (frame_len, round(config.samples_per_frame, 6), config.n_frames,
            mode.height, mode.width, config.render_size, config.num_phases,
-           config.phase_bins, config.interp_taps)
+           config.phase_bins, config.interp_taps, config.einsum_bf16)
     plan = _PLAN_CACHE.get(key)
     if plan is None:
         plan = StreamingExactPlan(
             frame_len, config.samples_per_frame, config.n_frames,
             mode.height, mode.width, config.render_size,
             num_phases=config.num_phases, phase_bins=config.phase_bins,
-            interp_taps=config.interp_taps,
+            interp_taps=config.interp_taps, einsum_bf16=config.einsum_bf16,
         )
         _PLAN_CACHE[key] = plan
         while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:

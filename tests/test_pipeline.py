@@ -654,6 +654,33 @@ def test_fidelity_1080p60_quantised_psnr_matches_gather():
     assert abs(p_q - p_g) < 0.1, (p_q, p_g)
 
 
+def test_streaming_plan_einsum_bf16_equivalence():
+    """The plan's einsum_bf16 knob (weights einsum in bf16 — bit-exact on
+    TPU where DEFAULT f32 matmuls run bf16 passes anyway; measured 6.38 →
+    6.31 ms per 36f block on v5e) must stay within a fraction of a percent
+    of the f32 path on CPU, where f32 matmuls are true f32."""
+    import dataclasses
+
+    from tempest_tpu.pipeline.offline import make_reconstruct_fn
+
+    cap = _capture(0.2, snr_db=30.0)
+    cfg = ReconstructionConfig(
+        sample_rate=FS, mode=MODE, n_frames=3, resampler="mxu3",
+        subsample_align=True, do_align=False, carry_phase=True,
+        phase_bins=16, input_format="iq_interleaved",
+    )
+    words = cap.iq[: cfg.block_samples].view(np.float32)
+    ema0 = jnp.zeros(cfg.render_size, jnp.float32)
+    outs = {}
+    for bf16 in (False, True):
+        step = make_reconstruct_fn(dataclasses.replace(cfg, einsum_bf16=bf16))
+        ema, *_ = step(words, ema0, jnp.float32(0.9), 0.37)
+        outs[bf16] = np.asarray(ema)
+    scale = outs[False].max() - outs[False].min() + 1e-9
+    d = np.abs(outs[True] - outs[False]) / scale
+    assert d.max() < 5e-3, float(d.max())
+
+
 def test_batched_multi_stream_reconstruction():
     """B independent IQ channels reconstruct concurrently (vmapped step)."""
     from tempest_tpu.pipeline.offline import make_batched_reconstruct_fn
