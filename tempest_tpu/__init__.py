@@ -46,6 +46,7 @@ from .ops.resample import (
     polyphase_resample,
     RENDER_SIZE,
 )
+from .ops.scan import ScanResult, carrier_score, channelize, scan_band, scan_centers
 from .ops.framesync import (
     frame_sync,
     frame_sync_subpixel,

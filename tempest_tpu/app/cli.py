@@ -398,6 +398,36 @@ def cmd_warmup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_scan(args: argparse.Namespace) -> int:
+    from ..io.dat import read_complex_binary
+    from ..ops.scan import scan_band, scan_centers
+
+    iq = read_complex_binary(args.input, args.format, count=args.samples)
+    step = args.step if args.step is not None else args.bw / 2.0
+    centers = scan_centers(args.fs, step, guard_hz=args.bw / 2.0)
+    if not len(centers):
+        print("error: no candidate centers fit the band — lower --bw/--step")
+        return 2
+    t0 = time.perf_counter()
+    res = scan_band(iq, args.fs, centers, chan_bw=args.bw,
+                    corr_seconds=args.seconds,
+                    rate_min=args.rate_min, rate_max=args.rate_max)
+    dt = time.perf_counter() - t0
+    print(f"scanned {len(centers)} channels x {res.fs_channel/1e6:.2f} MHz "
+          f"in {dt*1e3:.0f} ms (one batched program)")
+    print("rank  offset [MHz]  comb mass [dB]  screen-ness [dB]  refresh [Hz]")
+    for r, i in enumerate(res.ranking()[: args.top]):
+        print(f"  #{r}  {res.centers_hz[i]/1e6:+11.3f} "
+              f"{res.scores_db[i]:15.1f} {res.prominence_db[i]:17.1f} "
+              f"{res.refresh_hz[i]:13.3f}")
+    c, s, fv = res.best()
+    print(f"best candidate    : {c/1e6:+.3f} MHz off capture center "
+          f"(refresh {fv:.3f} Hz)")
+    print("next              : retune there and run `analyze`/`reconstruct` "
+          "on a narrowband capture")
+    return 0
+
+
 def cmd_modes(args: argparse.Namespace) -> int:
     from ..video.modes import ALL_VIDEO_MODES
 
@@ -525,6 +555,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "tables; no dynamic-geometry gathers — milliseconds "
                         "instead of seconds on TPU)")
     p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser(
+        "scan",
+        help="find emission carriers across a wideband capture (batched "
+             "channeliser + refresh-comb scoring; the reference operator "
+             "hunts this by eye on the waterfall)")
+    p.add_argument("input")
+    _add_common(p)
+    p.add_argument("--samples", type=int, default=None)
+    p.add_argument("--bw", type=float, default=4e6,
+                   help="channel bandwidth to extract per candidate [Hz]")
+    p.add_argument("--step", type=float, default=None,
+                   help="candidate center spacing [Hz] (default bw/2)")
+    p.add_argument("--seconds", type=float, default=0.1,
+                   help="autocorrelation window per channel")
+    p.add_argument("--top", type=int, default=8, help="candidates to print")
+    p.set_defaults(fn=cmd_scan)
 
     p = sub.add_parser("synth", help="generate a synthetic golden capture")
     _add_common(p)

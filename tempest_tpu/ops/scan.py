@@ -1,0 +1,249 @@
+"""Carrier-frequency scan: find TEMPEST emissions across a wideband capture.
+
+The reference has no counterpart — its operator types a carrier frequency and
+hunts by eye on the waterfall (``/root/reference/src/GUI.jl:594-605`` carrier
+textbox; the docs tell the user to look for "suspicious wide peaks").  This
+module automates the hunt, TPU-style: ONE program channelises a wideband
+capture into K candidate basebands (frequency-domain slicing — one big FFT,
+K static slices, one batched inverse FFT) and scores every channel's
+"screen-ness" by the refresh-band autocorrelation comb that the timing
+estimator already relies on.  All K channels are processed batched; nothing
+is data-dependent, so XLA fuses the whole sweep.
+
+Scoring: a display emission's envelope autocorrelates at every multiple of
+the frame period — a comb in the 50–90 Hz repetition band.  Channels with an
+emission show a sharp peak over the band's median; empty/noise channels are
+flat.  ``score = max − median`` of the zoomed refresh-band autocorrelation
+(dB) is monotone in emission strength and costs two reductions per channel.
+
+Live counterpart (hardware sources): :meth:`tempest_tpu.runtime.stream.
+StreamingRuntime.scan` retunes across dwell frequencies and scores each dwell
+with the same metric.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .autocorr import (
+    _lerp,
+    _widen_peaks,
+    autocorrelation,
+    estimate_refresh,
+)
+from .demod import am_power_from_iq
+
+__all__ = ["ScanResult", "carrier_score", "channelize", "scan_band",
+           "scan_centers"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanResult:
+    """Ranked carrier candidates from a band scan.
+
+    ``scores_db`` is the absolute structured comb mass — it scales with how
+    much of the emission the channel captured, so it localises the carrier.
+    ``prominence_db`` is the scale-free comb/floor ratio — noise sits near
+    0 dB regardless of gain, so it is the detection confidence."""
+
+    centers_hz: np.ndarray      # candidate channel centers (input order)
+    scores_db: np.ndarray       # structured comb mass per channel (ranking)
+    prominence_db: np.ndarray   # comb/floor screen-ness per channel
+    refresh_hz: np.ndarray      # detected refresh-band peak per channel
+    fs_channel: float           # sample rate of each extracted channel
+
+    def ranking(self) -> np.ndarray:
+        """Channel indices, best first."""
+        return np.argsort(-self.scores_db)
+
+    def best(self) -> tuple[float, float, float]:
+        """(center_hz, score_db, refresh_hz) of the top channel."""
+        i = int(self.ranking()[0])
+        return (float(self.centers_hz[i]), float(self.scores_db[i]),
+                float(self.refresh_hz[i]))
+
+
+def _comb_contrast(env, fs, corr_seconds, rate_min, rate_max,
+                   harmonics: int = 5):
+    """Harmonic-comb prominence + refined refresh of one envelope [dB].
+
+    Two measured design points:
+
+    * The mean MUST come off the envelope first: a channel that captures
+      the emission's full band carries the envelope's large DC term, whose
+      autocorrelation pedestal (≈ N·mean² at every lag) flattens the band
+      in dB and erases the comb — the full-emission channel scored 1.3 dB
+      against 7.0 for a half-band cut until the mean removal.
+    * A bare max−median of the band is NOT a discriminator: over ~10⁴–10⁵
+      lags the extreme value of a noise autocorrelation sits 12–16 dB over
+      its median by order statistics alone.  A screen emission is the only
+      signal whose correlation mass repeats at k·P for all k
+      simultaneously, so the score is the k-averaged comb mass at the
+      detected period over the band's median floor — noise lands near
+      0 dB, emissions tens of dB up.
+    """
+    env0 = env - jnp.mean(env)
+    lin, _ = autocorrelation(env0, fs, 0.0, corr_seconds, scale="linear")
+    fv = estimate_refresh(lin, fs, rate_min, rate_max, scale="linear")
+    n = lin.shape[0]
+    linw = _widen_peaks(lin)
+    pos_lo = min(int(round(fs / rate_max)), n - 1)
+    pos_hi = min(int(round(fs / rate_min)), n - 1)
+    floor = jnp.median(linw[pos_lo : pos_hi + 1])
+    lag = fs / fv
+    mass = jnp.zeros((), linw.dtype)
+    count = jnp.zeros((), linw.dtype)
+    for k in range(1, harmonics + 1):
+        p = k * lag
+        valid = p < n - 1
+        mass = mass + jnp.where(valid, _lerp(linw, p[None])[0], 0.0)
+        count = count + valid.astype(linw.dtype)
+    comb = mass / jnp.maximum(count, 1.0)
+    # Two statistics, two jobs: PROMINENCE (comb/floor, scale-free) detects
+    # "there is a screen in this channel" with a stable noise floor near
+    # 0 dB; absolute structured MASS (comb − floor) scales with how much of
+    # the emission the channel actually captured, so it LOCALISES the
+    # carrier (prominence alone is flat across any sub-band of a wide
+    # emission — measured: a 4 MHz emission scored ~16 dB prominence from
+    # every overlapping channel, 3 through 6 MHz).
+    prominence = 10.0 * (jnp.log10(jnp.maximum(comb, 1e-30))
+                         - jnp.log10(jnp.maximum(floor, 1e-30)))
+    mass_db = 10.0 * jnp.log10(jnp.maximum(comb - floor, 1e-30))
+    return mass_db, prominence, fv
+
+
+@partial(jax.jit,
+         static_argnames=("fs", "corr_seconds", "rate_min", "rate_max"))
+def _score_kernel(words, fs, corr_seconds, rate_min, rate_max):
+    return _comb_contrast(am_power_from_iq(words), fs, corr_seconds,
+                          rate_min, rate_max)
+
+
+def carrier_score(
+    iq: np.ndarray | jnp.ndarray,
+    fs: float,
+    corr_seconds: float = 0.1,
+    rate_min: float = 50.0,
+    rate_max: float = 90.0,
+) -> tuple[float, float]:
+    """Screen-ness of ONE baseband capture: ``(comb prominence dB, refresh
+    Hz)`` — the per-dwell metric of a live retune scan.  Prominence (the
+    scale-free statistic) is returned because successive hardware dwells may
+    see different gains; noise sits near 0 dB at any gain."""
+    if isinstance(iq, np.ndarray) and np.iscomplexobj(iq):
+        iq = np.ascontiguousarray(iq, np.complex64).view(np.float32)
+    _, prom, fv = _score_kernel(jnp.asarray(iq), float(fs),
+                                float(corr_seconds), float(rate_min),
+                                float(rate_max))
+    return float(prom), float(fv)
+
+
+def scan_centers(fs: float, step_hz: float, guard_hz: float = 0.0) -> np.ndarray:
+    """Candidate centers covering the capture's (−fs/2, fs/2) span on a
+    ``step_hz`` grid, keeping ``guard_hz`` clear of the band edges."""
+    half = fs / 2.0 - guard_hz
+    k = int(np.floor(half / step_hz))
+    return np.arange(-k, k + 1, dtype=np.float64) * step_hz
+
+
+def _fft_pow2_len(n: int) -> int:
+    return 1 << (max(int(n), 2).bit_length() - 1)
+
+
+def channelize(
+    iq_words: jnp.ndarray,
+    fs: float,
+    centers_hz: np.ndarray,
+    chan_bw: float,
+) -> tuple[jnp.ndarray, float]:
+    """Extract K baseband channels of ≈``chan_bw`` from a wideband capture.
+
+    ``iq_words`` is interleaved float32 I/Q (the real-dtype device boundary;
+    see CLAUDE.md) of 2·N words.  Frequency-domain channelisation: one
+    N-point FFT, a static M-bin circular slice per (host-known) center, one
+    batched M-point inverse FFT — K channels at ``fs·M/N`` each, no
+    per-channel mixing or filtering passes.  Returns ``(channels (K, M)
+    complex64, fs_channel)``.
+
+    Static shapes: N is the capture rounded down to a power of two, M the
+    channel width rounded UP to a power of two (so the channel FFTs stay
+    smooth for the downstream autocorrelation — non-smooth FFTs lower as
+    dense DFT matmuls on TPU, ops/autocorr.py).
+    """
+    n_c = iq_words.shape[0] // 2
+    N = _fft_pow2_len(n_c)
+    M = 1 << max(int(np.ceil(chan_bw / fs * N)) - 1, 1).bit_length()
+    M = min(M, N)
+    fs_chan = fs * M / N
+    ri = iq_words[: 2 * N].reshape(N, 2)
+    z = jax.lax.complex(ri[:, 0], ri[:, 1])
+    spec = jnp.fft.fft(z)
+    # Circular band slices: bin b covers frequency b/N·fs (negative
+    # frequencies wrap into the upper half); duplicating the first M bins
+    # turns every slice into a static one.
+    spec_w = jnp.concatenate([spec, spec[:M]])
+    starts = [
+        int(np.round(float(fc) / fs * N)) % N for fc in np.asarray(centers_hz)
+    ]
+    bands = jnp.stack([
+        jax.lax.slice(spec_w, ((s - M // 2) % N,), ((s - M // 2) % N + M,))
+        for s in starts
+    ])                                            # (K, M), centered at DC+M/2
+    # Rotate so each channel's center lands at bin 0 (DC) of its own FFT.
+    bands = jnp.roll(bands, -(M // 2), axis=1)
+    return jnp.fft.ifft(bands, axis=1) * (M / N), fs_chan
+
+
+def scan_band(
+    iq_words: np.ndarray | jnp.ndarray,
+    fs: float,
+    centers_hz: np.ndarray,
+    chan_bw: float = 4e6,
+    corr_seconds: float = 0.1,
+    rate_min: float = 50.0,
+    rate_max: float = 90.0,
+) -> ScanResult:
+    """Score every candidate carrier in a wideband capture (ONE program).
+
+    ``iq_words``: interleaved float32 I/Q words, or host complex64 (viewed).
+    Per channel: envelope power → FFT autocorrelation over ``corr_seconds``
+    → refresh-band zoom → comb contrast (max − median, dB) and the refined
+    refresh estimate.  Returns a :class:`ScanResult` over ``centers_hz``.
+    """
+    if isinstance(iq_words, np.ndarray) and np.iscomplexobj(iq_words):
+        iq_words = np.ascontiguousarray(iq_words, np.complex64).view(np.float32)
+    iq_words = jnp.asarray(iq_words)
+    centers = np.atleast_1d(np.asarray(centers_hz, np.float64))
+
+    # fs_chan is shape-derived (static): compute it host-side the same way
+    # channelize does, so the jitted sweep closes over a plain float.
+    n_c = int(iq_words.shape[0]) // 2
+    N = _fft_pow2_len(n_c)
+    M = 1 << max(int(np.ceil(chan_bw / fs * N)) - 1, 1).bit_length()
+    M = min(M, N)
+    fs_chan = fs * M / N
+
+    @jax.jit
+    def _sweep(words):
+        chans, _ = channelize(words, fs, centers, chan_bw)
+
+        def score_one(ch):
+            env = jnp.real(ch) ** 2 + jnp.imag(ch) ** 2
+            return _comb_contrast(env, fs_chan, corr_seconds,
+                                  rate_min, rate_max)
+
+        return jax.vmap(score_one)(chans)
+
+    scores, proms, fvs = _sweep(iq_words)
+    return ScanResult(
+        centers_hz=centers,
+        scores_db=np.asarray(scores, np.float64),
+        prominence_db=np.asarray(proms, np.float64),
+        refresh_hz=np.asarray(fvs, np.float64),
+        fs_channel=fs_chan,
+    )

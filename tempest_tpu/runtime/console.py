@@ -46,6 +46,9 @@ commands (reference GUI widget in parens):
   rate X            change sample rate [Hz] (rate textbox)
   fidelity on|off   sub-sample-exact cuts <-> sync chain hot-swap
   drift             refine refresh from observed sync drift (closed loop)
+  scan F1 F2 ...    retune across carriers [Hz], score screen-ness per dwell,
+                    tune to the best (no reference equivalent: its operator
+                    hunts the waterfall by eye)
   record [n]        dump n raw IQ blocks to auto-rotated dumpIQ_N.dat (task 3)
   crosshair on|off  sync crosshair overlay on the live view
   help              this text
@@ -227,6 +230,16 @@ class OperatorConsole:
                 else:
                     fv = rt.refine_refresh_from_drift(np.concatenate(hist))
                     self._say(f"drift lock: fv -> {fv:.5f} Hz")
+            elif cmd == "scan":
+                freqs = [float(a) for a in " ".join(args).replace(",", " ").split()]
+                if not freqs:
+                    self._say("usage: scan F1 F2 ... [Hz] — retune-and-score "
+                              "each carrier, leave the best tuned")
+                else:
+                    for f, score, fv in rt.scan(freqs):
+                        self._say(f"  {f/1e6:10.3f} MHz: screen-ness "
+                                  f"{score:5.1f} dB, refresh {fv:7.3f} Hz")
+                    self._say("tuned to best candidate")
             elif cmd == "record":
                 n = int(args[0]) if args else 10
                 wrote = rt.record(None, n_blocks=n)

@@ -421,6 +421,66 @@ class StreamingRuntime:
         self.mode = timing.mode
         return timing
 
+    def scan(
+        self,
+        freqs_hz,
+        dwell_seconds: float = 0.1,
+        settle_blocks: int = 1,
+        retune_to_best: bool = True,
+        rate_min: float = 50.0,
+        rate_max: float = 90.0,
+    ) -> list[tuple[float, float, float]]:
+        """Retune across candidate carriers and score each dwell's
+        screen-ness — the automated version of the reference operator's
+        hunt-by-eye over the waterfall (its carrier is a hand-filled textbox,
+        ``GUI.jl:594-605``; no scan exists).  Requires a retunable source
+        (``set_carrier``).
+
+        Per dwell: retune, drop ``settle_blocks`` blocks (PLL settling +
+        ring flush of pre-retune samples), collect ``dwell_seconds``, score
+        with the scale-free refresh-comb prominence (gain-independent — AGC
+        may differ per dwell; noise sits near its ~5 dB selection floor,
+        emissions 10+ dB up, see ``ops.scan.carrier_score``).  Returns
+        ``[(freq, prominence_db, refresh_hz), ...]`` in input order and, by
+        default, leaves the source tuned to the best candidate.  For a
+        single wideband CAPTURE use :func:`tempest_tpu.ops.scan.scan_band`
+        instead — it scores every channel in one batched program."""
+        from ..ops.scan import carrier_score
+
+        retune = getattr(self.source, "set_carrier", None)
+        if retune is None:
+            raise RuntimeError(
+                f"{type(self.source).__name__} does not support carrier "
+                "retuning — scan a wideband capture with ops.scan.scan_band"
+            )
+        fs = self.source.sample_rate
+        n_blocks = max(int(np.ceil(dwell_seconds * fs))
+                       // self.source.block_size + 1, 1)
+        buf = np.empty(self.source.block_size, np.complex64)
+        results: list[tuple[float, float, float]] = []
+        def _take():
+            if self.ring.take(buf) is None:
+                raise RuntimeError("ring closed during scan()")
+            self._resync_abs_pos()
+            self._abs_pos += self.source.block_size  # keep the frame grid honest
+
+        for freq in freqs_hz:
+            retune(float(freq))
+            for _ in range(settle_blocks):
+                _take()
+            chunks = []
+            for _ in range(n_blocks):
+                _take()
+                chunks.append(buf.copy())
+            score, fv = carrier_score(
+                np.concatenate(chunks), fs, dwell_seconds,
+                rate_min, rate_max)
+            results.append((float(freq), score, fv))
+        if retune_to_best and results:
+            best = max(results, key=lambda r: r[1])
+            retune(best[0])
+        return results
+
     def record(
         self,
         path: str | None = None,
