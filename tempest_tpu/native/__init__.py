@@ -150,6 +150,11 @@ class NativeRing:
         lets consumers keep absolute stream position across overflow drops."""
         return self._lib.ring_last_seq(self._handle)
 
+    @property
+    def produced(self) -> int:
+        """Total blocks put so far (see RingBuffer.produced)."""
+        return self._lib.ring_produced(self._handle)
+
     def __del__(self) -> None:
         handle = getattr(self, "_handle", None)
         if handle:

@@ -72,7 +72,13 @@ def autocorrelation(
     # of two the signal can supply.
     n_up = 1 << max(n_raw - 1, 1).bit_length()
     n = n_up if n_up <= x.shape[0] else 1 << (max(x.shape[0], 2).bit_length() - 1)
-    i_hi = min(i_hi, n)  # keep gamma and lags the same length
+    # Lags past n/2 of a CIRCULAR autocorrelation are mirrors of low lags
+    # (corr[k] == corr[n-k]), not measurements: when a short signal forces
+    # n below 2·i_hi, returning them feeds mirrored near-zero-lag energy to
+    # the comb estimators as fake long-lag peaks (measured: pure-noise
+    # blocks scoring 44 dB screen-ness at "60.000 Hz" through exactly this
+    # path).  Long signals keep n ≥ 2·i_hi, where this cap is a no-op.
+    i_hi = min(i_hi, n // 2)
     xw = x[:n]
     if jnp.iscomplexobj(xw):
         spec = jnp.fft.fft(xw)
@@ -138,8 +144,16 @@ def _widen_peaks(lin: jnp.ndarray) -> jnp.ndarray:
     measured at ~11% on 1080p60/20 Msps signals.  Summing each bin with its
     two neighbours makes any read within ±1 sample of the true lag return the
     peak's *full mass* regardless of straddle (the floor scales by 3
-    uniformly, preserving comparisons)."""
-    return lin + jnp.roll(lin, 1) + jnp.roll(lin, -1)
+    uniformly, preserving comparisons).
+
+    Edge handling must NOT wrap: a circular roll folds the zero-lag peak
+    (c0, orders of magnitude above everything) into the LAST lag's widened
+    value, and any comb whose k-th harmonic lands on that index then scores
+    a spurious mountain — measured as pure-noise blocks "detecting" a
+    period at exactly half the lag window with 48 dB prominence."""
+    prev = jnp.concatenate([lin[:1], lin[:-1]])
+    nxt = jnp.concatenate([lin[1:], lin[-1:]])
+    return lin + prev + nxt
 
 
 def refine_period(

@@ -94,7 +94,15 @@ def _comb_contrast(env, fs, corr_seconds, rate_min, rate_max,
     linw = _widen_peaks(lin)
     pos_lo = min(int(round(fs / rate_max)), n - 1)
     pos_hi = min(int(round(fs / rate_min)), n - 1)
-    floor = jnp.median(linw[pos_lo : pos_hi + 1])
+    band = linw[pos_lo : pos_hi + 1]
+    med = jnp.median(band)
+    # Robust positive scale, NOT the raw median: the mean-removed LINEAR
+    # autocorrelation of noise fluctuates around zero, so its band median
+    # can land arbitrarily close to 0 and a comb/median ratio explodes —
+    # measured 41-44 dB on pure noise blocks whose median happened to be
+    # tiny.  The MAD is the band's fluctuation magnitude, which is exactly
+    # the null the comb must beat.
+    mad = jnp.median(jnp.abs(band - med))
     lag = fs / fv
     mass = jnp.zeros((), linw.dtype)
     count = jnp.zeros((), linw.dtype)
@@ -104,16 +112,18 @@ def _comb_contrast(env, fs, corr_seconds, rate_min, rate_max,
         mass = mass + jnp.where(valid, _lerp(linw, p[None])[0], 0.0)
         count = count + valid.astype(linw.dtype)
     comb = mass / jnp.maximum(count, 1.0)
-    # Two statistics, two jobs: PROMINENCE (comb/floor, scale-free) detects
-    # "there is a screen in this channel" with a stable noise floor near
-    # 0 dB; absolute structured MASS (comb − floor) scales with how much of
-    # the emission the channel actually captured, so it LOCALISES the
-    # carrier (prominence alone is flat across any sub-band of a wide
-    # emission — measured: a 4 MHz emission scored ~16 dB prominence from
-    # every overlapping channel, 3 through 6 MHz).
-    prominence = 10.0 * (jnp.log10(jnp.maximum(comb, 1e-30))
-                         - jnp.log10(jnp.maximum(floor, 1e-30)))
-    mass_db = 10.0 * jnp.log10(jnp.maximum(comb - floor, 1e-30))
+    # Two statistics, two jobs: PROMINENCE ((comb−med)/MAD, scale-free)
+    # detects "there is a screen in this channel" with a bounded noise
+    # floor (the selection max over candidate periods of a ~unit-MAD null);
+    # absolute structured MASS (comb − med) scales with how much of the
+    # emission the channel actually captured, so it LOCALISES the carrier
+    # (prominence alone is flat across any sub-band of a wide emission —
+    # measured: a 4 MHz emission scored equal prominence from every
+    # overlapping channel, 3 through 6 MHz).
+    excess = jnp.maximum(comb - med, 1e-30)
+    prominence = 10.0 * (jnp.log10(excess)
+                         - jnp.log10(jnp.maximum(mad, 1e-30)))
+    mass_db = 10.0 * jnp.log10(excess)
     return mass_db, prominence, fv
 
 
@@ -199,6 +209,22 @@ def channelize(
     return jnp.fft.ifft(bands, axis=1) * (M / N), fs_chan
 
 
+@partial(jax.jit, static_argnames=("fs", "centers", "chan_bw", "fs_chan",
+                                   "corr_seconds", "rate_min", "rate_max"))
+def _sweep_kernel(words, fs, centers, chan_bw, fs_chan, corr_seconds,
+                  rate_min, rate_max):
+    """Module-level jitted sweep: a per-call ``jax.jit`` closure would
+    re-trace and re-lower on EVERY invocation (measured 18 s per warm sweep
+    through the remote-compile tunnel vs sub-second execution)."""
+    chans, _ = channelize(words, fs, np.asarray(centers), chan_bw)
+
+    def score_one(ch):
+        env = jnp.real(ch) ** 2 + jnp.imag(ch) ** 2
+        return _comb_contrast(env, fs_chan, corr_seconds, rate_min, rate_max)
+
+    return jax.vmap(score_one)(chans)
+
+
 def scan_band(
     iq_words: np.ndarray | jnp.ndarray,
     fs: float,
@@ -228,18 +254,10 @@ def scan_band(
     M = min(M, N)
     fs_chan = fs * M / N
 
-    @jax.jit
-    def _sweep(words):
-        chans, _ = channelize(words, fs, centers, chan_bw)
-
-        def score_one(ch):
-            env = jnp.real(ch) ** 2 + jnp.imag(ch) ** 2
-            return _comb_contrast(env, fs_chan, corr_seconds,
-                                  rate_min, rate_max)
-
-        return jax.vmap(score_one)(chans)
-
-    scores, proms, fvs = _sweep(iq_words)
+    scores, proms, fvs = _sweep_kernel(
+        iq_words, float(fs), tuple(float(c) for c in centers),
+        float(chan_bw), float(fs_chan), float(corr_seconds),
+        float(rate_min), float(rate_max))
     return ScanResult(
         centers_hz=centers,
         scores_db=np.asarray(scores, np.float64),

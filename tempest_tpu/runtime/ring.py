@@ -145,6 +145,13 @@ class RingBuffer:
     def available(self) -> int:
         return self._count
 
+    @property
+    def produced(self) -> int:
+        """Total blocks put so far (monotone production sequence counter) —
+        lets consumers fence against stale data after a source state change
+        (e.g. a retune: blocks with seq < produced-at-retune predate it)."""
+        return self._produced
+
     def summary(self) -> str:
         """Human-readable throughput summary (reference ``print_summary``,
         ``AtomicAbstractSDRs.jl:333-341``)."""

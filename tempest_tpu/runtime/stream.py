@@ -436,11 +436,13 @@ class StreamingRuntime:
         ``GUI.jl:594-605``; no scan exists).  Requires a retunable source
         (``set_carrier``).
 
-        Per dwell: retune, drop ``settle_blocks`` blocks (PLL settling +
-        ring flush of pre-retune samples), collect ``dwell_seconds``, score
-        with the scale-free refresh-comb prominence (gain-independent — AGC
-        may differ per dwell; noise sits near its ~5 dB selection floor,
-        emissions 10+ dB up, see ``ops.scan.carrier_score``).  Returns
+        Per dwell: retune, drop blocks until the delivered one was produced
+        ``settle_blocks`` after the retune (sequence-fenced: the ring may
+        hold a full depth of pre-retune blocks), then score ~``dwell_
+        seconds`` of signal block-by-block with the scale-free refresh-comb
+        prominence (gain-independent — AGC may differ per dwell; noise's
+        selection floor is ~6-12 dB, emissions measure well above it, see
+        ``ops.scan.carrier_score``), keeping the best block.  Returns
         ``[(freq, prominence_db, refresh_hz), ...]`` in input order and, by
         default, leaves the source tuned to the best candidate.  For a
         single wideband CAPTURE use :func:`tempest_tpu.ops.scan.scan_band`
@@ -466,16 +468,42 @@ class StreamingRuntime:
 
         for freq in freqs_hz:
             retune(float(freq))
-            for _ in range(settle_blocks):
-                _take()
-            chunks = []
+            # Fence against stale data: the overwrite-oldest ring may hold up
+            # to `depth` blocks captured BEFORE the retune (plus one the
+            # producer was mid-read on).  Sequence stamps make the fence
+            # exact — drop until the delivered block was produced at least
+            # `settle_blocks` after the retune (counting a fixed number of
+            # takes instead mixes old-carrier samples into the dwell and
+            # dilutes the score).
+            produced = getattr(self.ring, "produced", None)
+            if produced is not None:
+                target = produced + settle_blocks
+                while True:
+                    _take()
+                    if self.ring.last_seq >= target:
+                        break
+            else:
+                for _ in range(settle_blocks):
+                    _take()
+            # Score each block INDEPENDENTLY and keep the best: under
+            # overflow (producer faster than this consumer) successive takes
+            # are not contiguous in the signal, and concatenating across a
+            # gap puts a frame-phase discontinuity inside the correlation
+            # window — measured to dilute the comb score ~10 dB and corrupt
+            # the refresh read.  A single block covers the refresh-band lags
+            # whenever block_seconds ≥ 2/rate_min (it is: the default block
+            # is 0.1 s ≫ 1/50 Hz... per-block windows are what the
+            # reference's own correlate task uses, GUI.jl:49-60).
+            best_sf = (-np.inf, float("nan"))
             for _ in range(n_blocks):
                 _take()
-                chunks.append(buf.copy())
-            score, fv = carrier_score(
-                np.concatenate(chunks), fs, dwell_seconds,
-                rate_min, rate_max)
-            results.append((float(freq), score, fv))
+                sc, fv = carrier_score(
+                    buf, fs, min(dwell_seconds,
+                                 0.5 * self.source.block_size / fs),
+                    rate_min, rate_max)
+                if sc > best_sf[0]:
+                    best_sf = (sc, fv)
+            results.append((float(freq), best_sf[0], best_sf[1]))
         if retune_to_best and results:
             best = max(results, key=lambda r: r[1])
             retune(best[0])

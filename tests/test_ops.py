@@ -135,6 +135,36 @@ def test_autocorrelation_periodic_signal_peak():
                - period) <= 1
 
 
+def test_autocorrelation_short_signal_caps_lags_at_half_window():
+    """When the signal is too short for the requested lag range, lags past
+    n_fft/2 of the CIRCULAR autocorrelation are mirrors of low lags (corr[k]
+    == corr[n-k]) and must not be returned: they fed mirrored near-zero-lag
+    energy to the comb estimators as fake long-lag peaks (pure-noise blocks
+    scored 44 dB screen-ness through this path)."""
+    fs = 4e6
+    x = RNG.standard_normal(400000).astype(np.float32)
+    gamma, lags = autocorrelation(jnp.asarray(x), fs, 0.0, 0.05)
+    # n_fft falls back to 2^18 = 262144 (< 2 * 200000 requested lags).
+    assert gamma.shape[0] == 262144 // 2
+    assert float(np.asarray(lags)[-1]) < (262144 // 2) / fs
+
+
+def test_widen_peaks_does_not_wrap_edges():
+    """The box-3 widening must not roll circularly: wrapping folds the
+    zero-lag peak (orders of magnitude above everything) into the LAST
+    lag's widened value, and any comb harmonic landing there scores a
+    spurious mountain."""
+    from tempest_tpu.ops.autocorr import _widen_peaks
+
+    lin = np.ones(100, np.float32)
+    lin[0] = 1e6          # the c0-like peak
+    lin[60] = 5.0
+    w = np.asarray(_widen_peaks(jnp.asarray(lin)))
+    assert w[-1] < 10.0, w[-1]          # no c0 contamination at the edge
+    assert w[0] > 1e6                   # the peak itself keeps its mass
+    np.testing.assert_allclose(w[59:62], [7.0, 7.0, 7.0])
+
+
 def test_zoom_autocorr_axis():
     fs = 1e5
     gamma = jnp.asarray(RNG.standard_normal(5000).astype(np.float32))
