@@ -311,7 +311,13 @@ def top_line_period_peaks(
     g = np.asarray(gamma, np.float64)
     n = g.shape[0]
     lin_raw = 10.0 ** (g / 10.0) if scale == "log" else g
-    lin = lin_raw + np.roll(lin_raw, 1) + np.roll(lin_raw, -1)  # box-3 widen
+    # Box-3 widen WITHOUT wrapping (the numpy mirror of _widen_peaks — a
+    # circular roll folds the zero-lag peak into lin[n-1] and any comb
+    # harmonic reading near the last index then ranks a spurious candidate
+    # first; same bug class fixed in the jax copy).
+    lin = (lin_raw
+           + np.concatenate([lin_raw[:1], lin_raw[:-1]])
+           + np.concatenate([lin_raw[1:], lin_raw[-1:]]))
     lag_lo = max(int(fs / (rate_max * y_max)) - 2, 2)
     lag_hi = min(int(fs / (rate_min * y_min)) + 2, n - 1)
     floor = np.median(lin[lag_lo : lag_hi + 1])

@@ -48,8 +48,10 @@ class ScanResult:
 
     ``scores_db`` is the absolute structured comb mass — it scales with how
     much of the emission the channel captured, so it localises the carrier.
-    ``prominence_db`` is the scale-free comb/floor ratio — noise sits near
-    0 dB regardless of gain, so it is the detection confidence."""
+    ``prominence_db`` is the scale-free comb-over-MAD ratio — noise's
+    selection floor measures ~6-12 dB at any gain (the comb estimator picks
+    the best of thousands of candidate periods even in noise), emissions
+    measure well above it; it is the detection confidence."""
 
     centers_hz: np.ndarray      # candidate channel centers (input order)
     scores_db: np.ndarray       # structured comb mass per channel (ranking)
@@ -84,8 +86,9 @@ def _comb_contrast(env, fs, corr_seconds, rate_min, rate_max,
       its median by order statistics alone.  A screen emission is the only
       signal whose correlation mass repeats at k·P for all k
       simultaneously, so the score is the k-averaged comb mass at the
-      detected period over the band's median floor — noise lands near
-      0 dB, emissions tens of dB up.
+      detected period over the band's fluctuation scale (MAD) — noise's
+      selection floor measures ~6-12 dB (the estimator maximises over
+      thousands of candidate periods), emissions well above it.
     """
     env0 = env - jnp.mean(env)
     lin, _ = autocorrelation(env0, fs, 0.0, corr_seconds, scale="linear")
@@ -144,7 +147,8 @@ def carrier_score(
     """Screen-ness of ONE baseband capture: ``(comb prominence dB, refresh
     Hz)`` — the per-dwell metric of a live retune scan.  Prominence (the
     scale-free statistic) is returned because successive hardware dwells may
-    see different gains; noise sits near 0 dB at any gain."""
+    see different gains; noise's selection floor is ~6-12 dB at any gain
+    (window-length dependent), emissions measure well above it."""
     if isinstance(iq, np.ndarray) and np.iscomplexobj(iq):
         iq = np.ascontiguousarray(iq, np.complex64).view(np.float32)
     _, prom, fv = _score_kernel(jnp.asarray(iq), float(fs),
@@ -165,31 +169,28 @@ def _fft_pow2_len(n: int) -> int:
     return 1 << (max(int(n), 2).bit_length() - 1)
 
 
-def channelize(
+def _channel_geometry(n_samples: int, fs: float, chan_bw: float):
+    """(N, M, fs_channel): capture FFT length (power of two, rounded down),
+    channel length (power of two, rounded up from ``chan_bw``), and the
+    resulting channel sample rate — shared by the channeliser and its
+    callers so the shape math cannot drift."""
+    N = _fft_pow2_len(n_samples)
+    M = 1 << max(int(np.ceil(chan_bw / fs * N)) - 1, 1).bit_length()
+    M = min(M, N)
+    return N, M, fs * M / N
+
+
+def _channelize_complex(
     iq_words: jnp.ndarray,
     fs: float,
     centers_hz: np.ndarray,
     chan_bw: float,
 ) -> tuple[jnp.ndarray, float]:
-    """Extract K baseband channels of ≈``chan_bw`` from a wideband capture.
-
-    ``iq_words`` is interleaved float32 I/Q (the real-dtype device boundary;
-    see CLAUDE.md) of 2·N words.  Frequency-domain channelisation: one
-    N-point FFT, a static M-bin circular slice per (host-known) center, one
-    batched M-point inverse FFT — K channels at ``fs·M/N`` each, no
-    per-channel mixing or filtering passes.  Returns ``(channels (K, M)
-    complex64, fs_channel)``.
-
-    Static shapes: N is the capture rounded down to a power of two, M the
-    channel width rounded UP to a power of two (so the channel FFTs stay
-    smooth for the downstream autocorrelation — non-smooth FFTs lower as
-    dense DFT matmuls on TPU, ops/autocorr.py).
-    """
+    """Traceable core of :func:`channelize` — returns the (K, M) complex64
+    channels for on-device consumption (the complex values must stay inside
+    the program on TPU backends without complex host transfers)."""
     n_c = iq_words.shape[0] // 2
-    N = _fft_pow2_len(n_c)
-    M = 1 << max(int(np.ceil(chan_bw / fs * N)) - 1, 1).bit_length()
-    M = min(M, N)
-    fs_chan = fs * M / N
+    N, M, fs_chan = _channel_geometry(n_c, fs, chan_bw)
     ri = iq_words[: 2 * N].reshape(N, 2)
     z = jax.lax.complex(ri[:, 0], ri[:, 1])
     spec = jnp.fft.fft(z)
@@ -209,6 +210,39 @@ def channelize(
     return jnp.fft.ifft(bands, axis=1) * (M / N), fs_chan
 
 
+def channelize(
+    iq_words: np.ndarray | jnp.ndarray,
+    fs: float,
+    centers_hz: np.ndarray,
+    chan_bw: float,
+) -> tuple[jnp.ndarray, float]:
+    """Extract K baseband channels of ≈``chan_bw`` from a wideband capture.
+
+    ``iq_words`` is interleaved float32 I/Q (or host complex64, viewed) of
+    2·N words.  Frequency-domain channelisation: one N-point FFT, a static
+    M-bin circular slice per (host-known) center, one batched M-point
+    inverse FFT — K channels at ``fs·M/N`` each, no per-channel mixing or
+    filtering passes.  Returns ``(channels (K, 2·M) interleaved float32,
+    fs_channel)`` — the device boundary stays real (complex host↔device
+    transfers are unimplemented on some TPU runtimes, CLAUDE.md); view the
+    materialised rows as complex64 on the host.
+
+    Static shapes: N is the capture rounded down to a power of two, M the
+    channel width rounded UP to a power of two (so the channel FFTs stay
+    smooth for the downstream autocorrelation — non-smooth FFTs lower as
+    dense DFT matmuls on TPU, ops/autocorr.py).
+    """
+    if isinstance(iq_words, np.ndarray) and np.iscomplexobj(iq_words):
+        iq_words = np.ascontiguousarray(iq_words, np.complex64).view(np.float32)
+    chans, fs_chan = _channelize_complex(jnp.asarray(iq_words), fs,
+                                         centers_hz, chan_bw)
+    words = jnp.stack(
+        [jnp.real(chans).astype(jnp.float32),
+         jnp.imag(chans).astype(jnp.float32)], axis=-1
+    ).reshape(chans.shape[0], -1)
+    return words, fs_chan
+
+
 @partial(jax.jit, static_argnames=("fs", "centers", "chan_bw", "fs_chan",
                                    "corr_seconds", "rate_min", "rate_max"))
 def _sweep_kernel(words, fs, centers, chan_bw, fs_chan, corr_seconds,
@@ -216,7 +250,7 @@ def _sweep_kernel(words, fs, centers, chan_bw, fs_chan, corr_seconds,
     """Module-level jitted sweep: a per-call ``jax.jit`` closure would
     re-trace and re-lower on EVERY invocation (measured 18 s per warm sweep
     through the remote-compile tunnel vs sub-second execution)."""
-    chans, _ = channelize(words, fs, np.asarray(centers), chan_bw)
+    chans, _ = _channelize_complex(words, fs, np.asarray(centers), chan_bw)
 
     def score_one(ch):
         env = jnp.real(ch) ** 2 + jnp.imag(ch) ** 2
@@ -246,13 +280,10 @@ def scan_band(
     iq_words = jnp.asarray(iq_words)
     centers = np.atleast_1d(np.asarray(centers_hz, np.float64))
 
-    # fs_chan is shape-derived (static): compute it host-side the same way
-    # channelize does, so the jitted sweep closes over a plain float.
-    n_c = int(iq_words.shape[0]) // 2
-    N = _fft_pow2_len(n_c)
-    M = 1 << max(int(np.ceil(chan_bw / fs * N)) - 1, 1).bit_length()
-    M = min(M, N)
-    fs_chan = fs * M / N
+    # fs_chan is shape-derived (static, shared geometry helper): the jitted
+    # sweep needs it as a hashable plain float.
+    _, _, fs_chan = _channel_geometry(int(iq_words.shape[0]) // 2, fs,
+                                      chan_bw)
 
     scores, proms, fvs = _sweep_kernel(
         iq_words, float(fs), tuple(float(c) for c in centers),

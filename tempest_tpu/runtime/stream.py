@@ -144,6 +144,11 @@ class StreamingRuntime:
             subsample_align=self.fidelity,
             do_align=not self.fidelity,
             phase_bins=self.fidelity_bins if self.fidelity else 0,
+            # Quantised fidelity defaults to the bf16 weights einsum: on TPU
+            # it is bit-exact (DEFAULT-precision f32 matmuls run bf16 MXU
+            # passes anyway) and never slower — and `cli warmup` precompiles
+            # exactly this program.  Overridable via config_overrides.
+            einsum_bf16=bool(self.fidelity and self.fidelity_bins),
         )
         if self._overrides:
             import dataclasses
@@ -456,6 +461,21 @@ class StreamingRuntime:
                 "retuning — scan a wideband capture with ops.scan.scan_band"
             )
         fs = self.source.sample_rate
+        # Coverage precondition: blocks are scored individually, and the
+        # autocorrelation's usable lag range is HALF its power-of-two FFT
+        # window (lags past n/2 are circular mirrors) — worst case
+        # block_seconds/4.  If the frame period 1/rate_min does not fit,
+        # every dwell on a real emission scores at the noise floor and the
+        # "best" carrier is arbitrary; refuse instead.
+        n_fft = 1 << (max(int(self.source.block_size), 2).bit_length() - 1)
+        usable_lag_s = (n_fft // 2) / fs
+        if usable_lag_s < 1.0 / rate_min:
+            raise ValueError(
+                f"block too short to score the {rate_min:.0f}-{rate_max:.0f}"
+                f" Hz band: usable correlation lag {usable_lag_s*1e3:.1f} ms"
+                f" < one frame period {1e3/rate_min:.1f} ms — use"
+                f" block_seconds >= {4.0/rate_min:.2f} s"
+            )
         n_blocks = max(int(np.ceil(dwell_seconds * fs))
                        // self.source.block_size + 1, 1)
         buf = np.empty(self.source.block_size, np.complex64)
@@ -490,10 +510,8 @@ class StreamingRuntime:
             # are not contiguous in the signal, and concatenating across a
             # gap puts a frame-phase discontinuity inside the correlation
             # window — measured to dilute the comb score ~10 dB and corrupt
-            # the refresh read.  A single block covers the refresh-band lags
-            # whenever block_seconds ≥ 2/rate_min (it is: the default block
-            # is 0.1 s ≫ 1/50 Hz... per-block windows are what the
-            # reference's own correlate task uses, GUI.jl:49-60).
+            # the refresh read.  Per-block coverage of the refresh band is
+            # guaranteed by the usable-lag check above.
             best_sf = (-np.inf, float("nan"))
             for _ in range(n_blocks):
                 _take()

@@ -53,15 +53,17 @@ def wideband():
 
 def test_channelize_tone_mapping():
     """A pure tone must land at the right baseband offset with full power in
-    the covering channel and be rejected by a non-covering one."""
+    the covering channel and be rejected by a non-covering one.  The public
+    surface returns interleaved float32 rows (the device boundary stays
+    real, CLAUDE.md) — viewed as complex64 on the host."""
     fs = 16e6
     N = 1 << 18
     t = np.arange(N) / fs
     f0 = 3.25e6
     x = np.exp(2j * np.pi * f0 * t).astype(np.complex64)
-    chans, fs_chan = channelize(jnp.asarray(x.view(np.float32)), fs,
-                                np.array([3e6, -5e6]), 4e6)
-    chans = np.asarray(chans)
+    words, fs_chan = channelize(x, fs, np.array([3e6, -5e6]), 4e6)
+    assert words.dtype == jnp.float32
+    chans = np.ascontiguousarray(np.asarray(words)).view(np.complex64)
     assert fs_chan == 4e6
     spec = np.abs(np.fft.fft(chans[0])) ** 2 / chans.shape[1] ** 2
     b = int(np.argmax(spec))
