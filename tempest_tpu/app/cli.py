@@ -422,6 +422,18 @@ def cmd_scan(args: argparse.Namespace) -> int:
         print(f"  #{r}  {res.centers_hz[i]/1e6:+11.3f} "
               f"{res.scores_db[i]:15.1f} {res.prominence_db[i]:17.1f} "
               f"{res.refresh_hz[i]:13.3f}")
+    ems = res.emissions()
+    if ems:
+        print(f"emissions         : {len(ems)} distinct "
+              "(contiguous detecting channels grouped)")
+        for e in ems:
+            lo, hi = e["span_hz"]
+            print(f"  {e['center_hz']/1e6:+8.3f} MHz centroid "
+                  f"[channels {lo/1e6:+.1f}..{hi/1e6:+.1f}], refresh "
+                  f"{e['refresh_hz']:.3f} Hz, screen-ness "
+                  f"{e['prominence_db']:.1f} dB")
+    else:
+        print("emissions         : none above the detection threshold")
     c, s, fv = res.best()
     print(f"best candidate    : {c/1e6:+.3f} MHz off capture center "
           f"(refresh {fv:.3f} Hz)")

@@ -69,6 +69,50 @@ class ScanResult:
         return (float(self.centers_hz[i]), float(self.scores_db[i]),
                 float(self.refresh_hz[i]))
 
+    def emissions(self, min_prominence_db: float = 14.0):
+        """Group detected channels into distinct emissions.
+
+        A wide emission lights up EVERY overlapping channel (prominence is
+        scale-free), so the channel list alone over-counts: this merges
+        contiguous above-threshold channels into one emission each and
+        reports, per emission, the mass-weighted centroid frequency, the
+        span of detecting channels, the best channel's center and its
+        refresh estimate.  Returns a list of dicts ordered by peak mass,
+        e.g. two monitors in one capture → two entries.
+
+        ``min_prominence_db``: detection threshold — the noise selection
+        floor measures ~6-12 dB (window-length dependent), real emissions
+        ≥ ~17 dB on the 25 dB-SNR synthetic; 14 splits the measured gap."""
+        order = np.argsort(self.centers_hz)
+        c = self.centers_hz[order]
+        prom = self.prominence_db[order]
+        mass = self.scores_db[order]
+        fv = self.refresh_hz[order]
+        hot = prom >= min_prominence_db
+        groups: list[list[int]] = []
+        for i, h in enumerate(hot):
+            if not h:
+                continue
+            if groups and groups[-1][-1] == i - 1:
+                groups[-1].append(i)
+            else:
+                groups.append([i])
+        out = []
+        for g in groups:
+            w = 10.0 ** (mass[g] / 10.0)     # linear structured mass
+            peak = g[int(np.argmax(mass[g]))]
+            out.append({
+                "center_hz": float(np.sum(c[g] * w) / np.sum(w)),
+                "span_hz": (float(c[g[0]]), float(c[g[-1]])),
+                "best_channel_hz": float(c[peak]),
+                "refresh_hz": float(fv[peak]),
+                "score_db": float(mass[peak]),
+                "prominence_db": float(prom[peak]),
+                "n_channels": len(g),
+            })
+        out.sort(key=lambda e: -e["score_db"])
+        return out
+
 
 def _comb_contrast(env, fs, corr_seconds, rate_min, rate_max,
                    harmonics: int = 5):

@@ -157,6 +157,59 @@ def test_runtime_scan_retunes_to_best(wideband):
     assert scores[F_EMIT] > max(scores[1e6], scores[5e6]) + 5.0, results
 
 
+def test_scan_emissions_grouping_two_monitors():
+    """Two displays in one wideband capture must come back as TWO grouped
+    emissions (contiguous detecting channels merged), each with the right
+    centroid and refresh — not as six raw channel hits."""
+    m2 = tt.ALL_VIDEO_MODES["800x600 @ 72Hz"]
+    cap2 = tt.generate_iq(m2, FS_BASE, int(FS_BASE * 0.25), snr_db=25.0,
+                          seed=9)
+    cap1 = tt.generate_iq(MODE, FS_BASE, int(FS_BASE * 0.25), snr_db=25.0,
+                          seed=5)
+    wide = (_upconvert(np.asarray(cap1.iq, np.complex64), FS_BASE, FS_WIDE,
+                       F_EMIT)
+            + 0.7 * _upconvert(np.asarray(cap2.iq, np.complex64), FS_BASE,
+                               FS_WIDE, -4e6))
+    rng = np.random.default_rng(1)
+    wide += (0.05 * (rng.standard_normal(len(wide))
+                     + 1j * rng.standard_normal(len(wide)))
+             ).astype(np.complex64)
+    centers = scan_centers(FS_WIDE, 1e6, guard_hz=2e6)
+    res = scan_band(wide.astype(np.complex64), FS_WIDE, centers,
+                    chan_bw=4e6, corr_seconds=0.1)
+    ems = res.emissions()
+    assert len(ems) == 2, (ems, res.prominence_db.round(1).tolist())
+    by_center = sorted(ems, key=lambda e: e["center_hz"])
+    assert abs(by_center[0]["center_hz"] - (-4e6)) < 1.5e6, by_center
+    assert abs(by_center[1]["center_hz"] - F_EMIT) < 1.5e6, by_center
+    assert abs(by_center[0]["refresh_hz"] - 72.0) < 0.5
+    assert abs(by_center[1]["refresh_hz"] - 60.0) < 0.5
+
+
+def test_console_scan_command(wideband):
+    """The operator console's `scan F1 F2 ...` drives the runtime scan from
+    a scripted session and reports per-dwell screen-ness."""
+    import io
+
+    from tempest_tpu.runtime.console import OperatorConsole
+    from tempest_tpu.runtime.stream import StreamingRuntime
+
+    x, _ = wideband
+    src = _RetunableSource(x, block_size=int(FS_BASE * 0.1))
+    rt = StreamingRuntime(src, MODE, alpha=0.5)
+    out = io.StringIO()
+    con = OperatorConsole(rt, commands=[f"scan 1e6 {F_EMIT} 5e6", "quit"],
+                          out=out)
+    rt.start()
+    try:
+        con.run()
+    finally:
+        rt.stop()
+    text = out.getvalue()
+    assert "screen-ness" in text and "tuned to best" in text
+    assert src.carrier_freq == F_EMIT
+
+
 def test_scan_rejects_non_retunable_source():
     from tempest_tpu.runtime.sources import SyntheticSource
     from tempest_tpu.runtime.stream import StreamingRuntime
