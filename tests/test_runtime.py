@@ -56,12 +56,22 @@ def test_ring_sequence_tracks_drops():
     correctness — blind `pos += block_size` shears the frame grid)."""
     ring = RingBuffer(2, depth=2)
     assert ring.last_seq == -1
+    assert ring.produced == 0
     for i in range(5):
         ring.put(np.full(2, i, np.complex64))
+    assert ring.produced == 5
     assert ring.take()[0] == 3 and ring.last_seq == 3
     assert ring.take()[0] == 4 and ring.last_seq == 4
     ring.put(np.full(2, 5, np.complex64))
+    assert ring.produced == 6
     assert ring.take()[0] == 5 and ring.last_seq == 5
+    # The retune-fence contract (StreamingRuntime.scan): every block taken
+    # after `produced` was observed with seq >= that observation is
+    # guaranteed to have been put afterwards.
+    barrier = ring.produced
+    ring.put(np.full(2, 7, np.complex64))
+    ring.take()
+    assert ring.last_seq >= barrier
 
 
 def test_native_ring_sequence_tracks_drops():
@@ -71,8 +81,10 @@ def test_native_ring_sequence_tracks_drops():
         pytest.skip("no C++ toolchain")
     ring = NativeRing(2, depth=2)
     assert ring.last_seq == -1
+    assert ring.produced == 0
     for i in range(5):
         ring.put(np.full(2, i, np.complex64))
+    assert ring.produced == 5
     assert ring.take()[0] == 3 and ring.last_seq == 3
     assert ring.take()[0] == 4 and ring.last_seq == 4
 
