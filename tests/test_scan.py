@@ -221,6 +221,28 @@ def test_scan_rejects_non_retunable_source():
         rt.scan([1e6])
 
 
+def test_sharded_scan_band_matches_single_device(wideband):
+    """Hypothesis-parallel scan: channels sharded over the 8-device mesh
+    must reproduce the single-device sweep bit-for-bit (channels are
+    independent; no collectives)."""
+    from tempest_tpu.parallel.mesh import make_mesh
+    from tempest_tpu.parallel.sharded import sharded_scan_band
+
+    _, wide = wideband
+    centers = scan_centers(FS_WIDE, 1e6, guard_hz=2e6)
+    mesh = make_mesh(8)
+    single = scan_band(wide, FS_WIDE, centers, chan_bw=4e6,
+                       corr_seconds=0.1)
+    sharded = sharded_scan_band(wide, FS_WIDE, centers, mesh,
+                                chan_bw=4e6, corr_seconds=0.1)
+    assert sharded.fs_channel == single.fs_channel
+    np.testing.assert_array_equal(sharded.scores_db, single.scores_db)
+    np.testing.assert_array_equal(sharded.prominence_db,
+                                  single.prominence_db)
+    np.testing.assert_array_equal(sharded.refresh_hz, single.refresh_hz)
+    assert sharded.best()[0] == F_EMIT
+
+
 def test_cli_scan(tmp_path, capsys, wideband):
     from tempest_tpu.app.cli import main
 
