@@ -135,6 +135,13 @@ class HardwareSource:
         "bladerf": "bladerf",
         "rtlsdr": "rtlsdr",
     }
+    # SoapySDR/include/SoapySDR/Errors.h codes (fallbacks when the python
+    # module predates the constants).  TIMEOUT and OVERFLOW are *routine*
+    # live-stream conditions, not failures — the reference's producer loop
+    # survives both as a matter of course (it measures overflow,
+    # ``AtomicAbstractSDRs.jl:263-268``, and never dies, ``:284-306``).
+    _TIMEOUT_DEFAULT = -1
+    _OVERFLOW_DEFAULT = -4
 
     def __init__(
         self,
@@ -145,6 +152,7 @@ class HardwareSource:
         block_size: int,
         channel: int = 0,
         device_args: dict | None = None,
+        timeout_limit: int = 200,
     ) -> None:
         try:
             import SoapySDR  # noqa: F401 — optional driver stack
@@ -160,6 +168,16 @@ class HardwareSource:
                 f"unknown SDR backend {backend!r}; supported: {self.SUPPORTED}"
             )
         self._soapy = SoapySDR
+        self._code_timeout = int(getattr(SoapySDR, "SOAPY_SDR_TIMEOUT",
+                                         self._TIMEOUT_DEFAULT))
+        self._code_overflow = int(getattr(SoapySDR, "SOAPY_SDR_OVERFLOW",
+                                          self._OVERFLOW_DEFAULT))
+        # Live-condition counters, surfaced via StreamingRuntime.health()
+        # (the reference prints its overflow count in print_summary,
+        # ``AtomicAbstractSDRs.jl:333-341``).
+        self.overflows = 0
+        self.timeouts = 0
+        self.timeout_limit = int(timeout_limit)
         self.sample_rate = float(sample_rate)
         self.block_size = int(block_size)
         self.carrier_freq = float(carrier_freq)
@@ -179,15 +197,39 @@ class HardwareSource:
     def read(self, out: np.ndarray) -> None:
         """Fill ``out`` (complex64 [block_size]) from the RX stream, looping
         over partial driver reads (``recv!`` semantics,
-        ``AtomicAbstractSDRs.jl:293``)."""
+        ``AtomicAbstractSDRs.jl:293``).
+
+        Routine stream conditions never kill the producer (reference parity:
+        its producer loop survives everything, ``AtomicAbstractSDRs.jl:
+        284-306``): SOAPY_SDR_TIMEOUT retries (a saturated USB bus or a
+        slow-to-settle retune stalls briefly); SOAPY_SDR_OVERFLOW means the
+        driver dropped samples — count it and keep draining, exactly the
+        overwrite-oldest philosophy the host ring already applies.  Only
+        genuinely fatal codes (stream error, corruption, device gone) — or
+        ``timeout_limit`` *consecutive* timeouts, an unresponsive device —
+        raise."""
         filled = 0
         n = out.shape[0]
+        dry_reads = 0
         while filled < n:
             sr = self._dev.readStream(self._stream, [out[filled:]], n - filled)
             ret = getattr(sr, "ret", sr)
-            if ret < 0:  # SOAPY_SDR_TIMEOUT / OVERFLOW / stream error codes
-                raise RuntimeError(f"SoapySDR readStream error {ret}")
-            filled += ret
+            if ret > 0:
+                filled += ret
+                dry_reads = 0
+            elif ret == self._code_timeout or ret == 0:
+                self.timeouts += 1
+                dry_reads += 1
+                if dry_reads >= self.timeout_limit:
+                    raise RuntimeError(
+                        f"SoapySDR device unresponsive: {dry_reads} "
+                        f"consecutive timeouts on readStream"
+                    )
+            elif ret == self._code_overflow:
+                self.overflows += 1  # samples lost in the driver; continue
+                dry_reads = 0
+            else:
+                raise RuntimeError(f"SoapySDR readStream fatal error {ret}")
 
     # ------------------------------------------------------------ retuning
     def set_carrier(self, freq: float) -> None:

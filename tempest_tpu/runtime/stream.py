@@ -616,6 +616,10 @@ class StreamingRuntime:
             "producer_error": repr(self._producer_error) if self._producer_error else None,
             "ring_available": self.ring.available,
             "ring_overflows": self.ring.overflows,
+            # Driver-side live conditions (hardware sources count them;
+            # reference parity: AtomicAbstractSDRs.jl:263-268,333-341).
+            "source_overflows": getattr(self.source, "overflows", 0),
+            "source_timeouts": getattr(self.source, "timeouts", 0),
             "producer_msps": round(prod_msps, 2),
             "consumer_msps": round(cons_msps, 2),
             "frames_out": self.frames_out,

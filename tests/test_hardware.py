@@ -19,12 +19,21 @@ from tempest_tpu.runtime.sources import HardwareSource, open_source
 from tempest_tpu.runtime.stream import StreamingRuntime
 
 
-def _fake_soapy(record: list) -> types.ModuleType:
+def _fake_soapy(record: list, schedule: list | None = None) -> types.ModuleType:
     """A minimal SoapySDR lookalike that records every driver call and
-    serves a deterministic counter signal in ≤1000-sample partial reads."""
+    serves a deterministic counter signal in ≤1000-sample partial reads.
+
+    ``schedule``: optional list of readStream outcomes consumed in order —
+    a negative int is returned as that error code (no data written), a
+    positive int caps that read's sample count.  Once drained, reads revert
+    to the default ≤1000-sample behaviour.  Lets tests script timeout /
+    overflow / short-read storms (the live conditions a real radio throws)."""
     mod = types.ModuleType("SoapySDR")
     mod.SOAPY_SDR_RX = 1
     mod.SOAPY_SDR_CF32 = "CF32"
+    mod.SOAPY_SDR_TIMEOUT = -1
+    mod.SOAPY_SDR_OVERFLOW = -4
+    schedule = list(schedule or [])
 
     class Device:
         def __init__(self, args):
@@ -49,6 +58,14 @@ def _fake_soapy(record: list) -> types.ModuleType:
 
         def readStream(self, s, bufs, n):
             m = min(n, 1000)  # force the partial-read loop
+            if schedule:
+                step = schedule.pop(0)
+                if step < 0:
+                    class SR:
+                        ret = step
+
+                    return SR()
+                m = min(m, step)
             buf = bufs[0]
             buf[:m] = (np.arange(self._n, self._n + m) % 7).astype(np.complex64)
             self._n += m
@@ -140,6 +157,67 @@ def test_runtime_retune_through_hardware_source(monkeypatch):
     assert ("freq", 600e6) in record
     assert ("gain", 10.0) in record
     assert rt.frames_out > 0
+
+
+def test_read_survives_timeout_and_overflow_storm(monkeypatch):
+    """TIMEOUT retries and OVERFLOW counts-and-continues — the producer must
+    survive both routine live conditions (reference parity:
+    AtomicAbstractSDRs.jl:284-306 producer never dies, :263-268 overflow is
+    measured, not fatal)."""
+    record = []
+    # A storm: timeouts and overflows interleaved with partial reads.
+    storm = [-1, -1, 500, -4, -1, 250, -4, -4, 250, -1]
+    monkeypatch.setitem(sys.modules, "SoapySDR", _fake_soapy(record, storm))
+    src = HardwareSource("rtlsdr", 764e6, 2e6, 48.0, block_size=3000)
+    out = np.empty(3000, np.complex64)
+    src.read(out)  # must complete despite the storm
+    np.testing.assert_array_equal(out.real, np.arange(3000) % 7)
+    assert src.overflows == 3
+    assert src.timeouts == 4
+
+
+def test_read_raises_on_fatal_code(monkeypatch):
+    record = []
+    monkeypatch.setitem(sys.modules, "SoapySDR",
+                        _fake_soapy(record, [500, -2]))  # STREAM_ERROR
+    src = HardwareSource("rtlsdr", 764e6, 2e6, 48.0, block_size=3000)
+    out = np.empty(3000, np.complex64)
+    with pytest.raises(RuntimeError, match="fatal error -2"):
+        src.read(out)
+
+
+def test_read_raises_after_consecutive_timeout_limit(monkeypatch):
+    """An unresponsive device (nothing but timeouts) must eventually raise —
+    not spin the producer forever."""
+    record = []
+    monkeypatch.setitem(sys.modules, "SoapySDR",
+                        _fake_soapy(record, [-1] * 10))
+    src = HardwareSource("rtlsdr", 764e6, 2e6, 48.0, block_size=64,
+                         timeout_limit=5)
+    out = np.empty(64, np.complex64)
+    with pytest.raises(RuntimeError, match="unresponsive"):
+        src.read(out)
+    assert src.timeouts == 5
+
+
+def test_runtime_health_surfaces_source_counters(monkeypatch):
+    """Driver-side overflow/timeout counts appear in health() so an operator
+    can see the radio struggling (print_summary parity)."""
+    record = []
+    storm = [-4, -1, -4]  # before the first full block
+    monkeypatch.setitem(sys.modules, "SoapySDR", _fake_soapy(record, storm))
+    mode = tt.ALL_VIDEO_MODES["640x480 @ 60Hz"]
+    fs = 4e6
+    src = HardwareSource("uhd", 764e6, fs, 40.0, block_size=int(fs * 0.1))
+    rt = StreamingRuntime(src, mode, alpha=0.5)
+    rt.start()
+    try:
+        rt.process_blocks(1)
+        h = rt.health()
+    finally:
+        rt.stop()
+    assert h["source_overflows"] == 2
+    assert h["source_timeouts"] == 1
 
 
 def test_runtime_retune_rejected_for_untunable_sources():
