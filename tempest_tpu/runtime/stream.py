@@ -116,6 +116,7 @@ class StreamingRuntime:
         self.last_record_path: str | None = None
         self.last_evidence = None      # TimingEvidence from correlate()
         self.corr_spark: str | None = None  # HUD sparkline of the evidence
+        self.last_correlate_gaps = 0   # ring gaps detected by correlate()
 
     # ------------------------------------------------------------ config
     def _rebuild(self) -> None:
@@ -393,19 +394,51 @@ class StreamingRuntime:
         the offline path allows.  With ``keep_evidence`` the correlation
         windows behind the estimate are retained on ``self.last_evidence``
         and a refresh-band sparkline is shown in the stream HUD — the live
-        correlation panels of the reference GUI (``GUI.jl:296-356``)."""
+        correlation panels of the reference GUI (``GUI.jl:296-356``).
+
+        The correlation window must be CONTIGUOUS signal: under ring overflow
+        (producer outrunning this estimator) successive takes skip dropped
+        blocks, and concatenating across a gap puts a frame-phase
+        discontinuity inside the window — measured to dilute the refresh comb
+        ~10 dB and corrupt the estimate (the scan() dwell bug class).  Takes
+        are therefore sequence-fenced: a gap restarts the run, bounded
+        retakes get a fully contiguous window in all but pathological cases,
+        and otherwise the longest contiguous run is used (a shorter clean
+        window beats a longer torn one).  Gap count is kept on
+        ``self.last_correlate_gaps``."""
         n_needed = int(np.ceil(seconds * self.source.sample_rate))
         n_blocks = max(1 + n_needed // self.source.block_size, 1)
-        chunks = []
+        chunks: list[np.ndarray] = []
+        best_run: list[np.ndarray] = []
         buf = np.empty(self.source.block_size, np.complex64)
-        for _ in range(n_blocks):
+        prev_seq = None
+        gaps = 0
+        max_takes = max(4 * n_blocks, n_blocks + 8)
+        for _ in range(max_takes):
             got = self.ring.take(buf)
             if got is None:
                 raise RuntimeError("ring closed during correlate()")
-            chunks.append(buf.copy())
             self._resync_abs_pos()
+            seq = getattr(self.ring, "last_seq", -1)
             self._abs_pos += self.source.block_size  # keep the frame grid honest
+            if prev_seq is not None and seq >= 0 and seq != prev_seq + 1:
+                gaps += 1
+                if len(chunks) > len(best_run):
+                    best_run = chunks
+                chunks = []
+            prev_seq = seq if seq >= 0 else (
+                prev_seq + 1 if prev_seq is not None else None
+            )
+            chunks.append(buf.copy())
+            if len(chunks) >= n_blocks:
+                break
+        if len(best_run) > len(chunks):
+            chunks = best_run
+        self.last_correlate_gaps = gaps
         sig = np.concatenate(chunks)
+        # A shortened (but contiguous) window still estimates correctly —
+        # scale the correlation seconds to the signal actually gathered.
+        seconds = min(seconds, len(sig) / self.source.sample_rate)
         if keep_evidence:
             from ..pipeline.offline import timing_evidence
             from ..render.plots import sparkline

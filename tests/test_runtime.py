@@ -240,6 +240,41 @@ def test_streaming_runtime_correlate_hotswap():
         rt.stop()
 
 
+def test_streaming_correlate_gap_proofing():
+    """correlate() must not concatenate across ring-overflow gaps: a torn
+    window carries a frame-phase discontinuity that dilutes the refresh comb
+    (the scan() dwell bug class, measured ~10 dB).  Force an overflow gap
+    mid-correlate with a scripted just-in-time feeder on a REAL ring and
+    assert the estimate still locks, from a contiguous run only."""
+    block = int(FS * 0.05)
+    cap = tt.generate_iq(MODE, FS, 10 * block, snr_db=25.0, seed=7)
+    blocks = np.asarray(cap.iq, np.complex64).reshape(10, block)
+    wrong = tt.ALL_VIDEO_MODES["800x600 @ 60Hz"]
+    src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=7)
+    rt = StreamingRuntime(src, wrong, alpha=0.5, ring_depth=4)
+    ring = rt.ring
+    # Scripted production, fed just-in-time before each take: the consumer
+    # sees seqs 0, 1, then blocks 2..9 land on a depth-4 ring (2-5 dropped),
+    # so the next take jumps to seq 6 — an overflow gap mid-window.
+    schedule = [list(blocks[0:2]), [], list(blocks[2:10]), [], []]
+    orig_take = ring.take
+
+    def take_hook(out=None, timeout=None):
+        if schedule:
+            for b in schedule.pop(0):
+                ring.put(b)
+        return orig_take(out, timeout)
+
+    ring.take = take_hook
+    timing = rt.correlate(seconds=0.1)
+    assert ring.overflows == 4          # the gap really happened
+    assert rt.last_correlate_gaps == 1  # ... and was detected
+    # The estimate locks despite the torn takes (the pre-fix code would
+    # correlate across the discontinuity and silently degrade).
+    assert timing.mode_name == "640x480 @ 60Hz"
+    assert abs(timing.refresh_hz - 60.0) < 0.2
+
+
 def test_streaming_operator_overrides():
     """The reference GUI's manual overrides (fv/y_t textboxes, ±1-line
     buttons, auto mode re-match — GUI.jl:463-580) as runtime methods."""
@@ -635,8 +670,16 @@ def test_cli_search(tmp_path, capsys):
         "synth", "--mode", "640x480 @ 60Hz", "--fs", str(FS),
         "--seconds", "0.2", "--snr", "20", "--out", str(cap),
     ]) == 0
+    # Default is the static-table path (~90x faster on TPU, same winners).
     assert cli_main(["search", str(cap), "--fs", str(FS), "--tol", "0.5"]) == 0
     text = capsys.readouterr().out
+    assert "static-table" in text
+    assert "640x480 @ 60Hz" in text and "best" in text
+    # The sharded dynamic-geometry variant stays available behind --dynamic.
+    assert cli_main(["search", str(cap), "--fs", str(FS), "--tol", "0.5",
+                     "--dynamic", "--devices", "2"]) == 0
+    text = capsys.readouterr().out
+    assert "static-table" not in text
     assert "640x480 @ 60Hz" in text and "best" in text
 
 
