@@ -248,7 +248,18 @@ def cmd_stream(args: argparse.Namespace) -> int:
             if args.fidelity:
                 rt.set_fidelity(True)
                 print("fidelity mode: sub-sample-exact cuts, sync skipped")
-        if args.console:
+        if args.web is not None:
+            # Live web operator view (the reference's one-window GUI —
+            # image + correlation panels + controls, GUI.jl:296-356 — over
+            # zero-dependency localhost HTTP); runs until `quit` is posted.
+            from ..runtime.webview import WebOperatorView
+
+            web = WebOperatorView(rt, port=args.web, crosshair=args.crosshair,
+                                  extra_sink=sink)
+            print(f"web operator view: http://{web.host}:{web.port}/ "
+                  "(post `quit` or Ctrl-C to stop)")
+            web.run()
+        elif args.console:
             # Live operator session (the reference's interactive GUI layer,
             # GUI.jl:394-658, as a stdin command loop) — runs until `quit`
             # or EOF; --blocks does not apply.
@@ -280,19 +291,25 @@ def cmd_search(args: argparse.Namespace) -> int:
     iq = read_complex_binary(args.input, args.format, count=args.samples)
     timing = estimate_timing(iq, args.fs)
     cands = candidate_modes(timing.refresh_hz, tol_hz=args.tol)
-    if args.fast:
+    if args.dynamic:
+        # Sharded dynamic-geometry scoring: the genuinely multi-device path
+        # (candidates sharded over the mesh), but its dynamic gathers measure
+        # ~0.02 Msps on TPU (docs/performance.md) — opt-in only.
+        print(f"fv = {timing.refresh_hz:.4f} Hz; scoring {len(cands)} "
+              f"candidate modes on {args.devices or 'all'} devices")
+        mesh = make_mesh(args.devices)
+        res = sharded_mode_search(iq, args.fs, timing.refresh_hz, cands, mesh,
+                                  n_frames=args.frames or 2)
+    else:
+        # Default: static-table scoring — same winners, same scoring
+        # semantics, ~90x faster on TPU (stacked mxu3 tables, no dynamic
+        # gathers); also what auto_reconstruct(refine_with_search=True) uses.
         from ..parallel.sharded import mode_search_static
 
         print(f"fv = {timing.refresh_hz:.4f} Hz; static-table scoring "
               f"{len(cands)} candidate modes")
         res = mode_search_static(iq, args.fs, timing.refresh_hz, cands,
                                  n_frames=args.frames or 2)
-    else:
-        print(f"fv = {timing.refresh_hz:.4f} Hz; scoring {len(cands)} "
-              f"candidate modes on {args.devices or 'all'} devices")
-        mesh = make_mesh(args.devices)
-        res = sharded_mode_search(iq, args.fs, timing.refresh_hz, cands, mesh,
-                                  n_frames=args.frames or 2)
     order = np.argsort(res.scores)[::-1]
     for rank, i in enumerate(order[:10]):
         marker = " <== best" if i == res.best_index else ""
@@ -431,7 +448,8 @@ def cmd_scan(args: argparse.Namespace) -> int:
             print(f"  {e['center_hz']/1e6:+8.3f} MHz centroid "
                   f"[channels {lo/1e6:+.1f}..{hi/1e6:+.1f}], refresh "
                   f"{e['refresh_hz']:.3f} Hz, screen-ness "
-                  f"{e['prominence_db']:.1f} dB")
+                  f"{e['prominence_db']:.1f} dB "
+                  f"(noise floor {e['floor_db']:.1f} dB)")
     else:
         print("emissions         : none above the detection threshold")
     c, s, fv = res.best()
@@ -538,6 +556,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "correlate, pick peaks, record, fidelity, ... — the "
                         "reference's GUI controls as commands; `help` lists "
                         "them); runs until `quit`/EOF")
+    p.add_argument("--web", type=int, default=None, metavar="PORT",
+                   help="live web operator view on localhost:PORT — image + "
+                        "correlation panels + full command surface in a "
+                        "browser (the reference's one-window GUI, zero "
+                        "dependencies); runs until `quit` is posted")
     p.add_argument("--crosshair", action="store_true",
                    help="overlay the detected sync position on the live view "
                         "(displayScreen_vsync! parity)")
@@ -568,10 +591,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tol", type=float, default=2.0, help="refresh tolerance [Hz]")
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--devices", type=int, default=None)
+    p.add_argument("--dynamic", action="store_true",
+                   help="sharded dynamic-geometry scoring across the device "
+                        "mesh (multi-device; ~90x slower than the default "
+                        "static-table path on TPU)")
     p.add_argument("--fast", action="store_true",
-                   help="static-table scoring (stacked per-candidate mxu3 "
-                        "tables; no dynamic-geometry gathers — milliseconds "
-                        "instead of seconds on TPU)")
+                   help="(deprecated, now the default) static-table scoring")
     p.set_defaults(fn=cmd_search)
 
     p = sub.add_parser(

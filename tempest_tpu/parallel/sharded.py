@@ -630,7 +630,8 @@ def sharded_scan_band(
     channels are independent, exactly like the mode-hypothesis search.
     Scores match the single-device :func:`scan_band` bit-for-bit (tested).
     """
-    from ..ops.scan import ScanResult, _channel_geometry, _comb_contrast
+    from ..ops.scan import (ScanResult, _channel_geometry, _comb_contrast,
+                            _noise_floor)
 
     if isinstance(iq_words, np.ndarray) and np.iscomplexobj(iq_words):
         iq_words = np.ascontiguousarray(iq_words, np.complex64).view(np.float32)
@@ -673,14 +674,19 @@ def sharded_scan_band(
         z = jax.lax.complex(ri[:, 0], ri[:, 1])
         spec = jnp.fft.fft(z)
         spec_w = jnp.concatenate([spec, spec[:M]])
-        return sharded(spec_w, starts_in)
+        # Geometry noise floor: channel-independent, replicated (same value
+        # on every device; matches the single-device sweep bit-for-bit —
+        # same PRNG key, same shapes).
+        floor = _noise_floor(fs_chan, M, corr_seconds, rate_min, rate_max)
+        return sharded(spec_w, starts_in) + (floor,)
 
     starts_dev = jax.device_put(starts_p, NamedSharding(mesh, P(axis)))
-    mass, prom, fv = run(iq_words, starts_dev)
+    mass, prom, fv, floor = run(iq_words, starts_dev)
     return ScanResult(
         centers_hz=centers,
         scores_db=np.asarray(mass, np.float64)[:K],
         prominence_db=np.asarray(prom, np.float64)[:K],
         refresh_hz=np.asarray(fv, np.float64)[:K],
         fs_channel=fs_chan,
+        floor_db=np.full(K, float(floor)),
     )

@@ -186,6 +186,31 @@ def test_scan_emissions_grouping_two_monitors():
     assert abs(by_center[1]["refresh_hz"] - 60.0) < 0.5
 
 
+def test_detection_floor_tracks_window_length():
+    """Detection thresholds on the MEASURED selection floor of the sweep's
+    window geometry, not a constant: pure noise must produce zero emissions
+    at very different window lengths even though its absolute prominence
+    differs by ~5 dB between them (the old fixed 14 dB threshold only split
+    the one geometry it was measured on)."""
+    rng = np.random.default_rng(42)
+    centers = scan_centers(FS_WIDE, 1e6, guard_hz=2e6)
+    floors = {}
+    for secs, dur in ((0.02, 0.05), (0.25, 0.3)):
+        n = int(FS_WIDE * dur)
+        noise = (rng.standard_normal(n)
+                 + 1j * rng.standard_normal(n)).astype(np.complex64)
+        res = scan_band(noise, FS_WIDE, centers, chan_bw=4e6,
+                        corr_seconds=secs)
+        assert res.emissions() == [], (secs, res.prominence_db.round(1))
+        # Noise prominence sits at the measured floor (same selection max).
+        margin = res.prominence_db - res.floor_db
+        assert margin.max() < 4.0, (secs, margin.round(2))
+        floors[secs] = float(res.floor_db[0])
+    # The floor itself tracks the window geometry (measured ~11.6 vs ~6.3):
+    # a constant threshold cannot be right for both.
+    assert floors[0.02] > floors[0.25] + 3.0, floors
+
+
 def test_console_scan_command(wideband):
     """The operator console's `scan F1 F2 ...` drives the runtime scan from
     a scripted session and reports per-dwell screen-ness."""
