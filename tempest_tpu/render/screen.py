@@ -23,6 +23,7 @@ __all__ = [
     "overlay_sync",
     "to_uint8",
     "write_pgm",
+    "png_bytes",
     "write_png",
     "psnr",
     "aligned_psnr",
@@ -91,8 +92,10 @@ def write_pgm(img: np.ndarray, path: str, invert: bool = False) -> None:
         f.write(u8.tobytes())
 
 
-def write_png(img: np.ndarray, path: str, invert: bool = False) -> None:
-    """Minimal grayscale PNG writer (zlib + struct, no imaging library)."""
+def png_bytes(img: np.ndarray, invert: bool = False) -> bytes:
+    """Encode a grayscale image as PNG bytes (zlib + struct, no imaging
+    library) — the in-memory form behind :func:`write_png` and the live web
+    view's frame endpoint."""
     u8 = to_uint8(img, invert)
     h, w = u8.shape
     raw = b"".join(b"\x00" + u8[r].tobytes() for r in range(h))
@@ -106,14 +109,18 @@ def write_png(img: np.ndarray, path: str, invert: bool = False) -> None:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def write_png(img: np.ndarray, path: str, invert: bool = False) -> None:
+    """Minimal grayscale PNG writer (zlib + struct, no imaging library)."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(png_bytes(img, invert))
 
 
 def _maybe_crosshair(img: np.ndarray, info: dict | None, on: bool) -> np.ndarray:

@@ -1,0 +1,126 @@
+"""Live web operator view: drive a real session over HTTP.
+
+The last experiential parity gap vs the reference GUI (one window with the
+live image, two correlation panels, and controls — GUI.jl:296-356,
+ScreenRenderer.jl:93-148): these tests run the zero-dependency web view on a
+streaming runtime and operate it exactly as a browser would — fetch the live
+frame, POST commands, watch the mode change and the evidence panels appear.
+"""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+import tempest_tpu as tt
+from tempest_tpu.runtime.sources import SyntheticSource
+from tempest_tpu.runtime.stream import StreamingRuntime
+from tempest_tpu.runtime.webview import WebOperatorView
+
+MODE = tt.ALL_VIDEO_MODES["640x480 @ 60Hz"]
+FS = 4e6
+
+
+def _get(url: str, timeout: float = 10.0) -> bytes:
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return r.read()
+
+
+def _post(url: str, body: str, timeout: float = 10.0) -> bytes:
+    req = urllib.request.Request(url, data=body.encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.read()
+
+
+def _poll(pred, deadline_s: float = 90.0, every_s: float = 0.1):
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < deadline_s:
+        v = pred()
+        if v:
+            return v
+        time.sleep(every_s)
+    raise TimeoutError("condition not reached")
+
+
+@pytest.fixture
+def session():
+    src = SyntheticSource(MODE, FS, int(FS * 0.1), snr_db=25.0, seed=3)
+    rt = StreamingRuntime(src, MODE, alpha=0.5)
+    web = WebOperatorView(rt, port=0)  # ephemeral port
+    base = f"http://{web.host}:{web.port}"
+    rt.start()
+    t = threading.Thread(target=web.run, daemon=True, name="web-session")
+    t.start()
+    try:
+        yield rt, web, base
+    finally:
+        try:
+            _post(f"{base}/command", "quit")
+        except OSError:
+            pass
+        t.join(timeout=30)
+        rt.stop()
+
+
+def test_web_session_full_surface(session):
+    rt, web, base = session
+
+    # Operator page serves.
+    page = _get(f"{base}/").decode()
+    assert "operator view" in page and "/frame.png" in page
+
+    # The live frame appears once the first block is processed: a real PNG
+    # of the render size, not the placeholder.
+    def real_frame():
+        png = _get(f"{base}/frame.png")
+        return png if (png.startswith(b"\x89PNG") and len(png) > 2000) else None
+
+    frame0 = _poll(real_frame)
+    h, w = rt.config.render_size
+    import struct
+    assert struct.unpack(">II", frame0[16:24]) == (w, h)  # IHDR dims
+
+    # Status reflects the running mode (VideoMode holds TOTAL raster
+    # dimensions incl. blanking: 800x525 for "640x480 @ 60Hz").
+    s = json.loads(_get(f"{base}/status.json"))
+    assert s["mode"]["width"] == MODE.width
+    assert s["mode"]["height"] == MODE.height
+    assert s["running"] is True
+    assert f"{MODE.width}x{MODE.height}" in s["line"]
+
+    # POST `+ 1`: the reference's +1-line button — the mode must hot-swap.
+    _post(f"{base}/command", "+ 1")
+    _poll(lambda: rt.mode.height == MODE.height + 1)
+    _poll(lambda: f"lines = {MODE.height + 1}"
+          in _get(f"{base}/log").decode())
+
+    # POST `correlate`: evidence panels appear and the mode snaps back.
+    _post(f"{base}/command", "correlate")
+    _poll(lambda: rt.last_evidence is not None)
+    _poll(lambda: rt.mode.height == MODE.height)
+    corr = _poll(lambda: (lambda p: p if len(p) > 2000 else None)(
+        _get(f"{base}/corr.png")))
+    assert corr.startswith(b"\x89PNG")
+
+    # Pause/resume through the same surface.
+    _post(f"{base}/command", "pause")
+    _poll(lambda: json.loads(_get(f"{base}/status.json"))["running"] is False)
+    _post(f"{base}/command", "start")
+    _poll(lambda: json.loads(_get(f"{base}/status.json"))["running"] is True)
+
+
+def test_web_quit_ends_session(session):
+    rt, web, base = session
+    _poll(lambda: web.console.blocks_done >= 1)
+    _post(f"{base}/command", "quit")
+    _poll(lambda: not web.console.alive)
+
+
+def test_web_unknown_paths_404(session):
+    _, _, base = session
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(f"{base}/nope")
+    assert exc.value.code == 404
