@@ -624,16 +624,18 @@ def ema_fold(ema: jnp.ndarray, frames: jnp.ndarray, alpha) -> jnp.ndarray:
 
 
 _PLAN_CACHE: collections.OrderedDict = collections.OrderedDict()
-_PLAN_CACHE_MAX = 4   # plans hold tens of MB of int32 tables at 1080p/36f —
-                      # a live session scanning line counts must not leak them
+_PLAN_CACHE_MAX = 8   # a plan is ~17 MB of int16 grouping keys at 1080p/36f
+                      # (index tables build lazily per bin) — 8 lets an
+                      # operator bounce between nudged line counts for free
+                      # without leaking under a long scanning session
 
 
 def _get_plan(config: ReconstructionConfig, frame_len: int):
-    """Cache StreamingExactPlan builds (the K·F table packing is ~0.3-0.7 s
-    host work at 36f) so fidelity hot-swaps and repeated program builds under
-    the same config are free — the host-side analogue of the jit cache.
-    LRU-bounded: an operator nudging lines/refresh produces a fresh key per
-    change, and each plan is tens of MB of host tables."""
+    """Cache StreamingExactPlan builds (~0.2 s of vectorised geometry at
+    36f/64 bins; the per-bin index tables build lazily on first use) so
+    fidelity hot-swaps and repeated program builds under the same config are
+    free — the host-side analogue of the jit cache.  LRU-bounded: an
+    operator nudging lines/refresh produces a fresh key per change."""
     from ..ops.resample import StreamingExactPlan
 
     mode = config.mode

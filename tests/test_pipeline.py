@@ -681,6 +681,51 @@ def test_streaming_plan_einsum_bf16_equivalence():
     assert d.max() < 5e-3, float(d.max())
 
 
+def test_streaming_plan_tables_match_scalar_reference():
+    """The plan's vectorised lazy table build must reproduce the scalar
+    per-(bin, frame) construction bit-for-bit — a direct transcription of
+    the original loop (floor/clip/pack per pair) is the oracle here, run on
+    a small geometry.  Also pins per-bin lazy tables == full-stack rows."""
+    from tempest_tpu.ops.resample import (StreamingExactPlan, _pack_slots,
+                                          _screen_geometry)
+
+    spf, F, K, P = 4e6 / 59.94, 3, 8, 32
+    y_t, x_t, out_shape = 525, 800, (60, 80)
+    frame_len = int(np.ceil(spf)) + 1
+    plan = StreamingExactPlan(frame_len, spf, F, y_t, x_t, out_shape,
+                              num_phases=P, phase_bins=K)
+
+    base_start, base_frac, _, _, _ = _screen_geometry(frame_len, y_t, x_t,
+                                                      out_shape)
+    a_base = base_start.reshape(-1).astype(np.float64) + base_frac.reshape(-1)
+    n_lines = 2 * out_shape[0]
+    u = np.floor(np.arange(F) * spf)
+    r = np.arange(F) * spf - u
+    for k in range(K):
+        sel_k, reg_k, blend_k = plan.tables(k)
+        for f in range(F):
+            a = a_base + (k / K + r[f])
+            fstart = np.maximum(np.floor(a).astype(np.int64), 0)
+            frac = np.clip(a - fstart, 0.0, 1.0 - 1e-9)
+            ph = np.minimum((frac * P).astype(np.int64), P - 1)
+            ch, of = fstart // 128, fstart % 128
+            so, _ = _pack_slots(of, 128)
+            sp, _ = _pack_slots(ph, P)
+            o_slot = of * plan.per_o + so
+            p_slot = ph * plan.per_p + sp
+            sel_ref = np.full(128 * plan.per_o, -1, np.int32)
+            sel_ref[o_slot] = ch
+            reg_ref = np.full(P * plan.per_p, -1, np.int32)
+            reg_ref[p_slot] = o_slot
+            np.testing.assert_array_equal(sel_k[f], sel_ref)
+            np.testing.assert_array_equal(reg_k[f], reg_ref)
+            np.testing.assert_array_equal(blend_k[f], p_slot)
+        # Lazy per-bin tables are the same rows the full stacks hold.
+        np.testing.assert_array_equal(sel_k, plan.sel_src[k])
+        np.testing.assert_array_equal(reg_k, plan.reg_src[k])
+        np.testing.assert_array_equal(blend_k, plan.blend_idx[k])
+
+
 def test_batched_multi_stream_reconstruction():
     """B independent IQ channels reconstruct concurrently (vmapped step)."""
     from tempest_tpu.pipeline.offline import make_batched_reconstruct_fn
