@@ -8,6 +8,7 @@ entry point).
   4. full chain at 1080p60 (same as bench.py)
   5. sharded multi-hypothesis mode search across all devices
   6. host ring-buffer throughput (python vs native C++)
+  7. streaming host loop end-to-end (source -> ring -> device -> EMA)
 
 Run with ``--device cpu`` to exercise everything on the host (virtual mesh);
 default runs on the session's accelerator.
@@ -241,6 +242,61 @@ def main() -> None:
         ring_bench(NativeRing(block, 4), "C++ native")
     except Exception:
         pass
+
+    # 7. streaming host loop END-TO-END: source -> producer thread -> ring ->
+    # jitted chain -> EMA, as a system (the device chain and the ring are
+    # measured in isolation above; this is what a live session actually
+    # sustains).  The reference self-measures exactly this surface
+    # (AtomicAbstractSDRs.jl:333-341 producer/consumer MS/s, GUI.jl:201-203
+    # FPS).  On the tunnelled TPU each block pays a host round trip (~24 ms
+    # RT) that a local accelerator would not — the note records the caveat.
+    from tempest_tpu.runtime.stream import StreamingRuntime
+
+    class _MemSource:
+        """Pregenerated in-memory blocks: producer cost = one memcpy, so the
+        measurement charges the loop, not synthetic signal generation."""
+
+        sample_rate = fs
+
+        def __init__(self, blocks: np.ndarray) -> None:
+            self._blocks = blocks
+            self._i = 0
+            self.block_size = blocks.shape[1]
+
+        def read(self, out: np.ndarray) -> None:
+            np.copyto(out, self._blocks[self._i % len(self._blocks)])
+            self._i += 1
+
+        def close(self) -> None:
+            pass
+
+    blk = int(fs * 0.15)
+    src_blocks = (rng.standard_normal((2, blk))
+                  + 1j * rng.standard_normal((2, blk))).astype(np.complex64)
+    rt = StreamingRuntime(_MemSource(src_blocks), mode, alpha=0.1)
+    rt.start()
+    try:
+        rt.process_blocks(2)          # compile + settle
+        n_loop = max(args.iters, 8)
+        t0 = time.perf_counter()
+        rt.process_blocks(n_loop)
+        dt = time.perf_counter() - t0
+    finally:
+        rt.stop()
+    msps = n_loop * blk / dt / 1e6
+    results.append(
+        {
+            "metric": "streaming host loop 1080p60 (source->ring->device->EMA)",
+            "value": round(msps, 2),
+            "unit": "Msamples/s/chip",
+            "vs_baseline": round(msps / 20.0, 2),
+            "blocks_per_s": round(n_loop / dt, 2),
+            "realtime_factor": round(msps * 1e6 / fs, 3),
+            "note": "per-block host round trip included; on the tunnelled "
+                    "TPU that adds ~24 ms RT per block a local chip would "
+                    "not pay",
+        }
+    )
 
     for r in results:
         print(json.dumps(r))
