@@ -88,10 +88,15 @@ def get_welch_sharded(
     def local(s):
         return jax.lax.psum(welch_accumulate(s), axis)[None]
 
+    # Replicated output (the psum already makes every device's row equal;
+    # out_shardings makes that addressable from EVERY process in a
+    # multi-controller run — indexing a P(axis)-sharded row would only be
+    # readable from the process owning device 0).
     acc = jax.jit(
         jax.shard_map(
             local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis)
-        )
+        ),
+        out_shardings=NamedSharding(mesh, P()),
     )(segs)[0]
     power = 10.0 * jnp.log10(jnp.fft.fftshift(acc) + _EPS)
     return _freq_axis(fft_size, fs), power

@@ -597,7 +597,13 @@ def sharded_mode_search(
 
     y_dev = jax.device_put(y_arr, NamedSharding(mesh, P(axis)))
     x_dev = jax.device_put(x_arr, NamedSharding(mesh, P(axis)))
-    scores = np.asarray(run(iq, y_dev, x_dev))[:n_cand]
+    # Replicate before the host transfer: in a multi-controller run the raw
+    # output's shards are only partially addressable from each process (the
+    # same fix sharded_mode_search_2d needed).
+    rep = jax.jit(lambda s: s, out_shardings=NamedSharding(mesh, P()))(
+        run(iq, y_dev, x_dev)
+    )
+    scores = np.asarray(rep)[:n_cand]
     best = int(np.argmax(scores))
     return ModeSearchResult(
         best_index=best,
@@ -681,7 +687,11 @@ def sharded_scan_band(
         return sharded(spec_w, starts_in) + (floor,)
 
     starts_dev = jax.device_put(starts_p, NamedSharding(mesh, P(axis)))
-    mass, prom, fv, floor = run(iq_words, starts_dev)
+    # Replicate the channel-sharded outputs before the host reads them
+    # (multi-controller: each process only addresses its own shards).
+    mass, prom, fv, floor = jax.jit(
+        lambda t: t, out_shardings=NamedSharding(mesh, P())
+    )(run(iq_words, starts_dev))
     return ScanResult(
         centers_hz=centers,
         scores_db=np.asarray(mass, np.float64)[:K],

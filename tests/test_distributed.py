@@ -121,3 +121,57 @@ def test_two_process_bootstrap_matches_single_process():
     ref_s = mode_search_static(env_search, fs, 60.0, cands, n_frames=1)
     assert sst[0][0] == pytest.approx(float(ref_s.scores.sum()), rel=1e-4)
     assert int(sst[0][1]) == ref_s.best_index == 0
+
+    # Remaining sharded pipelines (serving batch, 1-D search, band scan,
+    # sharded Welch): both processes agree, and each matches the identical
+    # program run single-process on a 4-device submesh.
+    from tempest_tpu.ops.spectrum import get_welch_sharded
+    from tempest_tpu.parallel.sharded import (
+        sharded_batched_reconstruct_fn,
+        sharded_mode_search,
+        sharded_scan_band,
+    )
+
+    for tag in ("BATCHED", "SEARCH1D", "SCAN", "WELCH"):
+        a, b = _parse_tag(outs[0], tag), _parse_tag(outs[1], tag)
+        assert a == pytest.approx(b, rel=1e-5), (tag, a, b)
+
+    # (a) serving batch reference.
+    bstep = sharded_batched_reconstruct_fn(config, mesh)
+    rng_b = np.random.default_rng(1)
+    env_b = rng_b.standard_normal((4, S)).astype(np.float32) ** 2
+    iq_b = jax.device_put(env_b, NamedSharding(mesh, P("blocks")))
+    ema_b0 = jax.device_put(np.zeros((4, *config.render_size), np.float32),
+                            NamedSharding(mesh, P("blocks")))
+    ema_b, _, sync_b, _ = bstep(iq_b, ema_b0, jnp.float32(0.5))
+    ref_b = float(np.linalg.norm(np.asarray(ema_b))
+                  + np.asarray(sync_b).astype(np.float32).sum())
+    assert _parse_tag(outs[0], "BATCHED")[0] == pytest.approx(ref_b, rel=1e-4)
+
+    # (b) 1-D dynamic-geometry search reference.
+    ref_1d = sharded_mode_search(env_search, fs, 60.0, cands, mesh,
+                                 n_frames=1)
+    got_1d = _parse_tag(outs[0], "SEARCH1D")
+    assert got_1d[0] == pytest.approx(float(ref_1d.scores.sum()), rel=1e-4)
+    assert int(got_1d[1]) == ref_1d.best_index == 0
+
+    # (c) band scan reference.
+    rng_s = np.random.default_rng(2)
+    n_scan = 1 << 18
+    wide = (rng_s.standard_normal(n_scan)
+            + 1j * rng_s.standard_normal(n_scan)).astype(np.complex64)
+    ref_scan = sharded_scan_band(wide, 4e6,
+                                 np.array([-1e6, -0.5e6, 0.5e6, 1e6]),
+                                 mesh, chan_bw=1e6, corr_seconds=0.02)
+    got_scan = _parse_tag(outs[0], "SCAN")
+    assert got_scan[0] == pytest.approx(
+        float(ref_scan.prominence_db.sum()), rel=1e-4)
+    assert got_scan[1] == pytest.approx(
+        float(ref_scan.scores_db.sum()), rel=1e-4)
+
+    # (d) sharded Welch reference.
+    rng_w = np.random.default_rng(3)
+    sig_w = rng_w.standard_normal(8 * 1024).astype(np.float32)
+    _, ref_power = get_welch_sharded(fs, sig_w, mesh, fft_size=1024)
+    assert _parse_tag(outs[0], "WELCH")[0] == pytest.approx(
+        float(np.asarray(ref_power).sum()), rel=1e-4)
