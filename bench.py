@@ -8,13 +8,16 @@ with a 20 MHz SDR in real time, the reference's own operating point.
 ``ms_per_block``/``iters``/``n_frames``/``block_samples`` disambiguate the
 loop-amortised headline (the per-block number is the honest dispatch cost).
 
-The measured program is the round-3 streaming chain: carry-phase
+The measured program is the round-4 streaming chain: carry-phase
 sub-sample-exact frame cuts through the phase-quantised mxu3 tables
 (ops.resample.StreamingExactPlan — one compiled executable, per-bin int32
-tables as inputs) WITH the per-frame sync stage on — i.e. exactly what
-``StreamingRuntime`` runs block after block, phases cycling as a real
-stream's would.  Measured on v5e: 7.6 ms per 36-frame block = ~1.6 GSps
-(the round-2 offline chain measured 7.8 ms in the same protocol).
+tables as inputs) WITH the per-frame SUB-PIXEL sync stage on — since round
+4 the PSNR-leading chain (sub-pixel registration, +0.4-0.5 dB) is ALSO the
+fastest: the fractional registration runs as MXU shift-operator matmuls
+(ops.framesync.shift_matrix) instead of dynamic rolls, measured
+same-session 8.90 ms/36f vs 9.68 for the integer-sync round-3 judged
+config (exp/exp_r4_subpixel.py).  This is exactly what ``StreamingRuntime``
+runs block after block, phases cycling as a real stream's would.
 
 Measurement notes:
 * Input is raw interleaved int16 I/Q (the SDR wire format) — the production
@@ -63,6 +66,10 @@ def main() -> None:
         carry_phase=True,
         subsample_align=True,
         do_align=True,
+        # Sub-pixel registration via MXU shift operators (align_impl
+        # defaults to "matmul"): +0.4-0.5 dB over integer sync AND faster
+        # (8.90 vs 9.68 ms/36f same-session, exp/exp_r4_subpixel.py).
+        align_subpixel=True,
         resampler="mxu3",
         phase_bins=64,
         # Weights einsum in bf16: BIT-EXACT on TPU (DEFAULT-precision f32
@@ -103,7 +110,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "full-chain IQ throughput at 1080p60 (int16 ingest + demod + exact-cut resample + sync + EMA, carry-phase streaming)",
+                "metric": "full-chain IQ throughput at 1080p60 (int16 ingest + demod + exact-cut resample + sub-pixel sync + EMA, carry-phase streaming)",
                 "value": round(msps, 2),
                 "unit": "Msamples/s/chip",
                 "vs_baseline": round(msps / 20.0, 2),

@@ -144,6 +144,10 @@ class StreamingRuntime:
             ),
             subsample_align=self.fidelity,
             do_align=not self.fidelity,
+            # Sub-pixel registration (MXU shift operators) whenever the sync
+            # stage runs: measured FASTER than integer rolls and +0.4-0.5 dB
+            # (exp/exp_r4_subpixel.py) — the quality chain is the default.
+            align_subpixel=not self.fidelity,
             phase_bins=self.fidelity_bins if self.fidelity else 0,
             # Quantised fidelity defaults to the bf16 weights einsum: on TPU
             # it is bit-exact (DEFAULT-precision f32 matmuls run bf16 MXU
@@ -625,10 +629,20 @@ class StreamingRuntime:
         dx = self._median_circular_step(sync_history[:, 1], w)
         spf = self._spf
         samples_per_raster_px = spf / (x_t * y_t)
-        # Render px -> raster px; a row of drift is a whole line of raster px.
-        drift_samples = (
-            dx * (x_t / w) + dy * (y_t / h) * x_t
-        ) * samples_per_raster_px
+        # A period error drifts the blank along the RASTER: the x position
+        # is the fine odometer (raster px/frame, ambiguous modulo x_t) and
+        # the y position the coarse one (lines/frame ≈ the SAME drift / x_t)
+        # — they are redundant, NOT additive.  Use dx for precision and dy
+        # only to resolve dx's whole-line wraps.  (Summing them double-
+        # counted the drift: with sub-pixel sync — where dy's median step
+        # is no longer quantised to zero — the feedback overshot the true
+        # refresh by exactly the initial error, caught by
+        # test_refresh_drift_feedback_locks when sub-pixel became the
+        # default sync stage.)
+        dx_px = dx * (x_t / w)             # fine: raster px/frame, mod x_t
+        coarse_px = dy * (y_t / h) * x_t   # coarse: from the line odometer
+        wraps = np.round((coarse_px - dx_px) / x_t)
+        drift_samples = (dx_px + wraps * x_t) * samples_per_raster_px
         new_spf = spf + drift_samples
         new_fv = self.source.sample_rate / new_spf
         self.mode = VideoMode(x_t, y_t, float(new_fv))

@@ -360,6 +360,23 @@ def test_align_frame_subpixel_integer_matches_roll():
         np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_align_frame_subpixel_matmul_matches_rolls():
+    """The MXU shift-operator registration (S_y @ img @ S_x^T built on
+    device from the traced offsets) must equal the roll formulation on CPU
+    f32 for both kernels and any shift sign/magnitude — measured 2.27 ms
+    faster per 36f block than rolls on v5e (exp/exp_r4_subpixel.py)."""
+    from tempest_tpu.ops.framesync import align_frame_subpixel_matmul
+
+    img = jnp.asarray(RNG.standard_normal((48, 64)).astype(np.float32))
+    for interp in ("linear", "cubic"):
+        for sy, sx in ((3.25, -7.8), (0.0, 0.5), (47.9, 63.1), (-1.3, 2.0)):
+            a = np.asarray(align_frame_subpixel(
+                img, jnp.float32(sy), jnp.float32(sx), interp))
+            b = np.asarray(align_frame_subpixel_matmul(
+                img, jnp.float32(sy), jnp.float32(sx), interp))
+            np.testing.assert_allclose(a, b, atol=2e-5)
+
+
 @pytest.mark.parametrize("interp,tol", [("linear", 0.02), ("cubic", 0.005)])
 def test_align_frame_subpixel_fractional_shift(interp, tol):
     """A fractional roll of a low-frequency sinusoid must match the analytic

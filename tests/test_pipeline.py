@@ -681,6 +681,42 @@ def test_streaming_plan_einsum_bf16_equivalence():
     assert d.max() < 5e-3, float(d.max())
 
 
+@pytest.mark.parametrize("chain", ["offline", "judged-tables"])
+def test_subpixel_align_impl_chain_equivalence(chain):
+    """The full sub-pixel chain with align_impl='matmul' must match the
+    'roll' chain on CPU (true f32 matmuls — difference is reassociation),
+    both on the plain offline chain and on bench.py's judged configuration
+    (quantised exact-cut tables + sub-pixel sync)."""
+    import dataclasses
+
+    from tempest_tpu.pipeline.offline import make_reconstruct_fn
+
+    cap = _capture(0.2, snr_db=25.0)
+    extra = {} if chain == "offline" else dict(
+        carry_phase=True, subsample_align=True, resampler="mxu3",
+        phase_bins=16, einsum_bf16=True,
+    )
+    cfg = ReconstructionConfig(
+        sample_rate=FS, mode=MODE, n_frames=3, align_subpixel=True,
+        input_format="iq_interleaved", **extra,
+    )
+    words = cap.iq[: cfg.block_samples].view(np.float32)
+    ema0 = jnp.zeros(cfg.render_size, jnp.float32)
+    outs = {}
+    for impl in ("roll", "matmul"):
+        step = make_reconstruct_fn(dataclasses.replace(cfg, align_impl=impl))
+        args = (words, ema0, jnp.float32(0.9))
+        if cfg.carry_phase:
+            args = args + (0.37,)
+        ema, _, sync, _ = step(*args)
+        outs[impl] = (np.asarray(ema), np.asarray(sync))
+    np.testing.assert_allclose(outs["roll"][1], outs["matmul"][1],
+                               atol=1e-4)
+    scale = outs["roll"][0].max() - outs["roll"][0].min() + 1e-9
+    d = np.abs(outs["roll"][0] - outs["matmul"][0]) / scale
+    assert d.max() < 1e-3, float(d.max())
+
+
 def test_streaming_plan_tables_match_scalar_reference():
     """The plan's vectorised lazy table build must reproduce the scalar
     per-(bin, frame) construction bit-for-bit — a direct transcription of
