@@ -1143,6 +1143,43 @@ class StreamingExactPlan:
             for uf in self.u
         ])
 
+    def cut_words_am(self, words: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+        """Fused AM demod + cut from raw *interleaved* I/Q words: slice the
+        int16 wire buffer FIRST (envelope index ``i`` ↔ words ``2i, 2i+1``,
+        so slicing commutes exactly with the pointwise pair demod), then
+        demodulate the per-frame rows — ``(words, m) → (n_frames, pad_len)``
+        envelope slices, bit-identical to ``cut(am_envelope_from_iq(words),
+        m)`` (each output element is the same ``sqrt(I²+Q²)`` pair dot
+        through the same one-hot pair-sum matmul; only the row partitioning
+        changes).
+
+        The intent was to skip the whole-block envelope, its traced re-base
+        and the padded concat (three full-length f32 materialisation
+        points) by moving int16 bytes instead.  MEASURED NEGATIVE on v5e
+        (exp/exp_r4_bookends.py, same-session, 36f judged geometry):
+        6.74 → 7.05 ms with sync, 6.22 → 6.75 without — one contiguous
+        whole-block convert/square/pairsum/sqrt pass fuses better than F
+        overlapping per-frame passes; the envelope materialisations were
+        not the demod+cut stage's cost.  Kept selectable
+        (``ReconstructionConfig.fuse_demod_cut``) for re-testing on other
+        TPU generations; bit-exactness is regression-tested."""
+        from .demod import _PAIRSUM  # one-hot (128, 64) pair-sum operator
+
+        w_m = jax.lax.dynamic_slice(words, (2 * m,), (2 * self.L0,))
+        pad = self.pad_len - self.frame_len
+        # Replicate the last I/Q PAIR: the padded envelope equals the
+        # envelope path's broadcast of env_m[-1].
+        tail = jnp.broadcast_to(w_m[-2:], (pad, 2)).reshape(-1)
+        w_m = jnp.concatenate([w_m, tail.astype(w_m.dtype)])
+        rows = jnp.stack([
+            jax.lax.slice(w_m, (2 * int(uf),), (2 * (int(uf) + self.pad_len),))
+            for uf in self.u
+        ])                                             # (F, 2·pad_len) int16
+        x = rows.astype(jnp.float32).reshape(self.n_frames, -1, 128)
+        e2 = jnp.einsum("frk,ko->fro", x * x, jnp.asarray(_PAIRSUM),
+                        preferred_element_type=jnp.float32)
+        return jnp.sqrt(e2).reshape(self.n_frames, self.pad_len)
+
     def resample_frames(
         self,
         frames_sig: jnp.ndarray,

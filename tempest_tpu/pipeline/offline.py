@@ -219,6 +219,17 @@ class ReconstructionConfig:
     # on device) — see ops.resample.StreamingExactPlan.  0 disables (that
     # combination then requires resampler='gather', the traced-offset path).
     phase_bins: int = 0
+    # Fused demod+cut for the quantised streaming chain: slice the raw
+    # interleaved int16 words FIRST and demodulate per-frame rows
+    # (StreamingExactPlan.cut_words_am) — bit-identical values (slicing
+    # commutes with the pointwise pair demod; on-device EMA diff 0.0).
+    # MEASURED NEGATIVE on v5e (exp/exp_r4_bookends.py, same-session
+    # ladder): 6.74 → 7.05 ms/36f judged, 6.22 → 6.75 sync-off — the one
+    # contiguous whole-block demod fuses better than F overlapping
+    # per-frame convert/square/pairsum passes; the envelope's
+    # materialisation points were not the bookend's cost.  Kept selectable
+    # (needs demod='am', invert=False, input_format='iq_interleaved').
+    fuse_demod_cut: bool = False
 
     @property
     def samples_per_frame(self) -> float:
@@ -684,10 +695,24 @@ def _make_quantised_fidelity_fn(config: ReconstructionConfig, frame_len: int):
     plan = _get_plan(config, frame_len)
     sync_one = _make_sync_one(config)
 
+    fused = config.fuse_demod_cut
+    if fused and not (config.demod == "am" and not config.invert
+                      and config.input_format == "iq_interleaved"):
+        raise ValueError(
+            "fuse_demod_cut=True needs demod='am', invert=False and "
+            "input_format='iq_interleaved' (the word-level cut commutes "
+            "only with the pointwise AM pair demod)"
+        )
+
     @jax.jit
     def _table_step(iq, ema, alpha, m, sel_src, reg_src, blend_idx):
-        env = demodulate(iq, config)
-        screens = plan.resample(env, m, sel_src, reg_src, blend_idx)
+        if fused:
+            slices = plan.cut_words_am(iq, m)
+            screens = plan.resample_frames(slices, sel_src, reg_src,
+                                           blend_idx)
+        else:
+            env = demodulate(iq, config)
+            screens = plan.resample(env, m, sel_src, reg_src, blend_idx)
         frames, sync, score = jax.vmap(sync_one)(screens)
         return ema_fold(ema, frames, alpha), frames, sync, score
 

@@ -681,6 +681,39 @@ def test_streaming_plan_einsum_bf16_equivalence():
     assert d.max() < 5e-3, float(d.max())
 
 
+def test_streaming_plan_fused_demod_cut_bit_exact():
+    """``fuse_demod_cut`` (slice the raw interleaved words first, demod
+    per-frame rows — StreamingExactPlan.cut_words_am) must be BIT-exact
+    against the demod→cut order: slicing commutes with the pointwise pair
+    demod and both orders push the same pairs through the same one-hot
+    pair-sum matmul.  Measured NEGATIVE for speed on v5e
+    (exp/exp_r4_bookends.py: 6.74 → 7.05 ms/36f) but kept selectable; this
+    pins the equivalence for any re-test on other hardware."""
+    import dataclasses
+
+    from tempest_tpu.pipeline.offline import make_reconstruct_fn
+
+    cap = _capture(0.2, snr_db=30.0)
+    cfg = ReconstructionConfig(
+        sample_rate=FS, mode=MODE, n_frames=3, resampler="mxu3",
+        subsample_align=True, do_align=True, carry_phase=True,
+        phase_bins=16, input_format="iq_interleaved",
+    )
+    words = cap.iq[: cfg.block_samples].view(np.float32)
+    ema0 = jnp.zeros(cfg.render_size, jnp.float32)
+    outs = {}
+    for fused in (False, True):
+        step = make_reconstruct_fn(
+            dataclasses.replace(cfg, fuse_demod_cut=fused))
+        ema, *_ = step(words, ema0, jnp.float32(0.9), 0.37)
+        outs[fused] = np.asarray(ema)
+    assert np.array_equal(outs[True], outs[False])
+    # The word-level cut only commutes with the pointwise AM pair demod.
+    with pytest.raises(ValueError, match="fuse_demod_cut"):
+        make_reconstruct_fn(
+            dataclasses.replace(cfg, fuse_demod_cut=True, demod="fm"))
+
+
 @pytest.mark.parametrize("chain", ["offline", "judged-tables"])
 def test_subpixel_align_impl_chain_equivalence(chain):
     """The full sub-pixel chain with align_impl='matmul' must match the
