@@ -47,6 +47,7 @@ from .ops.resample import (
     RENDER_SIZE,
 )
 from .ops.scan import ScanResult, carrier_score, channelize, scan_band, scan_centers
+from .ops.enhance import interp_kernel_ft, restore_image, wiener_gain
 from .ops.framesync import (
     frame_sync,
     frame_sync_subpixel,

@@ -25,7 +25,8 @@ import numpy as np
 
 from ..video.modes import VideoMode
 
-__all__ = ["SyntheticCapture", "test_pattern", "render_frame", "generate_iq"]
+__all__ = ["SyntheticCapture", "test_pattern", "render_frame", "generate_iq",
+           "generate_iq_harmonics"]
 
 
 def test_pattern(vis_h: int, vis_w: int, seed: int = 0) -> np.ndarray:
@@ -95,6 +96,27 @@ class SyntheticCapture:
         return self.sample_rate / self.mode.refresh
 
 
+def _sample_envelope(
+    frame: np.ndarray,
+    mode: VideoMode,
+    sample_rate: float,
+    n_samples: int,
+    start_phase: float,
+) -> np.ndarray:
+    """Raster pixel value at every receiver sample: fractional pixel index
+    ``start_phase + k * pixel_clock / Fs`` into the row-major scan, linearly
+    interpolated and wrapped over frames."""
+    raster = frame.ravel()  # row-major scan: line after line
+    n_pix = raster.size
+    step = mode.pixel_clock / sample_rate
+    idx = (start_phase + step * np.arange(n_samples, dtype=np.float64)) % n_pix
+    i0 = idx.astype(np.int64)
+    frac = (idx - i0).astype(np.float32)
+    i1 = i0 + 1
+    i1[i1 == n_pix] = 0
+    return raster[i0] * (1.0 - frac) + raster[i1] * frac
+
+
 def generate_iq(
     mode: VideoMode,
     sample_rate: float,
@@ -121,18 +143,7 @@ def generate_iq(
     """
     rng = np.random.default_rng(seed)
     frame = render_frame(mode, visible)
-    raster = frame.ravel()  # row-major scan: line after line
-    n_pix = raster.size
-
-    pixel_clock = mode.pixel_clock
-    step = pixel_clock / sample_rate
-    # Fractional pixel index of every output sample (wrapped).
-    idx = (start_phase + step * np.arange(n_samples, dtype=np.float64)) % n_pix
-    i0 = idx.astype(np.int64)
-    frac = (idx - i0).astype(np.float32)
-    i1 = i0 + 1
-    i1[i1 == n_pix] = 0
-    env = raster[i0] * (1.0 - frac) + raster[i1] * frac
+    env = _sample_envelope(frame, mode, sample_rate, n_samples, start_phase)
 
     if modulation == "am":
         amplitude = dc_level + modulation_depth * env
@@ -156,6 +167,64 @@ def generate_iq(
     iq = (clean + noise).astype(np.complex64)
     return SyntheticCapture(
         iq=iq,
+        mode=mode,
+        sample_rate=float(sample_rate),
+        frame=frame,
+        start_phase=float(start_phase),
+        snr_db=float(snr_db),
+    )
+
+
+def generate_iq_harmonics(
+    mode: VideoMode,
+    sample_rate: float,
+    n_samples: int,
+    carriers_hz: np.ndarray | list[float],
+    *,
+    amplitudes: np.ndarray | list[float] | None = None,
+    depths: np.ndarray | list[float] | None = None,
+    visible: np.ndarray | None = None,
+    snr_db: float = 30.0,
+    dc_level: float = 1.0,
+    start_phase: float = 0.0,
+    seed: int = 0,
+) -> SyntheticCapture:
+    """Wideband capture of ONE screen radiating at SEVERAL pixel-clock
+    harmonics — the test fixture for multi-band combining (ops.combine).
+
+    A real display leaks at every harmonic of its pixel clock, each
+    amplitude-modulated by the same video envelope but with independent
+    carrier phase, its own strength, and possibly inverted modulation
+    (``depths`` may be negative — intermodulation regularly flips polarity,
+    cf. the reference's blank-polarity note ``FrameSynchronisation.jl:51-53``).
+    The emitted signal is ``Σ_k A_k (dc + d_k·env) e^{j(2π f_k t + φ_k)}``
+    plus one complex AWGN whose power is set ``snr_db`` below the strongest
+    single carrier's modulated power (so per-carrier channel SNRs are
+    directly ``snr_db`` scaled by ``A_k²``)."""
+    rng = np.random.default_rng(seed)
+    frame = render_frame(mode, visible)
+    env = _sample_envelope(frame, mode, sample_rate, n_samples, start_phase)
+    carriers = np.atleast_1d(np.asarray(carriers_hz, np.float64))
+    k = len(carriers)
+    amp = (np.ones(k) if amplitudes is None
+           else np.asarray(amplitudes, np.float64))
+    dep = (np.full(k, 0.8) if depths is None
+           else np.asarray(depths, np.float64))
+    t = np.arange(n_samples, dtype=np.float64)
+    clean = np.zeros(n_samples, np.complex128)
+    ref_power = 0.0
+    for a, d, fc in zip(amp, dep, carriers):
+        phi = rng.uniform(0.0, 2.0 * np.pi)
+        modulated = a * (dc_level + d * env)
+        clean += modulated * np.exp(
+            1j * (2.0 * np.pi * fc / sample_rate * t + phi))
+        ref_power = max(ref_power, float(np.mean(modulated**2)))
+    noise_power = ref_power / (10.0 ** (snr_db / 10.0))
+    noise = np.sqrt(noise_power / 2.0) * (
+        rng.standard_normal(n_samples) + 1j * rng.standard_normal(n_samples)
+    )
+    return SyntheticCapture(
+        iq=(clean + noise).astype(np.complex64),
         mode=mode,
         sample_rate=float(sample_rate),
         frame=frame,
