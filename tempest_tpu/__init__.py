@@ -26,7 +26,13 @@ from .io.dat import (
     iter_complex_blocks,
     num_samples,
 )
-from .io.synthetic import SyntheticCapture, generate_iq, render_frame, test_pattern
+from .io.synthetic import (
+    SyntheticCapture,
+    generate_iq,
+    generate_iq_harmonics,
+    render_frame,
+    test_pattern,
+)
 from .ops.demod import am_demod, am_demod_power, invert_am_demod, fm_demod
 from .ops.spectrum import get_spectrum, get_welch, get_waterfall
 from .ops.autocorr import (
@@ -48,6 +54,7 @@ from .ops.resample import (
 )
 from .ops.scan import ScanResult, carrier_score, channelize, scan_band, scan_centers
 from .ops.enhance import interp_kernel_ft, restore_image, wiener_gain
+from .ops.combine import CombineResult, combine_harmonics
 from .ops.framesync import (
     frame_sync,
     frame_sync_subpixel,
@@ -69,6 +76,7 @@ from .pipeline.offline import (
     make_batched_reconstruct_fn,
     reconstruct_frames,
     auto_reconstruct,
+    combined_reconstruct,
 )
 
 __version__ = "0.1.0"

@@ -138,7 +138,24 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
 
     iq = read_complex_binary(args.input, args.format, count=args.samples)
     alpha = args.alpha if args.alpha == "auto" else float(args.alpha)
-    if args.mode == "auto":
+    if args.combine:
+        from ..pipeline.offline import combined_reconstruct
+
+        centers = (None if args.combine == "auto"
+                   else [float(x) for x in args.combine.split(",")])
+        timing, recon, comb = combined_reconstruct(
+            iq, args.fs, centers, chan_bw=args.chan_bw,
+            n_frames=args.frames, alpha=alpha, invert=args.invert,
+            rate_min=args.rate_min, rate_max=args.rate_max,
+            restore=args.restore, restore_nsr=args.restore_nsr,
+        )
+        print(f"detected mode: {timing.mode_name} "
+              f"(fv={timing.refresh_hz:.4f} Hz)")
+        for c, w, p, m in zip(comb.centers_hz, comb.weights, comb.polarity,
+                              comb.mass_db):
+            print(f"  carrier {c/1e6:+9.3f} MHz: weight {w:.3f} "
+                  f"polarity {'+' if p > 0 else '-'} comb {m:.1f} dB")
+    elif args.mode == "auto":
         try:
             timing, recon = auto_reconstruct(
                 iq, args.fs, n_frames=args.frames, alpha=alpha,
@@ -326,16 +343,22 @@ def cmd_search(args: argparse.Namespace) -> int:
 
 def cmd_synth(args: argparse.Namespace) -> int:
     from ..io.dat import write_complex_binary
-    from ..io.synthetic import generate_iq
+    from ..io.synthetic import generate_iq, generate_iq_harmonics
     from ..video.modes import ALL_VIDEO_MODES
 
     mode = ALL_VIDEO_MODES[args.mode]
-    cap = generate_iq(
-        mode, args.fs, int(args.fs * args.seconds), snr_db=args.snr, seed=args.seed
-    )
+    n = int(args.fs * args.seconds)
+    if args.harmonics:
+        carriers = [float(x) for x in args.harmonics.split(",")]
+        cap = generate_iq_harmonics(mode, args.fs, n, carriers,
+                                    snr_db=args.snr, seed=args.seed)
+        extra = f", {len(carriers)} carriers"
+    else:
+        cap = generate_iq(mode, args.fs, n, snr_db=args.snr, seed=args.seed)
+        extra = ""
     write_complex_binary(cap.iq, args.out, args.format)
     print(f"wrote {args.out}: {len(cap.iq)} samples of {args.mode} "
-          f"@ {args.fs/1e6:.1f} MHz, SNR {args.snr} dB")
+          f"@ {args.fs/1e6:.1f} MHz, SNR {args.snr} dB{extra}")
     return 0
 
 
@@ -553,6 +576,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--restore-nsr", type=float, default=0.002,
                    help="Wiener noise-to-signal floor (raise for noisy/"
                         "shallow averages)")
+    p.add_argument("--combine", default=None, metavar="AUTO|F1,F2,...",
+                   help="multi-harmonic fusion: channelise the wideband "
+                        "capture at these carrier offsets [Hz] ('auto' "
+                        "scans the band and groups same-refresh emissions), "
+                        "MRC-combine the envelopes, reconstruct the fusion")
+    p.add_argument("--chan-bw", type=float, default=4e6,
+                   help="per-carrier channel bandwidth for --combine [Hz]")
     p.add_argument("--out", default="reconstruction.png")
     p.set_defaults(fn=cmd_reconstruct)
 
@@ -653,6 +683,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seconds", type=float, default=0.5)
     p.add_argument("--snr", type=float, default=20.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--harmonics", default=None, metavar="F1,F2,...",
+                   help="radiate the screen at several carrier offsets [Hz] "
+                        "(one shared envelope — the --combine test fixture)")
     p.add_argument("--out", default="synthetic.dat")
     p.set_defaults(fn=cmd_synth)
 

@@ -1,0 +1,146 @@
+"""Multi-harmonic combining: fuse the SAME screen's emission from several
+carriers of one wideband capture into one higher-SNR envelope.
+
+A display leaks at every harmonic of its pixel clock (and at intermodulation
+products); each carrier carries the same video envelope with its own
+strength, independent RF phase, and possibly inverted modulation polarity.
+The reference tunes to ONE carrier and ignores the rest of the capture
+(``/root/reference/src/GUI.jl:594-605`` — the operator types a single
+frequency).  Since the carriers ride one time base, their demodulated
+envelopes are sample-aligned by construction — no frame registration is
+needed to combine them, and the SNR gain happens BEFORE the nonlinear
+sync/alignment stages, exactly where it helps timing estimation too.
+
+TPU-native design: ONE jitted program channelises the capture (the scan
+module's big-FFT + static band slices + batched IFFT), takes per-channel
+amplitude envelopes, scores each channel's screen-content power by the
+refresh-comb mass the scanner already uses, detects per-channel modulation
+polarity against the strongest channel (one matmul of mean-removed
+envelopes), solves maximal-ratio weights from the comb/variance statistics,
+and emits the weighted sum — nothing leaves the device but the combined
+envelope and the per-channel diagnostics.
+
+MRC weight derivation: with mean-removed envelopes ``e_k = a_k·v + n_k``,
+receiver noise is white in the envelope domain (decorrelates within one
+sample) while screen content is strongly sample-to-sample correlated — the
+same separation ``ops.autocorr.estimate_snr`` exploits.  So per channel the
+lag-1 autocovariance IS the signal power (``s_k = c1_k``) and the
+decorrelating part the noise (``N_k = c0_k − c1_k``), and the SNR-optimal
+weights are ``w_k = √s_k / N_k`` (matched-filter MRC) — no cross-channel
+calibration needed.  A pure-noise channel has c1≈0 ⇒ w≈0, so combining over
+a blind carrier list is safe; channels whose refresh-comb mass sits ≥40 dB
+under the anchor's are zeroed outright (temporally-correlated interference
+without screen structure would otherwise sneak in).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .autocorr import autocorrelation
+from .scan import _channelize_complex, _channel_geometry, _selection_prominence
+
+__all__ = ["CombineResult", "combine_harmonics"]
+
+
+@dataclasses.dataclass(frozen=True)
+class CombineResult:
+    """A combined envelope plus the per-channel evidence behind it."""
+
+    envelope: np.ndarray        # combined envelope, float32 [M]
+    fs_channel: float           # its sample rate [Hz]
+    centers_hz: np.ndarray      # the carriers combined (input order)
+    weights: np.ndarray         # MRC weight per channel (sums to 1)
+    polarity: np.ndarray        # +1/-1 modulation polarity vs the anchor
+    mass_db: np.ndarray         # refresh-comb mass per channel (dB)
+    refresh_hz: np.ndarray      # per-channel refresh estimate
+
+    def best_channel(self) -> int:
+        return int(np.argmax(self.mass_db))
+
+
+@partial(jax.jit, static_argnames=("fs", "centers", "chan_bw", "fs_chan",
+                                   "corr_seconds", "rate_min", "rate_max",
+                                   "weighting"))
+def _combine_kernel(words, fs, centers, chan_bw, fs_chan, corr_seconds,
+                    rate_min, rate_max, weighting):
+    chans, _ = _channelize_complex(words, fs, np.asarray(centers), chan_bw)
+    amp = jnp.abs(chans).astype(jnp.float32)          # (K, M) AM envelopes
+    mean = jnp.mean(amp, axis=1, keepdims=True)
+    env0 = amp - mean
+    var = jnp.mean(env0 * env0, axis=1)               # σ_k²
+
+    def comb_one(e):
+        lin, _ = autocorrelation(e, fs_chan, 0.0, corr_seconds,
+                                 scale="linear")
+        return _selection_prominence(lin, fs_chan, rate_min, rate_max, 5)
+
+    mass_db, _, fv = jax.vmap(comb_one)(env0)
+    anchor = jnp.argmax(mass_db)
+    # Modulation polarity: sign of the correlation against the anchor
+    # channel's envelope (intermodulation regularly inverts video).
+    dots = env0 @ env0[anchor]
+    pol = jnp.where(dots >= 0.0, 1.0, -1.0).astype(jnp.float32)
+    if weighting == "equal":
+        w = jnp.ones_like(var)
+    else:
+        # MRC from the lag-1 decorrelation split (estimate_snr's separation):
+        # signal power s = c1 (correlated), noise N = c0 - c1 (white).
+        c1 = jnp.mean(env0[:, :-1] * env0[:, 1:], axis=1)
+        s = jnp.maximum(c1, 0.0)
+        noise = jnp.maximum(var - c1, 1e-6 * var)
+        w = jnp.sqrt(s) / noise
+        # Zero out channels with no refresh-comb evidence (correlated
+        # interference is not screen signal).
+        w = jnp.where(mass_db > mass_db[anchor] - 40.0, w, 0.0)
+    w = w / jnp.maximum(jnp.sum(w), 1e-30)
+    env = jnp.einsum("k,km->m", w * pol, env0,
+                     preferred_element_type=jnp.float32)
+    # Re-add the combined DC so the output looks like a standard positive
+    # envelope to downstream consumers (blanking-polarity detection etc.).
+    env = env + jnp.sum(w * mean[:, 0])
+    return env, w, pol, mass_db, fv
+
+
+def combine_harmonics(
+    iq: np.ndarray | jnp.ndarray,
+    fs: float,
+    centers_hz: np.ndarray | list[float],
+    chan_bw: float = 4e6,
+    corr_seconds: float = 0.1,
+    rate_min: float = 50.0,
+    rate_max: float = 90.0,
+    weighting: str = "mrc",
+) -> CombineResult:
+    """Extract and fuse the emission at each carrier of ``centers_hz`` from
+    one wideband capture.
+
+    ``iq``: host complex64 (viewed as words) or interleaved float32 I/Q.
+    Returns a :class:`CombineResult` whose ``envelope`` (at ``fs_channel``)
+    feeds the standard pipeline via ``ReconstructionConfig(
+    input_format="envelope")`` — see ``pipeline.offline.combined_reconstruct``
+    for the one-call wrapper.  ``weighting``: ``"mrc"`` (default, measured
+    winner) or ``"equal"``."""
+    if isinstance(iq, np.ndarray) and np.iscomplexobj(iq):
+        iq = np.ascontiguousarray(iq, np.complex64).view(np.float32)
+    iq = jnp.asarray(iq)
+    centers = np.atleast_1d(np.asarray(centers_hz, np.float64))
+    _, _, fs_chan = _channel_geometry(int(iq.shape[0]) // 2, fs, chan_bw)
+    env, w, pol, mass_db, fv = _combine_kernel(
+        iq, float(fs), tuple(float(c) for c in centers), float(chan_bw),
+        float(fs_chan), float(corr_seconds), float(rate_min),
+        float(rate_max), weighting)
+    return CombineResult(
+        envelope=np.asarray(env, np.float32),
+        fs_channel=float(fs_chan),
+        centers_hz=centers,
+        weights=np.asarray(w, np.float64),
+        polarity=np.asarray(pol, np.float64),
+        mass_db=np.asarray(mass_db, np.float64),
+        refresh_hz=np.asarray(fv, np.float64),
+    )

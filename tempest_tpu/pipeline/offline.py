@@ -140,6 +140,8 @@ class ReconstructionConfig:
     # throughput leader too.
     align_impl: str = "matmul"
     # "complex64": iq is complex [block_samples];
+    # "envelope": iq is float32 [block_samples], ALREADY demodulated (e.g.
+    # the multi-harmonic fusion of ops.combine) — demod is a pass-through;
     # "iq_interleaved": iq is int16/float32 [2*block_samples] raw I/Q words —
     # half the host->device bandwidth, no complex math on device;
     # "iq_planar": iq is int16/float32 [2, block_samples] (row 0 = I) — the
@@ -275,11 +277,14 @@ class Reconstruction:
 
 
 @partial(jax.jit, static_argnames=("fs", "corr_seconds", "interleaved",
-                                   "rate_min", "rate_max"))
+                                   "rate_min", "rate_max", "envelope"))
 def _timing_kernel(iq: jnp.ndarray, fs: float, corr_seconds: float,
                    interleaved: bool = False,
-                   rate_min: float = 50.0, rate_max: float = 90.0):
-    if interleaved:
+                   rate_min: float = 50.0, rate_max: float = 90.0,
+                   envelope: bool = False):
+    if envelope:
+        env = iq.astype(jnp.float32)  # already demodulated (ops.combine)
+    elif interleaved:
         env = am_power_from_iq(iq)
     else:
         env = jnp.real(iq) ** 2 + jnp.imag(iq) ** 2  # |z|^2 envelope (GUI.jl:70)
@@ -296,24 +301,27 @@ def estimate_timing(
     corr_seconds: float = 0.1,
     rate_min: float = 50.0,
     rate_max: float = 90.0,
+    envelope: bool = False,
 ) -> TimingEstimate:
     """Stage 1: refresh rate + line count from ~``corr_seconds`` of signal,
     snapped to the closest known video mode (automates ``GUI.jl:49-88`` +
     the interactive y_t pick).
 
     ``iq`` may be complex64 or raw interleaved I/Q words (int16/float32, even
-    length).  Host complex input is reinterpreted as interleaved float32
-    (zero-copy view) before the device transfer, keeping every host→device
-    boundary real — required on TPU backends without complex transfer support
-    and cheaper everywhere.
+    length) — or, with ``envelope=True``, an already-demodulated real
+    envelope (e.g. the multi-harmonic fusion of ``ops.combine``).  Host
+    complex input is reinterpreted as interleaved float32 (zero-copy view)
+    before the device transfer, keeping every host→device boundary real —
+    required on TPU backends without complex transfer support and cheaper
+    everywhere.
     """
     if isinstance(iq, np.ndarray) and np.iscomplexobj(iq):
         iq = np.ascontiguousarray(iq, np.complex64).view(np.float32)
     iq = jnp.asarray(iq)
-    interleaved = not jnp.iscomplexobj(iq)
+    interleaved = not envelope and not jnp.iscomplexobj(iq)
     fv, y_t, snr = _timing_kernel(
         iq, float(fs), float(corr_seconds), interleaved,
-        float(rate_min), float(rate_max),
+        float(rate_min), float(rate_max), envelope,
     )
     fv_f, y_f = float(fv), float(y_t)
     name, mode = find_closest_mode(y_f, fv_f)
@@ -450,6 +458,13 @@ def pick_line_peak(
 
 def demodulate(iq: jnp.ndarray, config: ReconstructionConfig) -> jnp.ndarray:
     """Demodulation stage shared by the single-chip and sharded pipelines."""
+    if config.input_format == "envelope":
+        # Pre-demodulated real envelope (e.g. ops.combine's multi-harmonic
+        # fusion): pass through, honouring only the polarity inversion.
+        env = iq.astype(jnp.float32)
+        if config.invert:
+            env = 1.0 - env / jnp.max(env)
+        return env
     if config.input_format == "iq_planar":
         env = (
             fm_demod_from_iq_planar(iq) if config.demod == "fm"
@@ -1109,3 +1124,77 @@ def auto_reconstruct(
         recon.image_raw = recon.image
         recon.image = restore_image(recon.image, config, nsr=restore_nsr)
     return timing, recon
+
+
+def combined_reconstruct(
+    iq: np.ndarray,
+    fs: float,
+    centers_hz: np.ndarray | list[float] | None = None,
+    chan_bw: float = 4e6,
+    n_frames: int | None = None,
+    alpha: float | str = 0.1,
+    invert: bool = False,
+    corr_seconds: float = 0.1,
+    rate_min: float = 50.0,
+    rate_max: float = 90.0,
+    weighting: str = "mrc",
+    restore: bool = True,
+    restore_nsr: float = 0.002,
+    min_margin_db: float = 5.0,
+):
+    """Multi-harmonic capture → image: find (or take) the screen's carriers
+    in ONE wideband capture, fuse their envelopes at maximal ratio
+    (``ops.combine``), and reconstruct from the combined envelope.
+
+    ``centers_hz=None`` auto-discovers the carriers: a band scan
+    (``ops.scan.scan_band``) groups detected channels into emissions, and
+    every emission whose refresh estimate matches the strongest one's
+    (±0.25 Hz — same screen, different harmonic) contributes its best
+    channel.  Returns ``(timing, reconstruction, combine_result)``.
+
+    Beyond the reference: its operator tunes to one carrier at a time
+    (``GUI.jl:594-605``); combining K equal-strength harmonics buys up to
+    ``10·log10(K)`` dB of envelope SNR before the sync stages (measured
+    gains in tests/test_combine.py and exp/exp_r4_combine.py)."""
+    from ..ops.combine import combine_harmonics
+
+    iq = np.asarray(iq)
+    if np.iscomplexobj(iq):
+        iq = np.ascontiguousarray(iq, np.complex64).view(np.float32)
+    if centers_hz is None:
+        from ..ops.scan import scan_band, scan_centers
+
+        centers = scan_centers(fs, step_hz=chan_bw / 2.0,
+                               guard_hz=chan_bw / 2.0)
+        res = scan_band(iq, fs, centers, chan_bw, corr_seconds,
+                        rate_min, rate_max)
+        ems = res.emissions(min_margin_db=min_margin_db)
+        if not ems:
+            raise ValueError(
+                "no emissions detected in the band; pass centers_hz "
+                "explicitly or lower min_margin_db")
+        fv0 = ems[0]["refresh_hz"]
+        centers_hz = [e["best_channel_hz"] for e in ems
+                      if abs(e["refresh_hz"] - fv0) < 0.25]
+    comb = combine_harmonics(iq, fs, centers_hz, chan_bw, corr_seconds,
+                             rate_min, rate_max, weighting)
+    timing = estimate_timing(comb.envelope, comb.fs_channel, corr_seconds,
+                             rate_min, rate_max, envelope=True)
+    if alpha == "auto":
+        alpha = timing.suggested_alpha
+    spf = comb.fs_channel / timing.mode.refresh
+    if n_frames is None:
+        n_frames = max(int((len(comb.envelope) - 1) / spf), 1)
+    taps = 4 if spf / timing.mode.pixels_per_frame >= 1.0 else 2
+    config = ReconstructionConfig(
+        sample_rate=comb.fs_channel, mode=timing.mode, n_frames=n_frames,
+        invert=invert, align_subpixel=True, interp_taps=taps,
+        input_format="envelope",
+    )
+    recon = reconstruct_frames(comb.envelope, config, alpha=alpha)
+    if restore:
+        from ..ops.enhance import restore_image
+
+        recon.image_raw = recon.image
+        recon.image = restore_image(recon.image, config, nsr=restore_nsr)
+    return timing, recon, comb
