@@ -77,6 +77,8 @@ from .pipeline.offline import (
     reconstruct_frames,
     auto_reconstruct,
     combined_reconstruct,
+    discover_screens,
+    reconstruct_all_emissions,
 )
 
 __version__ = "0.1.0"

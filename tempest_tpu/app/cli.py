@@ -138,6 +138,32 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
 
     iq = read_complex_binary(args.input, args.format, count=args.samples)
     alpha = args.alpha if args.alpha == "auto" else float(args.alpha)
+    if args.combine == "all":
+        from ..pipeline.offline import reconstruct_all_emissions
+
+        results = reconstruct_all_emissions(
+            iq, args.fs, chan_bw=args.chan_bw, n_frames=args.frames,
+            alpha=alpha, invert=args.invert, rate_min=args.rate_min,
+            rate_max=args.rate_max, restore=args.restore,
+            restore_nsr=args.restore_nsr,
+        )
+        if not results:
+            print("no emissions detected in the band")
+            return 2
+        stem, dot, ext = args.out.rpartition(".")
+        if not dot:
+            stem, ext = args.out, "png"
+        print(f"{len(results)} screen(s) detected")
+        for i, (timing, recon, comb) in enumerate(results, 1):
+            out = f"{stem}_{i}.{ext}" if len(results) > 1 else args.out
+            print(f"screen {i}: {timing.mode_name} "
+                  f"(fv={timing.refresh_hz:.4f} Hz), "
+                  f"{len(comb.centers_hz)} carrier(s) at "
+                  + ", ".join(f"{c/1e6:+.2f} MHz" for c in comb.centers_hz))
+            write_png(recon.image, out, invert=args.invert_output)
+            print(f"  wrote {out} ({recon.image.shape[1]}x"
+                  f"{recon.image.shape[0]})")
+        return 0
     if args.combine:
         from ..pipeline.offline import combined_reconstruct
 
@@ -576,11 +602,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--restore-nsr", type=float, default=0.002,
                    help="Wiener noise-to-signal floor (raise for noisy/"
                         "shallow averages)")
-    p.add_argument("--combine", default=None, metavar="AUTO|F1,F2,...",
+    p.add_argument("--combine", default=None, metavar="AUTO|ALL|F1,F2,...",
                    help="multi-harmonic fusion: channelise the wideband "
                         "capture at these carrier offsets [Hz] ('auto' "
-                        "scans the band and groups same-refresh emissions), "
-                        "MRC-combine the envelopes, reconstruct the fusion")
+                        "scans the band and groups same-refresh emissions; "
+                        "'all' reconstructs EVERY distinct screen found, "
+                        "one image per screen), MRC-combine the envelopes, "
+                        "reconstruct the fusion")
     p.add_argument("--chan-bw", type=float, default=4e6,
                    help="per-carrier channel bandwidth for --combine [Hz]")
     p.add_argument("--out", default="reconstruction.png")

@@ -1162,22 +1162,24 @@ def combined_reconstruct(
     if np.iscomplexobj(iq):
         iq = np.ascontiguousarray(iq, np.complex64).view(np.float32)
     if centers_hz is None:
-        from ..ops.scan import scan_band, scan_centers
-
-        centers = scan_centers(fs, step_hz=chan_bw / 2.0,
-                               guard_hz=chan_bw / 2.0)
-        res = scan_band(iq, fs, centers, chan_bw, corr_seconds,
-                        rate_min, rate_max)
-        ems = res.emissions(min_margin_db=min_margin_db)
-        if not ems:
+        screens = discover_screens(iq, fs, chan_bw, corr_seconds,
+                                   rate_min, rate_max, min_margin_db)
+        if not screens:
             raise ValueError(
                 "no emissions detected in the band; pass centers_hz "
                 "explicitly or lower min_margin_db")
-        fv0 = ems[0]["refresh_hz"]
-        centers_hz = [e["best_channel_hz"] for e in ems
-                      if abs(e["refresh_hz"] - fv0) < 0.25]
+        centers_hz = [e["best_channel_hz"] for e in screens[0]]
     comb = combine_harmonics(iq, fs, centers_hz, chan_bw, corr_seconds,
                              rate_min, rate_max, weighting)
+    return _reconstruct_from_combine(comb, n_frames, alpha, invert,
+                                     corr_seconds, rate_min, rate_max,
+                                     restore, restore_nsr)
+
+
+def _reconstruct_from_combine(comb, n_frames, alpha, invert, corr_seconds,
+                              rate_min, rate_max, restore, restore_nsr):
+    """Shared tail of combined_reconstruct / reconstruct_all_emissions:
+    combined envelope → timing → reconstruction (+ optional restoration)."""
     timing = estimate_timing(comb.envelope, comb.fs_channel, corr_seconds,
                              rate_min, rate_max, envelope=True)
     if alpha == "auto":
@@ -1198,3 +1200,87 @@ def combined_reconstruct(
         recon.image_raw = recon.image
         recon.image = restore_image(recon.image, config, nsr=restore_nsr)
     return timing, recon, comb
+
+
+def discover_screens(
+    iq: np.ndarray,
+    fs: float,
+    chan_bw: float = 4e6,
+    corr_seconds: float = 0.1,
+    rate_min: float = 50.0,
+    rate_max: float = 90.0,
+    min_margin_db: float = 5.0,
+    refresh_group_hz: float = 0.005,
+) -> list[list[dict]]:
+    """Scan the band and group detected emissions into distinct SCREENS.
+
+    Harmonics of one screen ride one pixel clock, so their per-channel
+    refresh estimates agree exactly (measured 0.0 mHz spread across three
+    harmonics of a 6 dB-SNR synthetic); distinct monitors' crystals differ
+    by ppm (60 Hz ± a few mHz).  Emissions whose refresh estimates agree
+    within ``refresh_group_hz`` (default 5 mHz) are one screen.  Limits:
+    two monitors closer in refresh than the scan window's estimator
+    resolution merge — pass explicit ``centers_hz`` lists to
+    ``combined_reconstruct`` to separate them by hand.
+
+    Returns screens ordered by their strongest emission's comb mass; each
+    screen is the list of its ``ScanResult.emissions()`` dicts (strongest
+    first).  ``iq``: interleaved float32 I/Q words (complex input must be
+    viewed before calling — the public wrappers do this).
+    """
+    from ..ops.scan import scan_band, scan_centers
+
+    centers = scan_centers(fs, step_hz=chan_bw / 2.0, guard_hz=chan_bw / 2.0)
+    res = scan_band(iq, fs, centers, chan_bw, corr_seconds,
+                    rate_min, rate_max)
+    ems = res.emissions(min_margin_db=min_margin_db)
+    screens: list[list[dict]] = []
+    for e in ems:  # already ordered by comb mass
+        for s in screens:
+            if abs(e["refresh_hz"] - s[0]["refresh_hz"]) < refresh_group_hz:
+                s.append(e)
+                break
+        else:
+            screens.append([e])
+    return screens
+
+
+def reconstruct_all_emissions(
+    iq: np.ndarray,
+    fs: float,
+    chan_bw: float = 4e6,
+    n_frames: int | None = None,
+    alpha: float | str = 0.1,
+    invert: bool = False,
+    corr_seconds: float = 0.1,
+    rate_min: float = 50.0,
+    rate_max: float = 90.0,
+    weighting: str = "mrc",
+    restore: bool = True,
+    restore_nsr: float = 0.002,
+    min_margin_db: float = 5.0,
+    refresh_group_hz: float = 0.005,
+    max_screens: int | None = None,
+) -> list[tuple]:
+    """Reconstruct EVERY screen radiating in one wideband capture.
+
+    Band scan → emissions → screens (``discover_screens``) → one
+    multi-harmonic ``combined_reconstruct`` per screen.  Returns a list of
+    ``(timing, reconstruction, combine_result)`` ordered by emission
+    strength — two monitors in one capture give two images, each fused
+    from all of that monitor's harmonics.  The reference operator would
+    re-tune and re-lock once per screen by hand (``GUI.jl:594-605``)."""
+    iq = np.asarray(iq)
+    if np.iscomplexobj(iq):
+        iq = np.ascontiguousarray(iq, np.complex64).view(np.float32)
+    screens = discover_screens(iq, fs, chan_bw, corr_seconds, rate_min,
+                               rate_max, min_margin_db, refresh_group_hz)
+    out = []
+    for group in screens[:max_screens]:
+        centers_hz = [e["best_channel_hz"] for e in group]
+        out.append(combined_reconstruct(
+            iq, fs, centers_hz, chan_bw=chan_bw, n_frames=n_frames,
+            alpha=alpha, invert=invert, corr_seconds=corr_seconds,
+            rate_min=rate_min, rate_max=rate_max, weighting=weighting,
+            restore=restore, restore_nsr=restore_nsr))
+    return out

@@ -112,6 +112,45 @@ def test_cli_synth_harmonics_combine(tmp_path, capsys):
     assert out.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
 
 
+def test_reconstruct_all_emissions_two_screens(tmp_path, capsys):
+    """Two monitors in one wideband capture (distinct refresh rates): the
+    band scan groups their emissions into two screens, each reconstructed
+    and mode-identified; the CLI writes one image per screen."""
+    mode2 = tt.ALL_VIDEO_MODES["800x600 @ 72Hz"]
+    n = int(FS * 0.45)
+    cap_a = tt.generate_iq(MODE, FS, n, snr_db=12.0, seed=2,
+                           carrier_offset_hz=-9e6)
+    cap_b = tt.generate_iq(mode2, FS, n, snr_db=12.0, seed=3,
+                           carrier_offset_hz=8e6)
+    iq = (cap_a.iq + cap_b.iq).astype(np.complex64)
+    results = tt.reconstruct_all_emissions(iq, FS, alpha=0.7)
+    assert len(results) == 2
+    names = {t.mode_name for t, _, _ in results}
+    assert names == {"640x480 @ 60Hz", "800x600 @ 72Hz"}
+    # Each image correlates with ITS OWN truth far better than the other's.
+    for timing, recon, comb in results:
+        cap = cap_a if timing.mode_name == "640x480 @ 60Hz" else cap_b
+        other = cap_b if cap is cap_a else cap_a
+        p_own, _ = aligned_psnr(_truth(cap), recon.image)
+        p_other, _ = aligned_psnr(_truth(other), recon.image)
+        assert p_own > p_other + 1.5, (timing.mode_name, p_own, p_other)
+    # CLI: --combine all writes one PNG per screen.
+    from tempest_tpu.app.cli import main as cli_main
+    from tempest_tpu.io.dat import write_complex_binary
+
+    capf = tmp_path / "two.dat"
+    write_complex_binary(iq, str(capf), "single")
+    assert cli_main([
+        "reconstruct", str(capf), "--fs", str(FS), "--alpha", "0.7",
+        "--combine", "all", "--out", str(tmp_path / "s.png"),
+    ]) == 0
+    text = capsys.readouterr().out
+    assert "2 screen(s) detected" in text
+    for i in (1, 2):
+        png = tmp_path / f"s_{i}.png"
+        assert png.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
 def test_envelope_input_format_matches_complex():
     """input_format='envelope' with a host-demodulated |iq| must reproduce
     the complex-input chain (demod there is the same abs)."""
