@@ -261,11 +261,15 @@ def cmd_stream(args: argparse.Namespace) -> int:
         overrides["einsum_bf16"] = True
     # With --drift-lock the warm-up needs per-frame sync measurements, so
     # fidelity mode (which skips sync) is switched on after the lock.
+    combine = None
+    if args.combine and args.combine != "auto":
+        combine = [float(x) for x in args.combine.split(",")]
     rt = StreamingRuntime(source, mode, alpha=args.alpha, invert=args.invert,
                           fidelity=args.fidelity and not args.drift_lock,
                           fidelity_bins=args.fidelity_bins,
                           ring_impl=args.ring,
-                          config_overrides=overrides or None)
+                          config_overrides=overrides or None,
+                          combine=combine, combine_bw=args.chan_bw)
     if args.render == "terminal":
         sink = TerminalRenderer(crosshair=args.crosshair)
     elif args.render == "png":
@@ -278,6 +282,13 @@ def cmd_stream(args: argparse.Namespace) -> int:
         print(f"resumed from {args.resume} ({rt.frames_out} frames so far)")
     rt.start()
     try:
+        if args.combine == "auto":
+            centers = rt.combine_auto()
+            if centers:
+                print("live combine: "
+                      + ", ".join(f"{c/1e6:+.2f} MHz" for c in centers))
+            else:
+                print("live combine: no emissions detected, combining off")
         if args.correlate:
             timing = rt.correlate(rate_min=args.rate_min, rate_max=args.rate_max,
                                   keep_evidence=True)
@@ -667,6 +678,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--interp-taps", type=int, default=None, choices=[2, 4],
                    help="interpolation order: 2=linear, 4=Catmull-Rom "
                         "(see docs/performance.md for when 4 helps)")
+    p.add_argument("--combine", default=None, metavar="AUTO|F1,F2,...",
+                   help="live multi-harmonic fusion: channelise every block "
+                        "at these carrier offsets [Hz] and reconstruct the "
+                        "MRC-fused envelope ('auto' scans the live stream "
+                        "for the strongest screen's harmonics first)")
+    p.add_argument("--chan-bw", type=float, default=4e6,
+                   help="per-carrier channel bandwidth for --combine [Hz]")
     p.add_argument("--einsum-bf16", action="store_true",
                    help="weights einsum in bf16 — bit-exact on TPU (its f32 "
                         "matmuls run bf16 passes anyway), ~2%% faster "

@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from .autocorr import autocorrelation
 from .scan import _channelize_complex, _channel_geometry, _selection_prominence
 
-__all__ = ["CombineResult", "combine_harmonics"]
+__all__ = ["CombineResult", "combine_core", "combine_harmonics"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,11 +64,13 @@ class CombineResult:
         return int(np.argmax(self.mass_db))
 
 
-@partial(jax.jit, static_argnames=("fs", "centers", "chan_bw", "fs_chan",
-                                   "corr_seconds", "rate_min", "rate_max",
-                                   "weighting"))
-def _combine_kernel(words, fs, centers, chan_bw, fs_chan, corr_seconds,
-                    rate_min, rate_max, weighting):
+def combine_core(words, fs, centers, chan_bw, fs_chan, corr_seconds,
+                 rate_min, rate_max, weighting):
+    """Traceable combine: channelise → polarity → MRC weights → fusion.
+
+    ``(env, weights, polarity, mass_db, refresh)`` with everything but
+    ``words`` static — composable inside larger programs (the streaming
+    runtime fuses this in front of its reconstruction step)."""
     chans, _ = _channelize_complex(words, fs, np.asarray(centers), chan_bw)
     amp = jnp.abs(chans).astype(jnp.float32)          # (K, M) AM envelopes
     mean = jnp.mean(amp, axis=1, keepdims=True)
@@ -105,6 +107,11 @@ def _combine_kernel(words, fs, centers, chan_bw, fs_chan, corr_seconds,
     # envelope to downstream consumers (blanking-polarity detection etc.).
     env = env + jnp.sum(w * mean[:, 0])
     return env, w, pol, mass_db, fv
+
+
+_combine_kernel = partial(jax.jit, static_argnames=(
+    "fs", "centers", "chan_bw", "fs_chan", "corr_seconds", "rate_min",
+    "rate_max", "weighting"))(combine_core)
 
 
 def combine_harmonics(

@@ -53,6 +53,7 @@ __all__ = [
     "sharded_mode_search",
     "sharded_mode_search_2d",
     "sharded_scan_band",
+    "sharded_combine_harmonics",
     "mode_search_static",
     "ModeSearchResult",
 ]
@@ -699,4 +700,129 @@ def sharded_scan_band(
         refresh_hz=np.asarray(fv, np.float64)[:K],
         fs_channel=fs_chan,
         floor_db=np.full(K, float(floor)),
+    )
+
+
+def sharded_combine_harmonics(
+    iq_words: np.ndarray | jnp.ndarray,
+    fs: float,
+    centers_hz: np.ndarray,
+    mesh: Mesh,
+    axis: str = "blocks",
+    chan_bw: float = 4e6,
+    corr_seconds: float = 0.1,
+    rate_min: float = 50.0,
+    rate_max: float = 90.0,
+    weighting: str = "mrc",
+):
+    """Multi-harmonic combining with the carriers sharded across the mesh —
+    channel parallelism for :func:`tempest_tpu.ops.combine.combine_harmonics`
+    (the reference has no combining at all, ``GUI.jl:594-605``).
+
+    The spectrum is replicated (one big FFT is cheap next to K per-channel
+    scorings); each device channelises and scores its own carriers, then
+    three small collectives produce identical global decisions everywhere:
+    an ``all_gather`` of the per-channel comb masses (K scalars → the
+    anchor channel), one ``psum`` of the one-hot-selected anchor envelope
+    ((M,) — so every device can read its channels' polarity against it),
+    and one ``psum`` each for the MRC-weighted envelope sum, its weight
+    mass, and the DC term.  Cross-device traffic is ~2·M floats per call
+    regardless of K.  Matches the single-device ``combine_harmonics`` to
+    f32 reassociation (tested on the 8-device mesh).
+    """
+    from ..ops.autocorr import autocorrelation
+    from ..ops.combine import CombineResult
+    from ..ops.scan import _channel_geometry, _selection_prominence
+
+    if isinstance(iq_words, np.ndarray) and np.iscomplexobj(iq_words):
+        iq_words = np.ascontiguousarray(iq_words, np.complex64).view(np.float32)
+    iq_words = jnp.asarray(iq_words)
+    centers = np.atleast_1d(np.asarray(centers_hz, np.float64))
+    K = len(centers)
+    n_dev = mesh.shape[axis]
+    n_c = int(iq_words.shape[0]) // 2
+    N, M, fs_chan = _channel_geometry(n_c, fs, chan_bw)
+    starts = np.array(
+        [(int(np.round(float(fc) / fs * N)) - M // 2) % N for fc in centers],
+        np.int32,
+    )
+    pad = (-K) % n_dev
+    starts_p = np.concatenate([starts, np.repeat(starts[:1], pad)])
+    kidx_p = np.arange(K + pad, dtype=np.int32)  # pads get indices >= K
+
+    def local(spec_w, starts_loc, kidx_loc):
+        def one(b0):
+            band = jax.lax.dynamic_slice(spec_w, (b0,), (M,))
+            band = jnp.roll(band, -(M // 2))
+            ch = jnp.fft.ifft(band) * (M / N)
+            return jnp.abs(ch).astype(jnp.float32)
+
+        amp = jax.vmap(one)(starts_loc)                  # (Kl, M) envelopes
+        mean = jnp.mean(amp, axis=1, keepdims=True)
+        env0 = amp - mean
+        var = jnp.mean(env0 * env0, axis=1)
+
+        def comb_one(e):
+            lin, _ = autocorrelation(e, fs_chan, 0.0, corr_seconds,
+                                     scale="linear")
+            return _selection_prominence(lin, fs_chan, rate_min, rate_max, 5)
+
+        mass_db, _, fv = jax.vmap(comb_one)(env0)
+        valid = (kidx_loc < K)
+        mass_masked = jnp.where(valid, mass_db, -jnp.inf)
+        # Global anchor: gather the K(+pad) masses (scalars) everywhere.
+        mass_all = jax.lax.all_gather(mass_masked, axis, tiled=True)
+        anchor = jnp.argmax(mass_all)
+        anchor_mass = mass_all[anchor]
+        # The anchor's envelope, summoned by one (M,) psum.
+        onehot = (kidx_loc == anchor).astype(jnp.float32)
+        anchor_env = jax.lax.psum(onehot @ env0, axis)
+        dots = env0 @ anchor_env
+        pol = jnp.where(dots >= 0.0, 1.0, -1.0).astype(jnp.float32)
+        if weighting == "equal":
+            w = jnp.ones_like(var)
+        else:
+            c1 = jnp.mean(env0[:, :-1] * env0[:, 1:], axis=1)
+            s = jnp.maximum(c1, 0.0)
+            noise = jnp.maximum(var - c1, 1e-6 * var)
+            w = jnp.sqrt(s) / noise
+            w = jnp.where(mass_db > anchor_mass - 40.0, w, 0.0)
+        w = jnp.where(valid, w, 0.0)
+        wsum = jax.lax.psum(jnp.sum(w), axis)
+        w = w / jnp.maximum(wsum, 1e-30)
+        env = jax.lax.psum((w * pol) @ env0, axis)
+        env = env + jax.lax.psum(jnp.sum(w * mean[:, 0]), axis)
+        return env, w, pol, mass_db, fv
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+    )
+
+    @jax.jit
+    def run(words, starts_in, kidx_in):
+        ri = words[: 2 * N].reshape(N, 2)
+        z = jax.lax.complex(ri[:, 0], ri[:, 1])
+        spec = jnp.fft.fft(z)
+        spec_w = jnp.concatenate([spec, spec[:M]])
+        return sharded(spec_w, starts_in, kidx_in)
+
+    sh = NamedSharding(mesh, P(axis))
+    out = run(iq_words, jax.device_put(starts_p, sh),
+              jax.device_put(kidx_p, sh))
+    # Replicate the channel-sharded outputs before the host reads them
+    # (multi-controller: each process only addresses its own shards).
+    env, w, pol, mass, fv = jax.jit(
+        lambda t: t, out_shardings=NamedSharding(mesh, P())
+    )(out)
+    return CombineResult(
+        envelope=np.asarray(env, np.float32),
+        fs_channel=float(fs_chan),
+        centers_hz=centers,
+        weights=np.asarray(w, np.float64)[:K],
+        polarity=np.asarray(pol, np.float64)[:K],
+        mass_db=np.asarray(mass, np.float64)[:K],
+        refresh_hz=np.asarray(fv, np.float64)[:K],
     )

@@ -49,6 +49,11 @@ commands (reference GUI widget in parens):
   scan F1 F2 ...    retune across carriers [Hz], score screen-ness per dwell,
                     tune to the best (no reference equivalent: its operator
                     hunts the waterfall by eye)
+  combine auto|off|F1 F2 ...
+                    live multi-harmonic fusion: channelise every block at
+                    these carrier offsets [Hz] and reconstruct the MRC-fused
+                    envelope; `auto` scans the stream for the strongest
+                    screen's harmonics (no reference equivalent)
   record [n]        dump n raw IQ blocks to auto-rotated dumpIQ_N.dat (task 3)
   crosshair on|off  sync crosshair overlay on the live view
   help              this text
@@ -240,6 +245,29 @@ class OperatorConsole:
                         self._say(f"  {f/1e6:10.3f} MHz: screen-ness "
                                   f"{score:5.1f} dB, refresh {fv:7.3f} Hz")
                     self._say("tuned to best candidate")
+            elif cmd == "combine":
+                if not args or args[0].lower() == "status":
+                    info = rt.health().get("combine")
+                    self._say(f"combine: {info}" if info else "combine: off")
+                elif args[0].lower() == "off":
+                    rt.set_combine(None)
+                    self._say("combine off — chain back at the source rate")
+                elif args[0].lower() == "auto":
+                    secs = float(args[1]) if len(args) > 1 else 0.4
+                    centers = rt.combine_auto(seconds=secs)
+                    if centers:
+                        self._say("combining "
+                                  + ", ".join(f"{c/1e6:+.2f} MHz"
+                                              for c in centers))
+                    else:
+                        self._say("no emissions detected — combine off")
+                else:
+                    centers = [float(a) for a in
+                               " ".join(args).replace(",", " ").split()]
+                    rt.set_combine(centers)
+                    self._say("combining "
+                              + ", ".join(f"{c/1e6:+.2f} MHz"
+                                          for c in centers))
             elif cmd == "record":
                 n = int(args[0]) if args else 10
                 wrote = rt.record(None, n_blocks=n)

@@ -28,6 +28,7 @@ import threading
 from collections.abc import Callable
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..io.dat import write_complex_binary
@@ -61,6 +62,8 @@ class StreamingRuntime:
         fidelity: bool = False,
         fidelity_bins: int = 64,
         config_overrides: dict | None = None,
+        combine: list[float] | None = None,
+        combine_bw: float = 4e6,
     ) -> None:
         """``fidelity=True`` selects the highest-measured-fidelity chain:
         sub-sample-exact frame cuts with the per-frame sync stage skipped
@@ -94,6 +97,13 @@ class StreamingRuntime:
         self.fidelity_bins = fidelity_bins
         self._mode = mode
         self._n_frames_fixed = n_frames_per_block
+        # Live multi-harmonic combining (ops.combine): when set, every block
+        # is channelised at these carrier offsets and the MRC-fused envelope
+        # feeds the reconstruction chain at the channel rate.
+        self._combine_centers = list(combine) if combine else None
+        self._combine_bw = float(combine_bw)
+        self._combine_front = None     # jitted words -> (env, w, pol, mass)
+        self.combine_weights = None    # device arrays from the last block
         self._rebuild()
         if ring_impl == "native":
             # GIL-free C++ SPSC ring (tempest_tpu/native); same overwrite-
@@ -120,25 +130,50 @@ class StreamingRuntime:
 
     # ------------------------------------------------------------ config
     def _rebuild(self) -> None:
+        # With live combining, the chain runs on the CHANNEL-rate fused
+        # envelope: each source block of block_size complex samples is
+        # channelised over its first N (power-of-two) samples into M channel
+        # samples at fs·M/N.  Frame-phase accounting stays in SOURCE samples
+        # (frames tick at multiples of the source-rate frame period from
+        # stream start); the per-block phase is scaled by M/N on dispatch,
+        # which also absorbs the (block_size − N) source samples the FFT
+        # window does not cover — the next block re-anchors exactly.
+        if self._combine_centers:
+            from ..ops.scan import _channel_geometry
+
+            n_fft, m_chan, fs_chan = _channel_geometry(
+                self.source.block_size, self.source.sample_rate,
+                self._combine_bw)
+            chain_fs, chain_cap = fs_chan, m_chan
+            self._phase_scale = m_chan / n_fft
+            self._upload_samples = n_fft
+            self._combine_geometry = (n_fft, m_chan, fs_chan)
+        else:
+            chain_fs = self.source.sample_rate
+            chain_cap = self.source.block_size
+            self._phase_scale = 1.0
+            self._upload_samples = None  # set to block_samples below
+            self._combine_geometry = None
         # Whole frame periods that fit in one block after a frame period of
         # phase headroom + fractional-cut slack (cf. the reference's nbIm
         # floor, GUI.jl:137 — which has no headroom and drifts).  Re-derived
         # on every mode change: a slower refresh may fit one frame less.
-        spf = self.source.sample_rate / self._mode.refresh
+        spf = chain_fs / self._mode.refresh
         if self._n_frames_fixed is None:
-            n = max(int((self.source.block_size - 2 - spf) / spf), 1)
-            while n > 1 and int(np.ceil(spf * n)) + 1 + int(np.ceil(spf)) > self.source.block_size:
+            n = max(int((chain_cap - 2 - spf) / spf), 1)
+            while n > 1 and int(np.ceil(spf * n)) + 1 + int(np.ceil(spf)) > chain_cap:
                 n -= 1
             self._n_frames = n
         else:
             self._n_frames = self._n_frames_fixed
         self.config = ReconstructionConfig(
-            sample_rate=self.source.sample_rate,
+            sample_rate=chain_fs,
             mode=self._mode,
             n_frames=self._n_frames,
             invert=self.invert,
             carry_phase=True,
-            input_format="iq_interleaved",
+            input_format=("envelope" if self._combine_centers
+                          else "iq_interleaved"),
             resampler=(
                 "gather" if self.fidelity and not self.fidelity_bins else "mxu3"
             ),
@@ -160,13 +195,47 @@ class StreamingRuntime:
 
             self.config = dataclasses.replace(self.config, **self._overrides)
         self._spf = self.source.sample_rate / self._mode.refresh
-        self._abs_pos = 0  # absolute sample index of the next block's start
-        if self.config.block_samples > self.source.block_size:
+        self._abs_pos = 0  # absolute SOURCE-sample index of the next block
+        if self.config.block_samples > chain_cap:
             raise ValueError(
-                f"source blocks ({self.source.block_size}) are smaller than "
+                f"blocks ({chain_cap} chain samples) are smaller than "
                 f"{self._n_frames} frame periods ({self.config.block_samples})"
             )
+        if self._upload_samples is None:
+            self._upload_samples = self.config.block_samples
         self._step = make_reconstruct_fn(self.config)
+        self._combine_front = (
+            self._make_combine_front() if self._combine_centers else None
+        )
+
+    def _make_combine_front(self):
+        """Jitted per-block combine front-end: raw I/Q words → MRC-fused
+        envelope (sliced to the chain's block length) + channel diagnostics.
+        Kept as its own program so the same fused envelope feeds BOTH step
+        families (traced carry-phase and quantised-fidelity tables); the
+        envelope never leaves the device between the two dispatches."""
+        from ..ops.combine import combine_core
+
+        _, m_chan, fs_chan = self._combine_geometry
+        fs = float(self.source.sample_rate)
+        bw = float(self._combine_bw)
+        centers = tuple(float(c) for c in self._combine_centers)
+        # Weight-estimation window: enough lags to read the refresh comb,
+        # bounded by the block itself.
+        corr = min(0.1, 0.25 * m_chan / fs_chan)
+        # Gate/diagnose the comb mass in a band around the CURRENT mode's
+        # refresh — tighter than the offline 50-90 Hz sweep, cheaper too.
+        fv = float(self._mode.refresh)
+        block_len = self.config.block_samples
+
+        @jax.jit
+        def front(words):
+            env, w, pol, mass, _ = combine_core(
+                words, fs, centers, bw, fs_chan, corr,
+                max(fv - 5.0, 20.0), fv + 5.0, "mrc")
+            return env[:block_len], w, pol, mass
+
+        return front
 
     @property
     def mode(self) -> VideoMode:
@@ -241,6 +310,42 @@ class StreamingRuntime:
         then switch fidelity on with the frame grid drift-locked."""
         self.fidelity = on
         self._rebuild()
+
+    def set_combine(self, centers_hz: list[float] | None,
+                    chan_bw: float | None = None) -> None:
+        """Turn live multi-harmonic combining on (carrier offsets in Hz,
+        relative to the source's tuned center) or off (``None``) mid-stream.
+        Every block is then channelised at these carriers and the MRC-fused
+        envelope (``ops.combine``) feeds the reconstruction chain at the
+        channel rate — the per-channel weights/polarity/comb-mass of the
+        last block are kept on ``self.combine_weights``.  The reference
+        operator can only tune to one carrier at a time
+        (``GUI.jl:594-605``)."""
+        self._combine_centers = list(centers_hz) if centers_hz else None
+        if chan_bw is not None:
+            self._combine_bw = float(chan_bw)
+        self.combine_weights = None
+        self._rebuild()
+
+    def combine_auto(self, seconds: float = 0.4,
+                     min_margin_db: float = 5.0) -> list[float]:
+        """Discover the strongest screen's carriers from the live stream and
+        switch combining onto them: gather a contiguous window from the
+        ring (sequence-fenced), run the band scan + same-refresh emission
+        grouping (``pipeline.offline.discover_screens``), and
+        ``set_combine`` the winning screen's channel centers.  Returns the
+        centers chosen (empty list = nothing detected, combining off)."""
+        from ..pipeline.offline import discover_screens
+
+        sig = self._gather_window(seconds)
+        screens = discover_screens(
+            np.ascontiguousarray(sig, np.complex64).view(np.float32),
+            self.source.sample_rate, self._combine_bw,
+            min_margin_db=min_margin_db)
+        centers = ([e["best_channel_hz"] for e in screens[0]]
+                   if screens else [])
+        self.set_combine(centers or None)
+        return centers
 
     # -------------------------------------------------------- live retuning
     def set_carrier(self, freq: float) -> None:
@@ -354,14 +459,24 @@ class StreamingRuntime:
             phase = (-self._abs_pos) % self._spf
             # Interleaved float32 view keeps the host->device boundary real.
             iq = jnp.asarray(
-                buf[: self.config.block_samples].view(np.float32)
+                buf[: self._upload_samples].view(np.float32)
             )
             # phase stays a host float: the quantised fidelity step selects
             # its bin tables host-side; the traced paths accept it as a weak
             # f32 scalar.
-            ema, frames, sync, score = self._step(
-                iq, ema, jnp.float32(self.alpha), phase
-            )
+            if self._combine_front is not None:
+                # Channelise + MRC-fuse on device; the envelope feeds the
+                # chain at the channel rate without a host round trip.
+                env, w, pol, mass = self._combine_front(iq)
+                self.combine_weights = (w, pol, mass)  # lazy device arrays
+                ema, frames, sync, score = self._step(
+                    env, ema, jnp.float32(self.alpha),
+                    phase * self._phase_scale
+                )
+            else:
+                ema, frames, sync, score = self._step(
+                    iq, ema, jnp.float32(self.alpha), phase
+                )
             self._abs_pos += self.source.block_size
             self.frames_out += frames.shape[0]
             if sink is not None:
@@ -382,6 +497,46 @@ class StreamingRuntime:
         return self._ema
 
     # ------------------------------------------------------------- tasks
+    def _gather_window(self, seconds: float) -> np.ndarray:
+        """Take ~``seconds`` of CONTIGUOUS signal from the ring (complex64).
+
+        Sequence-fenced against ring-overflow gaps (the scan() dwell bug
+        class: a dropped block inside a concatenated window puts a
+        frame-phase discontinuity in it — measured ~10 dB comb dilution).
+        A gap restarts the run; bounded retakes get a fully contiguous
+        window in all but pathological cases, else the longest contiguous
+        run is used.  Gap count lands on ``self.last_correlate_gaps``."""
+        n_needed = int(np.ceil(seconds * self.source.sample_rate))
+        n_blocks = max(1 + n_needed // self.source.block_size, 1)
+        chunks: list[np.ndarray] = []
+        best_run: list[np.ndarray] = []
+        buf = np.empty(self.source.block_size, np.complex64)
+        prev_seq = None
+        gaps = 0
+        max_takes = max(4 * n_blocks, n_blocks + 8)
+        for _ in range(max_takes):
+            got = self.ring.take(buf)
+            if got is None:
+                raise RuntimeError("ring closed while gathering a window")
+            self._resync_abs_pos()
+            seq = getattr(self.ring, "last_seq", -1)
+            self._abs_pos += self.source.block_size  # keep the frame grid honest
+            if prev_seq is not None and seq >= 0 and seq != prev_seq + 1:
+                gaps += 1
+                if len(chunks) > len(best_run):
+                    best_run = chunks
+                chunks = []
+            prev_seq = seq if seq >= 0 else (
+                prev_seq + 1 if prev_seq is not None else None
+            )
+            chunks.append(buf.copy())
+            if len(chunks) >= n_blocks:
+                break
+        if len(best_run) > len(chunks):
+            chunks = best_run
+        self.last_correlate_gaps = gaps
+        return np.concatenate(chunks)
+
     def correlate(
         self,
         seconds: float = 0.1,
@@ -410,36 +565,7 @@ class StreamingRuntime:
         and otherwise the longest contiguous run is used (a shorter clean
         window beats a longer torn one).  Gap count is kept on
         ``self.last_correlate_gaps``."""
-        n_needed = int(np.ceil(seconds * self.source.sample_rate))
-        n_blocks = max(1 + n_needed // self.source.block_size, 1)
-        chunks: list[np.ndarray] = []
-        best_run: list[np.ndarray] = []
-        buf = np.empty(self.source.block_size, np.complex64)
-        prev_seq = None
-        gaps = 0
-        max_takes = max(4 * n_blocks, n_blocks + 8)
-        for _ in range(max_takes):
-            got = self.ring.take(buf)
-            if got is None:
-                raise RuntimeError("ring closed during correlate()")
-            self._resync_abs_pos()
-            seq = getattr(self.ring, "last_seq", -1)
-            self._abs_pos += self.source.block_size  # keep the frame grid honest
-            if prev_seq is not None and seq >= 0 and seq != prev_seq + 1:
-                gaps += 1
-                if len(chunks) > len(best_run):
-                    best_run = chunks
-                chunks = []
-            prev_seq = seq if seq >= 0 else (
-                prev_seq + 1 if prev_seq is not None else None
-            )
-            chunks.append(buf.copy())
-            if len(chunks) >= n_blocks:
-                break
-        if len(best_run) > len(chunks):
-            chunks = best_run
-        self.last_correlate_gaps = gaps
-        sig = np.concatenate(chunks)
+        sig = self._gather_window(seconds)
         # A shortened (but contiguous) window still estimates correctly —
         # scale the correlation seconds to the signal actually gathered.
         seconds = min(seconds, len(sig) / self.source.sample_rate)
@@ -670,6 +796,18 @@ class StreamingRuntime:
             "producer_msps": round(prod_msps, 2),
             "consumer_msps": round(cons_msps, 2),
             "frames_out": self.frames_out,
+            "combine": (
+                {
+                    "centers_hz": list(self._combine_centers),
+                    "chan_bw": self._combine_bw,
+                    "fs_channel": self._combine_geometry[2],
+                    "weights": (
+                        np.asarray(self.combine_weights[0]).round(3).tolist()
+                        if self.combine_weights is not None else None
+                    ),
+                }
+                if self._combine_centers else None
+            ),
             "realtime_factor": round(
                 cons_msps * 1e6 / self.source.sample_rate, 3
             ) if self.source.sample_rate else None,

@@ -138,6 +138,16 @@ def main() -> int:
     print(f"SCAN {float(scan.prominence_db.sum()):.6f} "
           f"{float(scan.scores_db.sum()):.6f}", flush=True)
 
+    # (c2) channel-parallel multi-harmonic combining (all_gather masses +
+    # psum anchor/fusion) on the same wideband noise.
+    from tempest_tpu.parallel.sharded import sharded_combine_harmonics
+
+    comb = sharded_combine_harmonics(
+        wide, 4e6, np.array([-1e6, -0.5e6, 0.5e6, 1e6]), mesh,
+        chan_bw=1e6, corr_seconds=0.02)
+    print(f"COMBINE {float(np.abs(comb.envelope).sum()):.4f} "
+          f"{float(comb.weights.sum()):.6f}", flush=True)
+
     # (d) sharded Welch PSD (segments sharded, psum combine).
     rng_w = np.random.default_rng(3)
     sig_w = rng_w.standard_normal(8 * 1024).astype(np.float32)

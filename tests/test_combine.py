@@ -151,6 +151,141 @@ def test_reconstruct_all_emissions_two_screens(tmp_path, capsys):
         assert png.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
 
 
+def _stream_ema(path, fs, mode, centers, blocks=5, alpha=0.5, bw=2e6):
+    from tempest_tpu.runtime.sources import open_source
+    from tempest_tpu.runtime.stream import StreamingRuntime
+
+    src = open_source("replay", sample_rate=fs, block_size=int(fs * 0.25),
+                      path=str(path))
+    rt = StreamingRuntime(src, mode, alpha=alpha, combine=centers,
+                          combine_bw=bw)
+    rt.start()
+    try:
+        img = rt.process_blocks(blocks)
+    finally:
+        rt.stop()
+    return img, rt
+
+
+def test_streaming_combine_beats_single_carrier(tmp_path):
+    """Live multi-harmonic combining: the runtime channelises every block,
+    MRC-fuses the envelopes on device, and the carry-phase chain runs at
+    the channel rate.  The fusion must beat the strongest single carrier
+    on the SAME stream, keep frame registration across block boundaries
+    (the phase-scale math), and expose weights through health()."""
+    from tempest_tpu.io.dat import write_complex_binary
+
+    fs = 8e6
+    carriers = [-2.4e6, 1.8e6]
+    cap = tt.generate_iq_harmonics(MODE, fs, int(fs * 1.3), carriers,
+                                   amplitudes=[1.0, 1.0], snr_db=0.0, seed=4)
+    path = tmp_path / "h.dat"
+    write_complex_binary(cap.iq, str(path), "single")
+    truth = _truth(cap)
+    img1, _ = _stream_ema(path, fs, MODE, [carriers[0]], alpha=0.7)
+    img2, rt = _stream_ema(path, fs, MODE, carriers, alpha=0.7)
+    p1, _ = aligned_psnr(truth, img1)
+    p2, _ = aligned_psnr(truth, img2)
+    assert p2 > p1 + 0.4, f"single {p1:.2f}, combined {p2:.2f}"
+    info = rt.health()["combine"]
+    assert info["centers_hz"] == carriers
+    w = info["weights"]
+    assert min(w) > 0.3, w
+
+
+def test_streaming_combine_composes_with_fidelity(tmp_path):
+    """Live combine + the quantised exact-cut fidelity chain: the fused
+    envelope feeds the phase-binned tables at the channel rate (both step
+    families consume input_format='envelope')."""
+    from tempest_tpu.io.dat import write_complex_binary
+    from tempest_tpu.runtime.sources import open_source
+    from tempest_tpu.runtime.stream import StreamingRuntime
+
+    fs = 8e6
+    carriers = [-2.4e6, 1.8e6]
+    cap = tt.generate_iq_harmonics(MODE, fs, int(fs * 1.3), carriers,
+                                   amplitudes=[1.0, 0.8], snr_db=10.0,
+                                   seed=4)
+    path = tmp_path / "h.dat"
+    write_complex_binary(cap.iq, str(path), "single")
+    src = open_source("replay", sample_rate=fs, block_size=int(fs * 0.25),
+                      path=str(path))
+    rt = StreamingRuntime(src, MODE, alpha=0.6, combine=carriers,
+                          combine_bw=2e6, fidelity=True, fidelity_bins=16)
+    assert rt.config.input_format == "envelope"
+    assert rt.config.subsample_align and rt.config.phase_bins == 16
+    rt.start()
+    try:
+        img = rt.process_blocks(5)
+    finally:
+        rt.stop()
+    p, _ = aligned_psnr(_truth(cap), img)
+    assert p > 10.0, p
+
+
+def test_streaming_combine_auto_and_console(tmp_path, capsys):
+    """`combine auto` discovers the carriers from the live ring (sequence-
+    fenced window) and hot-swaps the chain; `combine off` swaps back; the
+    console command drives both paths."""
+    from tempest_tpu.io.dat import write_complex_binary
+    from tempest_tpu.runtime.console import OperatorConsole
+    from tempest_tpu.runtime.sources import open_source
+    from tempest_tpu.runtime.stream import StreamingRuntime
+
+    fs = 8e6
+    carriers = [-2.4e6, 1.8e6]
+    cap = tt.generate_iq_harmonics(MODE, fs, int(fs * 1.3), carriers,
+                                   amplitudes=[1.0, 0.8], snr_db=8.0, seed=4)
+    path = tmp_path / "h.dat"
+    write_complex_binary(cap.iq, str(path), "single")
+    src = open_source("replay", sample_rate=fs, block_size=int(fs * 0.25),
+                      path=str(path))
+    rt = StreamingRuntime(src, MODE, alpha=0.5, combine_bw=2e6)
+    rt.start()
+    try:
+        found = rt.combine_auto(seconds=0.3)
+        assert len(found) >= 2, found
+        for c in carriers:
+            assert min(abs(f - c) for f in found) <= 1e6, (found, c)
+        assert rt.config.input_format == "envelope"
+        rt.process_blocks(1)
+        assert rt.combine_weights is not None
+        console = OperatorConsole(rt, None)
+        console.dispatch("combine status")
+        console.dispatch("combine off")
+        assert rt.config.input_format == "iq_interleaved"
+        console.dispatch(f"combine {carriers[0]},{carriers[1]}")
+        assert rt.config.input_format == "envelope"
+        assert rt._combine_centers == carriers
+    finally:
+        rt.stop()
+    out = capsys.readouterr().out
+    assert "combining" in out
+
+
+def test_sharded_combine_matches_single_device():
+    """Channel-parallel combining on the 8-device mesh must match the
+    single-device kernel to f32 reassociation: same weights/polarity/mass
+    (the global anchor + gates are exact — driven by all-gathered scalars),
+    envelope within a few ULP (psum reassociation)."""
+    from tempest_tpu.parallel.mesh import make_mesh
+    from tempest_tpu.parallel.sharded import sharded_combine_harmonics
+
+    cap = tt.generate_iq_harmonics(MODE, FS, int(FS * 0.3), CARRIERS,
+                                   amplitudes=[1.0, 0.7, 0.5],
+                                   depths=[0.8, -0.8, 0.8],
+                                   snr_db=6.0, seed=5)
+    ref = tt.combine_harmonics(cap.iq, FS, CARRIERS)
+    sh = sharded_combine_harmonics(cap.iq, FS, CARRIERS, make_mesh(8))
+    np.testing.assert_array_equal(ref.polarity, sh.polarity)
+    np.testing.assert_array_equal(ref.mass_db, sh.mass_db)
+    np.testing.assert_array_equal(ref.refresh_hz, sh.refresh_hz)
+    np.testing.assert_allclose(ref.weights, sh.weights, rtol=1e-5)
+    scale = np.abs(ref.envelope).max()
+    np.testing.assert_allclose(sh.envelope, ref.envelope, atol=1e-5 * scale)
+    assert sh.fs_channel == ref.fs_channel
+
+
 def test_envelope_input_format_matches_complex():
     """input_format='envelope' with a host-demodulated |iq| must reproduce
     the complex-input chain (demod there is the same abs)."""

@@ -132,7 +132,7 @@ def test_two_process_bootstrap_matches_single_process():
         sharded_scan_band,
     )
 
-    for tag in ("BATCHED", "SEARCH1D", "SCAN", "WELCH"):
+    for tag in ("BATCHED", "SEARCH1D", "SCAN", "COMBINE", "WELCH"):
         a, b = _parse_tag(outs[0], tag), _parse_tag(outs[1], tag)
         assert a == pytest.approx(b, rel=1e-5), (tag, a, b)
 
@@ -168,6 +168,18 @@ def test_two_process_bootstrap_matches_single_process():
         float(ref_scan.prominence_db.sum()), rel=1e-4)
     assert got_scan[1] == pytest.approx(
         float(ref_scan.scores_db.sum()), rel=1e-4)
+
+    # (c2) channel-parallel combining reference (same wideband noise).
+    from tempest_tpu.parallel.sharded import sharded_combine_harmonics
+
+    ref_comb = sharded_combine_harmonics(
+        wide, 4e6, np.array([-1e6, -0.5e6, 0.5e6, 1e6]), mesh,
+        chan_bw=1e6, corr_seconds=0.02)
+    got_comb = _parse_tag(outs[0], "COMBINE")
+    assert got_comb[0] == pytest.approx(
+        float(np.abs(ref_comb.envelope).sum()), rel=1e-3)
+    assert got_comb[1] == pytest.approx(float(ref_comb.weights.sum()),
+                                        rel=1e-4)
 
     # (d) sharded Welch reference.
     rng_w = np.random.default_rng(3)
