@@ -829,6 +829,8 @@ class StreamingRuntime:
                 sample_rate=self.source.sample_rate,
                 alpha=self.alpha,
                 frames_out=self.frames_out,
+                combine_centers=self._combine_centers,
+                combine_bw=self._combine_bw,
             ),
             path,
         )
@@ -844,6 +846,9 @@ class StreamingRuntime:
             )
         self._mode = state.mode
         self.alpha = state.alpha
+        self._combine_centers = (list(state.combine_centers)
+                                 if state.combine_centers else None)
+        self._combine_bw = state.combine_bw
         self._rebuild()
         self._ema = state.ema
         self._abs_pos = state.abs_pos

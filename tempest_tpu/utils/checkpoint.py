@@ -32,6 +32,10 @@ class RuntimeState:
     sample_rate: float
     alpha: float
     frames_out: int = 0
+    # Live multi-harmonic combining (ops.combine): carrier offsets [Hz] and
+    # channel bandwidth.  Empty/None = combining off.
+    combine_centers: list[float] | None = None
+    combine_bw: float = 4e6
 
 
 def save_state(state: RuntimeState, path: str) -> None:
@@ -44,6 +48,8 @@ def save_state(state: RuntimeState, path: str) -> None:
         sample_rate=np.float64(state.sample_rate),
         alpha=np.float32(state.alpha),
         frames_out=np.int64(state.frames_out),
+        combine_centers=np.asarray(state.combine_centers or [], np.float64),
+        combine_bw=np.float64(state.combine_bw),
     )
 
 
@@ -53,6 +59,10 @@ def load_state(path: str) -> RuntimeState:
         if version != _VERSION:
             raise ValueError(f"unsupported checkpoint version {version}")
         w, h, r = z["mode"]
+        # Combine fields are absent in pre-round-4 checkpoints — key-presence
+        # gated rather than version-bumped so old checkpoints keep loading.
+        centers = (z["combine_centers"].tolist()
+                   if "combine_centers" in z.files else [])
         return RuntimeState(
             ema=z["ema"].astype(np.float32),
             abs_pos=int(z["abs_pos"]),
@@ -60,4 +70,7 @@ def load_state(path: str) -> RuntimeState:
             sample_rate=float(z["sample_rate"]),
             alpha=float(z["alpha"]),
             frames_out=int(z["frames_out"]),
+            combine_centers=centers or None,
+            combine_bw=(float(z["combine_bw"])
+                        if "combine_bw" in z.files else 4e6),
         )

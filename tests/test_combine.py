@@ -263,6 +263,51 @@ def test_streaming_combine_auto_and_console(tmp_path, capsys):
     assert "combining" in out
 
 
+def test_streaming_combine_survives_checkpoint_resume(tmp_path):
+    """Combine state (carriers + channel bandwidth) rides the checkpoint:
+    a resumed runtime rebuilds the fused chain without being told."""
+    from tempest_tpu.io.dat import write_complex_binary
+    from tempest_tpu.runtime.sources import open_source
+    from tempest_tpu.runtime.stream import StreamingRuntime
+
+    fs = 8e6
+    carriers = [-2.4e6, 1.8e6]
+    cap = tt.generate_iq_harmonics(MODE, fs, int(fs * 1.3), carriers,
+                                   amplitudes=[1.0, 0.8], snr_db=10.0,
+                                   seed=4)
+    path = tmp_path / "h.dat"
+    ckpt = tmp_path / "state.npz"
+    write_complex_binary(cap.iq, str(path), "single")
+
+    src = open_source("replay", sample_rate=fs, block_size=int(fs * 0.25),
+                      path=str(path))
+    rt = StreamingRuntime(src, MODE, alpha=0.6, combine=carriers,
+                          combine_bw=2e6)
+    rt.start()
+    try:
+        rt.process_blocks(2)
+    finally:
+        rt.stop()
+    rt.save_checkpoint(str(ckpt))
+
+    src2 = open_source("replay", sample_rate=fs, block_size=int(fs * 0.25),
+                       path=str(path))
+    rt2 = StreamingRuntime(src2, MODE, alpha=0.6)  # no combine args
+    rt2.load_checkpoint(str(ckpt))
+    assert rt2._combine_centers == carriers
+    assert rt2._combine_bw == 2e6
+    assert rt2.config.input_format == "envelope"
+    assert rt2.frames_out == rt.frames_out
+    rt2.start()
+    try:
+        img = rt2.process_blocks(2)
+    finally:
+        rt2.stop()
+    assert rt2.frames_out > rt.frames_out
+    p, _ = aligned_psnr(_truth(cap), img)
+    assert p > 10.0, p
+
+
 def test_sharded_combine_matches_single_device():
     """Channel-parallel combining on the 8-device mesh must match the
     single-device kernel to f32 reassociation: same weights/polarity/mass
