@@ -194,6 +194,45 @@ def main() -> None:
         }
     )
 
+    # 4c. live-combine front: channelise + MRC-fuse K=3 carriers of one
+    # wideband block (ops.combine.combine_core — what StreamingRuntime runs
+    # per block before the chain when `combine` is on).  Chained through a
+    # carried accumulator so one fence covers all iterations.
+    from tempest_tpu.ops.combine import combine_core
+    from tempest_tpu.ops.scan import _channel_geometry
+
+    n_wide = 1 << 22
+    _, m_chan, fs_chan = _channel_geometry(n_wide, fs, 4e6)
+    words_w = jax.device_put(
+        rng.standard_normal(2 * n_wide).astype(np.float32))
+
+    @jax.jit
+    def combine_front(w, acc):
+        env, *_ = combine_core(w, fs, (-6e6, 1.5e6, 7e6), 4e6, fs_chan,
+                               min(0.1, 0.25 * m_chan / fs_chan),
+                               55.0, 65.0, "mrc")
+        return 0.5 * acc + env
+
+    def combine_chained():
+        acc = jnp.zeros(m_chan, jnp.float32)
+        for _ in range(args.iters):
+            acc = combine_front(words_w, acc)
+        _fence(acc[:8])
+
+    combine_chained()  # compile
+    t0 = time.perf_counter()
+    combine_chained()
+    dt = time.perf_counter() - t0
+    msps = n_wide * args.iters / dt / 1e6
+    results.append(
+        {
+            "metric": "live-combine front (K=3 channelise + MRC fusion)",
+            "value": round(msps, 2),
+            "unit": "Msamples/s/chip",
+            "vs_baseline": round(msps / 20.0, 2),
+        }
+    )
+
     # 5. sharded mode search (all devices)
     mesh = make_mesh()
     cands = candidate_modes(60.0, tol_hz=0.5)

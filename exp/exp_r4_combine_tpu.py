@@ -9,9 +9,17 @@ Geometry: one source block of 2^23 complex samples at 32 MHz (0.26 s),
 K carriers at 4 MHz channel bandwidth → M = 2^20 channel samples at 4 MHz,
 14 frames of 640x480@60 per block — the live-combine streaming shape.
 
-Result (2026-08-20, v5e via tunnel): see the printed log committed in the
-docs — numbers are filled into docs/performance.md and CLAUDE.md after the
-run, never guessed.
+Result (2026-08-20, v5e via tunnel, exp_r4_combine_tpu.log):
+  chain-only (envelope -> exact cuts -> subpixel sync -> EMA, 14f): 1.9-2.2
+  full scorer:  K=3 29.9 ms/block (front 28.0), K=1 24.7 (22.8);
+                per-extra-carrier 2.59 ms -> 9x realtime at 32 MHz
+  known-refresh fast scorer (comb mass read at the known frame lags — 15
+  dots/channel instead of FFT autocorrelation + period search):
+                K=3 23.3 ms/block (front 21.4), K=1 22.7 (20.8);
+                per-extra-carrier 0.28 ms (9.2x cheaper) -> 11x realtime
+  The remaining front cost is K-independent: the 2^23-point capture FFT +
+  band slices/ifft/abs (~20.8 ms) — attacked separately by the per-carrier
+  mixer+FIR probe (exp_r4_fir_front.py).
 """
 import os
 import time
@@ -48,11 +56,12 @@ step = make_reconstruct_fn(cfg)
 corr = min(0.1, 0.25 * M / FS_CHAN)
 
 
-def build(carriers):
+def build(carriers, refresh_hz=None):
     @jax.jit
     def block(w, ema):
         env, wt, pol, mass, _ = combine_core(
-            w, FS, carriers, BW, FS_CHAN, corr, 55.0, 65.0, "mrc")
+            w, FS, carriers, BW, FS_CHAN, corr, 55.0, 65.0, "mrc",
+            refresh_hz=refresh_hz)
         ema2, _, _, _ = step(env[: cfg.block_samples], ema,
                              jnp.float32(0.3), jnp.float32(0.25))
         return ema2
@@ -89,4 +98,17 @@ print(f"composite K=1: {t1:.2f} ms/block (front {t1 - t_chain:.2f}, "
       f"per-extra-carrier {(t3 - t1) / 2:.2f})", flush=True)
 rt = 1e3 * (N_C / FS) / t3
 print(f"live combine K=3 realtime factor: {rt:.0f}x", flush=True)
+
+# Known-refresh fast scorer (the streaming runtime's front): comb mass read
+# at the known frame lags (15 dots/channel) instead of FFT autocorrelation
+# + period search per channel.
+t3f = timed(build(CARRIERS3, refresh_hz=60.0), words)
+print(f"composite K=3 known-refresh: {t3f:.2f} ms/block "
+      f"(front {t3f - t_chain:.2f})", flush=True)
+t1f = timed(build(CARRIERS3[:1], refresh_hz=60.0), words)
+print(f"composite K=1 known-refresh: {t1f:.2f} ms/block "
+      f"(front {t1f - t_chain:.2f}, per-extra-carrier "
+      f"{(t3f - t1f) / 2:.2f})", flush=True)
+print(f"live combine K=3 known-refresh realtime factor: "
+      f"{1e3 * (N_C / FS) / t3f:.0f}x", flush=True)
 print("done", flush=True)

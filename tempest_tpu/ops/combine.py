@@ -65,24 +65,66 @@ class CombineResult:
 
 
 def combine_core(words, fs, centers, chan_bw, fs_chan, corr_seconds,
-                 rate_min, rate_max, weighting):
+                 rate_min, rate_max, weighting, refresh_hz=None):
     """Traceable combine: channelise → polarity → MRC weights → fusion.
 
     ``(env, weights, polarity, mass_db, refresh)`` with everything but
     ``words`` static — composable inside larger programs (the streaming
-    runtime fuses this in front of its reconstruction step)."""
+    runtime fuses this in front of its reconstruction step).
+
+    ``refresh_hz`` (static float): when the screen's refresh is already
+    known (the streaming runtime's video mode), the per-channel comb mass is
+    read directly at the known frame lags — 15 dot products per channel
+    (harmonics 1–5 × a box-3 lag neighbourhood absorbing ppm-level drift)
+    instead of a full FFT autocorrelation + period search per channel
+    (measured in exp/exp_r4_combine_tpu.py).  The mass scale differs from the offline
+    estimator (no band-median removal / peak widening), which is irrelevant
+    for its only use here: the 40 dB relative gate between channels of ONE
+    program.  ``None`` (offline default) keeps the full search and honest
+    per-channel refresh estimates."""
     chans, _ = _channelize_complex(words, fs, np.asarray(centers), chan_bw)
     amp = jnp.abs(chans).astype(jnp.float32)          # (K, M) AM envelopes
     mean = jnp.mean(amp, axis=1, keepdims=True)
     env0 = amp - mean
     var = jnp.mean(env0 * env0, axis=1)               # σ_k²
 
-    def comb_one(e):
-        lin, _ = autocorrelation(e, fs_chan, 0.0, corr_seconds,
-                                 scale="linear")
-        return _selection_prominence(lin, fs_chan, rate_min, rate_max, 5)
+    if refresh_hz is not None:
+        spf_c = fs_chan / float(refresh_hz)
+        m = env0.shape[1]
 
-    mass_db, _, fv = jax.vmap(comb_one)(env0)
+        def comb_dots(e):
+            acc = jnp.zeros(())
+            cnt = 0
+            for k in range(1, 6):
+                lag0 = int(round(k * spf_c))
+                if lag0 + 1 >= m:
+                    break
+                # box-3 max over neighbouring lags: tolerates the known
+                # refresh being ppm-off the emission's crystal.
+                vals = [jnp.mean(e[: m - L] * e[L:])
+                        for L in (lag0 - 1, lag0, lag0 + 1) if 0 < L < m]
+                acc = acc + jnp.max(jnp.stack(vals))
+                cnt += 1
+            return acc / max(cnt, 1)
+
+        comb = jax.vmap(comb_dots)(env0)
+        mass_db = 10.0 * jnp.log10(jnp.maximum(comb, 1e-30))
+        fv = jnp.full_like(var, float(refresh_hz))
+        # Raw envelope dots scale as amplitude² where the offline linear-
+        # autocorrelation mass scales as amplitude⁴: the offline 40 dB gate
+        # is 20 dB here.  Second gate: the selection-biased noise null of a
+        # max-of-3 mean-of-5 dot estimate is O(1-3)·c0/√M (measured 1.3-3.4
+        # on pure-noise channels; weakest real emission ≥ 20, 6 dB SNR at
+        # 0.15 s) — 6× clears noise even when the anchor itself is weak.
+        gate = ((comb > jnp.max(comb) * 1e-2)
+                & (comb * np.sqrt(env0.shape[1]) > 6.0 * var))
+    else:
+        def comb_one(e):
+            lin, _ = autocorrelation(e, fs_chan, 0.0, corr_seconds,
+                                     scale="linear")
+            return _selection_prominence(lin, fs_chan, rate_min, rate_max, 5)
+
+        mass_db, _, fv = jax.vmap(comb_one)(env0)
     anchor = jnp.argmax(mass_db)
     # Modulation polarity: sign of the correlation against the anchor
     # channel's envelope (intermodulation regularly inverts video).
@@ -99,7 +141,10 @@ def combine_core(words, fs, centers, chan_bw, fs_chan, corr_seconds,
         w = jnp.sqrt(s) / noise
         # Zero out channels with no refresh-comb evidence (correlated
         # interference is not screen signal).
-        w = jnp.where(mass_db > mass_db[anchor] - 40.0, w, 0.0)
+        if refresh_hz is not None:
+            w = jnp.where(gate, w, 0.0)
+        else:
+            w = jnp.where(mass_db > mass_db[anchor] - 40.0, w, 0.0)
     w = w / jnp.maximum(jnp.sum(w), 1e-30)
     env = jnp.einsum("k,km->m", w * pol, env0,
                      preferred_element_type=jnp.float32)

@@ -220,19 +220,18 @@ class StreamingRuntime:
         fs = float(self.source.sample_rate)
         bw = float(self._combine_bw)
         centers = tuple(float(c) for c in self._combine_centers)
-        # Weight-estimation window: enough lags to read the refresh comb,
-        # bounded by the block itself.
-        corr = min(0.1, 0.25 * m_chan / fs_chan)
-        # Gate/diagnose the comb mass in a band around the CURRENT mode's
-        # refresh — tighter than the offline 50-90 Hz sweep, cheaper too.
+        # The runtime KNOWS the refresh (its video mode): the comb-mass gate
+        # reads the known frame lags directly instead of running a full
+        # autocorrelation + period search per channel (combine_core's
+        # refresh_hz fast path — the search is pure diagnostics here).
         fv = float(self._mode.refresh)
         block_len = self.config.block_samples
 
         @jax.jit
         def front(words):
             env, w, pol, mass, _ = combine_core(
-                words, fs, centers, bw, fs_chan, corr,
-                max(fv - 5.0, 20.0), fv + 5.0, "mrc")
+                words, fs, centers, bw, fs_chan, 0.1,
+                max(fv - 5.0, 20.0), fv + 5.0, "mrc", refresh_hz=fv)
             return env[:block_len], w, pol, mass
 
         return front

@@ -292,6 +292,9 @@ class WebOperatorView:
             f"(x{h['realtime_factor']} RT) | "
             f"ring overflows {h['ring_overflows']}"
         )
+        if h.get("combine"):
+            line += (f" | combine {len(h['combine']['centers_hz'])} "
+                     f"carriers w={h['combine']['weights']}")
         return {
             "line": line,
             "mode": {"width": m.width, "height": m.height,

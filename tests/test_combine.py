@@ -58,6 +58,24 @@ def test_inverted_harmonic_polarity_corrected():
     assert p3 > p1 + 0.4, f"single {p1:.2f}, combined {p3:.2f}"
 
 
+def test_combine_single_carrier_is_channel_envelope():
+    """K=1 identity: with one carrier the MRC fusion must reduce exactly to
+    that channel's amplitude envelope (weight 1, polarity +, DC re-added) —
+    pins the mean-removal/re-add algebra."""
+    from tempest_tpu.ops.scan import channelize
+
+    cap = tt.generate_iq_harmonics(MODE, FS, int(FS * 0.12), [CARRIERS[0]],
+                                   snr_db=10.0, seed=7)
+    comb = tt.combine_harmonics(cap.iq, FS, [CARRIERS[0]])
+    ch, fs_chan = channelize(cap.iq.view(np.float32), FS, [CARRIERS[0]], 4e6)
+    ch = np.asarray(ch)[0]
+    env = np.abs(ch[0::2] + 1j * ch[1::2])
+    assert comb.fs_channel == fs_chan
+    np.testing.assert_allclose(comb.envelope, env, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(comb.weights, [1.0])
+    np.testing.assert_array_equal(comb.polarity, [1.0])
+
+
 def test_empty_channel_gets_zero_weight():
     """A carrier with no emission must not dilute the fusion: its comb mass
     sits far under the anchor's, so the 40 dB gate zeroes it."""
