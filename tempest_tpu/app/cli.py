@@ -496,6 +496,84 @@ def cmd_warmup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_survey(args: argparse.Namespace) -> int:
+    """One-shot wideband survey: scan the band, group emissions into
+    screens, fuse and reconstruct every screen, and write a small report
+    directory (band plot + one PNG per monitor + text summary).  The whole
+    workflow the reference operator performs by hand across its waterfall,
+    textboxes and plots (``GUI.jl:394-658``), as one command."""
+    import os
+
+    from ..io.dat import read_complex_binary
+    from ..ops.scan import scan_band, scan_centers
+    from ..pipeline.offline import combined_reconstruct
+    from ..render.plots import render_line_plot
+    from ..render.screen import write_png
+
+    iq = read_complex_binary(args.input, args.format, count=args.samples)
+    os.makedirs(args.out, exist_ok=True)
+    step = args.bw / 2.0
+    centers = scan_centers(args.fs, step, guard_hz=args.bw / 2.0)
+    if not len(centers):
+        print("error: no candidate centers fit the band — lower --bw")
+        return 2
+    words = np.ascontiguousarray(iq, np.complex64).view(np.float32)
+    res = scan_band(words, args.fs, centers, chan_bw=args.bw,
+                    corr_seconds=args.seconds,
+                    rate_min=args.rate_min, rate_max=args.rate_max)
+    lines = [f"survey of {args.input}: {len(centers)} channels x "
+             f"{res.fs_channel/1e6:.2f} MHz"]
+    ems = res.emissions(min_margin_db=args.margin)
+    # Band evidence plot: per-channel screen-ness in center order, emission
+    # centroids marked.
+    order = np.argsort(res.centers_hz)
+    span = res.centers_hz[order[-1]] - res.centers_hz[order[0]] or 1.0
+    marks = tuple((e["center_hz"] - res.centers_hz[order[0]]) / span
+                  for e in ems)
+    write_png(render_line_plot(res.prominence_db[order], marks=marks),
+              os.path.join(args.out, "band.png"))
+    if not ems:
+        lines.append("no emissions above the detection threshold")
+        print("\n".join(lines))
+        (open(os.path.join(args.out, "survey.txt"), "w")
+         .write("\n".join(lines) + "\n"))
+        return 2
+    # Group emissions into screens by exact refresh agreement.
+    screens: list[list[dict]] = []
+    for e in ems:
+        for s in screens:
+            if abs(e["refresh_hz"] - s[0]["refresh_hz"]) < 0.005:
+                s.append(e)
+                break
+        else:
+            screens.append([e])
+    lines.append(f"{len(ems)} emission(s) in {len(screens)} screen(s)")
+    alpha = args.alpha if args.alpha == "auto" else float(args.alpha)
+    for i, group in enumerate(screens, 1):
+        centers_hz = [e["best_channel_hz"] for e in group]
+        timing, recon, comb = combined_reconstruct(
+            iq, args.fs, centers_hz, chan_bw=args.bw, alpha=alpha,
+            rate_min=args.rate_min, rate_max=args.rate_max)
+        png = os.path.join(args.out, f"screen_{i}.png")
+        write_png(recon.image, png)
+        lines.append(
+            f"screen {i}: {timing.mode_name} (fv={timing.refresh_hz:.4f} "
+            f"Hz), {len(centers_hz)} carrier(s) at "
+            + ", ".join(f"{c/1e6:+.2f} MHz" for c in centers_hz)
+            + f" -> {png}")
+        for c, w, p, m in zip(comb.centers_hz, comb.weights, comb.polarity,
+                              comb.mass_db):
+            lines.append(f"    carrier {c/1e6:+9.3f} MHz: weight {w:.3f} "
+                         f"polarity {'+' if p > 0 else '-'} "
+                         f"comb {m:.1f} dB")
+    text = "\n".join(lines)
+    print(text)
+    with open(os.path.join(args.out, "survey.txt"), "w") as f:
+        f.write(text + "\n")
+    print(f"report written to {args.out}/")
+    return 0
+
+
 def cmd_scan(args: argparse.Namespace) -> int:
     from ..io.dat import read_complex_binary
     from ..ops.scan import scan_band, scan_centers
@@ -722,6 +800,26 @@ def build_parser() -> argparse.ArgumentParser:
                    help="autocorrelation window per channel")
     p.add_argument("--top", type=int, default=8, help="candidates to print")
     p.set_defaults(fn=cmd_scan)
+
+    p = sub.add_parser(
+        "survey",
+        help="one-shot wideband survey: scan the band, fuse each screen's "
+             "harmonics, reconstruct every monitor, write a report dir "
+             "(band plot + per-screen PNGs + summary)")
+    p.add_argument("input")
+    _add_common(p)
+    p.add_argument("--samples", type=int, default=None)
+    p.add_argument("--bw", type=float, default=4e6,
+                   help="channel bandwidth per candidate carrier [Hz]")
+    p.add_argument("--seconds", type=float, default=0.1,
+                   help="autocorrelation window per channel")
+    p.add_argument("--margin", type=float, default=5.0,
+                   help="detection margin over the measured noise floor [dB]")
+    p.add_argument("--alpha", default=0.7,
+                   help="EMA coefficient for the reconstructions")
+    p.add_argument("--out", default="survey",
+                   help="report directory")
+    p.set_defaults(fn=cmd_survey)
 
     p = sub.add_parser("synth", help="generate a synthetic golden capture")
     _add_common(p)

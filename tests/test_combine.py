@@ -326,6 +326,60 @@ def test_streaming_combine_survives_checkpoint_resume(tmp_path):
     assert p > 10.0, p
 
 
+def test_cli_survey_two_screens(tmp_path, capsys):
+    """`cli survey`: the one-shot wideband workflow writes a report dir —
+    band evidence plot, one image per monitor, text summary."""
+    from tempest_tpu.app.cli import main as cli_main
+    from tempest_tpu.io.dat import write_complex_binary
+
+    mode2 = tt.ALL_VIDEO_MODES["800x600 @ 72Hz"]
+    n = int(FS * 0.45)
+    a = tt.generate_iq(MODE, FS, n, snr_db=12.0, seed=2,
+                       carrier_offset_hz=-9e6)
+    b = tt.generate_iq(mode2, FS, n, snr_db=12.0, seed=3,
+                       carrier_offset_hz=8e6)
+    capf = tmp_path / "two.dat"
+    write_complex_binary((a.iq + b.iq).astype(np.complex64), str(capf),
+                         "single")
+    out = tmp_path / "report"
+    assert cli_main(["survey", str(capf), "--fs", str(FS),
+                     "--out", str(out)]) == 0
+    text = capsys.readouterr().out
+    assert "2 screen(s)" in text
+    assert "640x480 @ 60Hz" in text and "800x600 @ 72Hz" in text
+    assert (out / "band.png").read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+    for i in (1, 2):
+        assert (out / f"screen_{i}.png").exists()
+    summary = (out / "survey.txt").read_text()
+    assert "screen 2:" in summary
+
+
+def test_combine_invariances():
+    """Structural invariants of the fusion: (a) input scale cancels — the
+    weights are self-normalised and the envelope scales linearly; (b) the
+    carrier ORDER is irrelevant — weights/polarity/mass permute with it and
+    the fused envelope is unchanged (the anchor choice is order-free)."""
+    cap = tt.generate_iq_harmonics(MODE, FS, int(FS * 0.12), CARRIERS,
+                                   amplitudes=[1.0, 0.7, 0.5],
+                                   snr_db=8.0, seed=9)
+    base = tt.combine_harmonics(cap.iq, FS, CARRIERS)
+    # (a) scale invariance
+    scaled = tt.combine_harmonics(cap.iq * 3.0, FS, CARRIERS)
+    np.testing.assert_allclose(scaled.weights, base.weights, atol=1e-4)
+    np.testing.assert_array_equal(scaled.polarity, base.polarity)
+    np.testing.assert_allclose(scaled.envelope, 3.0 * base.envelope,
+                               rtol=1e-4)
+    # (b) permutation equivariance
+    perm = [2, 0, 1]
+    permuted = tt.combine_harmonics(cap.iq, FS,
+                                    [CARRIERS[i] for i in perm])
+    np.testing.assert_allclose(permuted.weights, base.weights[perm],
+                               atol=1e-5)
+    np.testing.assert_array_equal(permuted.polarity, base.polarity[perm])
+    np.testing.assert_allclose(permuted.envelope, base.envelope,
+                               rtol=1e-4, atol=1e-5 * base.envelope.max())
+
+
 def test_sharded_combine_matches_single_device():
     """Channel-parallel combining on the 8-device mesh must match the
     single-device kernel to f32 reassociation: same weights/polarity/mass
