@@ -538,15 +538,12 @@ def cmd_survey(args: argparse.Namespace) -> int:
         (open(os.path.join(args.out, "survey.txt"), "w")
          .write("\n".join(lines) + "\n"))
         return 2
-    # Group emissions into screens by exact refresh agreement.
-    screens: list[list[dict]] = []
-    for e in ems:
-        for s in screens:
-            if abs(e["refresh_hz"] - s[0]["refresh_hz"]) < 0.005:
-                s.append(e)
-                break
-        else:
-            screens.append([e])
+    # Group emissions into screens by exact refresh agreement (reuse the
+    # sweep already run above).
+    from ..pipeline.offline import discover_screens
+
+    screens = discover_screens(words, args.fs, args.bw,
+                               min_margin_db=args.margin, scan_result=res)
     lines.append(f"{len(ems)} emission(s) in {len(screens)} screen(s)")
     alpha = args.alpha if args.alpha == "auto" else float(args.alpha)
     for i, group in enumerate(screens, 1):

@@ -1211,6 +1211,7 @@ def discover_screens(
     rate_max: float = 90.0,
     min_margin_db: float = 5.0,
     refresh_group_hz: float = 0.005,
+    scan_result=None,
 ) -> list[list[dict]]:
     """Scan the band and group detected emissions into distinct SCREENS.
 
@@ -1226,14 +1227,18 @@ def discover_screens(
     Returns screens ordered by their strongest emission's comb mass; each
     screen is the list of its ``ScanResult.emissions()`` dicts (strongest
     first).  ``iq``: interleaved float32 I/Q words (complex input must be
-    viewed before calling — the public wrappers do this).
+    viewed before calling — the public wrappers do this).  Pass
+    ``scan_result`` to group an already-run sweep instead of scanning here
+    (``iq`` is then unused).
     """
-    from ..ops.scan import scan_band, scan_centers
+    if scan_result is None:
+        from ..ops.scan import scan_band, scan_centers
 
-    centers = scan_centers(fs, step_hz=chan_bw / 2.0, guard_hz=chan_bw / 2.0)
-    res = scan_band(iq, fs, centers, chan_bw, corr_seconds,
-                    rate_min, rate_max)
-    ems = res.emissions(min_margin_db=min_margin_db)
+        centers = scan_centers(fs, step_hz=chan_bw / 2.0,
+                               guard_hz=chan_bw / 2.0)
+        scan_result = scan_band(iq, fs, centers, chan_bw, corr_seconds,
+                                rate_min, rate_max)
+    ems = scan_result.emissions(min_margin_db=min_margin_db)
     screens: list[list[dict]] = []
     for e in ems:  # already ordered by comb mass
         for s in screens:
