@@ -216,6 +216,12 @@ class OperatorConsole:
             elif cmd == "carrier":
                 rt.set_carrier(float(args[0]))
                 self._say(f"carrier = {args[0]} Hz")
+                if getattr(rt, "_combine_centers", None):
+                    # Combine offsets are relative to the capture center;
+                    # the emissions did not move with the retune.
+                    self._say("note: combine carriers are now relative to "
+                              "the NEW center — rerun `combine auto` (or "
+                              "`combine off`)")
             elif cmd == "rate":
                 rt.set_sample_rate(float(args[0]))
                 self._say(f"sample rate = {args[0]} Hz")
