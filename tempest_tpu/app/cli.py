@@ -174,6 +174,8 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
             n_frames=args.frames, alpha=alpha, invert=args.invert,
             rate_min=args.rate_min, rate_max=args.rate_max,
             restore=args.restore, restore_nsr=args.restore_nsr,
+            mode=(None if args.mode == "auto"
+                  else ALL_VIDEO_MODES[args.mode]),
         )
         print(f"detected mode: {timing.mode_name} "
               f"(fv={timing.refresh_hz:.4f} Hz)")

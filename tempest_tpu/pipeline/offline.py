@@ -1141,6 +1141,7 @@ def combined_reconstruct(
     restore: bool = True,
     restore_nsr: float = 0.002,
     min_margin_db: float = 5.0,
+    mode: VideoMode | None = None,
 ):
     """Multi-harmonic capture → image: find (or take) the screen's carriers
     in ONE wideband capture, fuse their envelopes at maximal ratio
@@ -1173,15 +1174,24 @@ def combined_reconstruct(
                              rate_min, rate_max, weighting)
     return _reconstruct_from_combine(comb, n_frames, alpha, invert,
                                      corr_seconds, rate_min, rate_max,
-                                     restore, restore_nsr)
+                                     restore, restore_nsr, mode)
 
 
 def _reconstruct_from_combine(comb, n_frames, alpha, invert, corr_seconds,
-                              rate_min, rate_max, restore, restore_nsr):
+                              rate_min, rate_max, restore, restore_nsr,
+                              mode=None):
     """Shared tail of combined_reconstruct / reconstruct_all_emissions:
-    combined envelope → timing → reconstruction (+ optional restoration)."""
+    combined envelope → timing → reconstruction (+ optional restoration).
+    ``mode`` overrides the detected video mode (the manual-mode path of the
+    plain chain, for captures too degraded to auto-detect)."""
     timing = estimate_timing(comb.envelope, comb.fs_channel, corr_seconds,
                              rate_min, rate_max, envelope=True)
+    if mode is not None:
+        from ..video.modes import find_configuration
+
+        name = (find_configuration(mode)
+                or f"{mode.width}x{mode.height} @ {mode.refresh:g}Hz")
+        timing = dataclasses.replace(timing, mode=mode, mode_name=name)
     if alpha == "auto":
         alpha = timing.suggested_alpha
     spf = comb.fs_channel / timing.mode.refresh

@@ -76,6 +76,19 @@ def test_combine_single_carrier_is_channel_envelope():
     np.testing.assert_array_equal(comb.polarity, [1.0])
 
 
+def test_combine_manual_mode_override():
+    """--combine with an explicit --mode: the detected mode is replaced but
+    the fusion and measured refresh are kept (the manual-mode path of the
+    plain chain, for captures too degraded to auto-detect)."""
+    cap = tt.generate_iq_harmonics(MODE, FS, int(FS * 0.2), CARRIERS[:2],
+                                   snr_db=8.0, seed=3)
+    t, r, c = combined_reconstruct(cap.iq, FS, CARRIERS[:2], alpha=0.7,
+                                   mode=MODE)
+    assert t.mode_name == "640x480 @ 60Hz"
+    assert t.mode is MODE
+    assert r.image.shape == (600, 800)
+
+
 def test_empty_channel_gets_zero_weight():
     """A carrier with no emission must not dilute the fusion: its comb mass
     sits far under the anchor's, so the 40 dB gate zeroes it."""
