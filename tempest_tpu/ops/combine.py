@@ -92,11 +92,11 @@ def combine_core(words, fs, centers, chan_bw, fs_chan, corr_seconds,
         spf_c = fs_chan / float(refresh_hz)
         m = env0.shape[1]
 
-        def comb_dots(e):
+        def comb_dots(e, half_off):
             acc = jnp.zeros(())
             cnt = 0
             for k in range(1, 6):
-                lag0 = int(round(k * spf_c))
+                lag0 = int(round(k * spf_c + half_off * spf_c / 2.0))
                 if lag0 + 1 >= m:
                     break
                 # box-3 max over neighbouring lags: tolerates the known
@@ -107,7 +107,13 @@ def combine_core(words, fs, centers, chan_bw, fs_chan, corr_seconds,
                 cnt += 1
             return acc / max(cnt, 1)
 
-        comb = jax.vmap(comb_dots)(env0)
+        comb = jax.vmap(lambda e: comb_dots(e, 0))(env0)
+        # Off-comb null at half-frame lag offsets: any NON-frame-periodic
+        # correlated power (a CW interferer's envelope beat, hum, receiver
+        # artifacts) contributes to both on- and off-comb dots alike, while
+        # screen content is frame-periodic and does not — the difference
+        # isolates SCREEN power for the MRC weights below.
+        comb_off = jax.vmap(lambda e: comb_dots(e, 1))(env0)
         mass_db = 10.0 * jnp.log10(jnp.maximum(comb, 1e-30))
         fv = jnp.full_like(var, float(refresh_hz))
         # Raw envelope dots scale as amplitude² where the offline linear-
@@ -132,19 +138,31 @@ def combine_core(words, fs, centers, chan_bw, fs_chan, corr_seconds,
     pol = jnp.where(dots >= 0.0, 1.0, -1.0).astype(jnp.float32)
     if weighting == "equal":
         w = jnp.ones_like(var)
+    elif refresh_hz is not None:
+        # Interference-robust MRC: signal power = frame-PERIODIC correlated
+        # power (on-comb minus off-comb — a CW beat, hum, or any correlated
+        # non-screen power cancels in the difference); noise = everything
+        # else, interference included.  Measured: a CW interferer 9 dB
+        # above a channel's emission drives that channel's weight
+        # 0.43 → 0.015 where the lag-1 split WRONGLY raised it
+        # (tests/test_combine.py::test_interferer_hit_channel_downweighted).
+        s = jnp.maximum(comb - comb_off, 0.0)
+        noise = jnp.maximum(var - s, 1e-6 * var)
+        w = jnp.sqrt(s) / noise
+        w = jnp.where(gate, w, 0.0)
     else:
         # MRC from the lag-1 decorrelation split (estimate_snr's separation):
         # signal power s = c1 (correlated), noise N = c0 - c1 (white).
+        # Assumes WHITE receiver noise — coherent interference inside a
+        # channel is misread as signal; the refresh_hz path above is the
+        # robust estimator (the public wrappers run it by default).
         c1 = jnp.mean(env0[:, :-1] * env0[:, 1:], axis=1)
         s = jnp.maximum(c1, 0.0)
         noise = jnp.maximum(var - c1, 1e-6 * var)
         w = jnp.sqrt(s) / noise
         # Zero out channels with no refresh-comb evidence (correlated
         # interference is not screen signal).
-        if refresh_hz is not None:
-            w = jnp.where(gate, w, 0.0)
-        else:
-            w = jnp.where(mass_db > mass_db[anchor] - 40.0, w, 0.0)
+        w = jnp.where(mass_db > mass_db[anchor] - 40.0, w, 0.0)
     w = w / jnp.maximum(jnp.sum(w), 1e-30)
     env = jnp.einsum("k,km->m", w * pol, env0,
                      preferred_element_type=jnp.float32)
@@ -156,7 +174,7 @@ def combine_core(words, fs, centers, chan_bw, fs_chan, corr_seconds,
 
 _combine_kernel = partial(jax.jit, static_argnames=(
     "fs", "centers", "chan_bw", "fs_chan", "corr_seconds", "rate_min",
-    "rate_max", "weighting"))(combine_core)
+    "rate_max", "weighting", "refresh_hz"))(combine_core)
 
 
 def combine_harmonics(
@@ -168,6 +186,7 @@ def combine_harmonics(
     rate_min: float = 50.0,
     rate_max: float = 90.0,
     weighting: str = "mrc",
+    refresh_hz: float | str | None = "auto",
 ) -> CombineResult:
     """Extract and fuse the emission at each carrier of ``centers_hz`` from
     one wideband capture.
@@ -177,16 +196,31 @@ def combine_harmonics(
     feeds the standard pipeline via ``ReconstructionConfig(
     input_format="envelope")`` — see ``pipeline.offline.combined_reconstruct``
     for the one-call wrapper.  ``weighting``: ``"mrc"`` (default, measured
-    winner) or ``"equal"``."""
+    winner) or ``"equal"``.
+
+    ``refresh_hz``: ``"auto"`` (default) runs TWO passes — a scoring pass
+    estimates each channel's refresh, then the fusion pass re-weights with
+    the interference-robust frame-periodic MRC at the anchor's refresh
+    (``combine_core(refresh_hz=...)``).  A float skips the scoring pass
+    (the streaming runtime's mode of use); ``None`` keeps the single-pass
+    lag-1 MRC, which misreads coherent in-channel interference as signal —
+    kept for comparison only."""
     if isinstance(iq, np.ndarray) and np.iscomplexobj(iq):
         iq = np.ascontiguousarray(iq, np.complex64).view(np.float32)
     iq = jnp.asarray(iq)
     centers = np.atleast_1d(np.asarray(centers_hz, np.float64))
     _, _, fs_chan = _channel_geometry(int(iq.shape[0]) // 2, fs, chan_bw)
+    args = (iq, float(fs), tuple(float(c) for c in centers), float(chan_bw),
+            float(fs_chan), float(corr_seconds), float(rate_min),
+            float(rate_max), weighting)
+    two_pass = refresh_hz == "auto" and weighting == "mrc"
     env, w, pol, mass_db, fv = _combine_kernel(
-        iq, float(fs), tuple(float(c) for c in centers), float(chan_bw),
-        float(fs_chan), float(corr_seconds), float(rate_min),
-        float(rate_max), weighting)
+        *args, refresh_hz=None if refresh_hz == "auto" else refresh_hz)
+    if two_pass:
+        mass1, fv1 = mass_db, fv  # honest per-channel diagnostics (pass 1)
+        fv_anchor = float(np.asarray(fv)[int(np.argmax(np.asarray(mass_db)))])
+        env, w, pol, _, _ = _combine_kernel(*args, refresh_hz=fv_anchor)
+        mass_db, fv = mass1, fv1
     return CombineResult(
         envelope=np.asarray(env, np.float32),
         fs_channel=float(fs_chan),

@@ -714,6 +714,7 @@ def sharded_combine_harmonics(
     rate_min: float = 50.0,
     rate_max: float = 90.0,
     weighting: str = "mrc",
+    refresh_hz: float | str | None = "auto",
 ):
     """Multi-harmonic combining with the carriers sharded across the mesh —
     channel parallelism for :func:`tempest_tpu.ops.combine.combine_harmonics`
@@ -750,73 +751,118 @@ def sharded_combine_harmonics(
     starts_p = np.concatenate([starts, np.repeat(starts[:1], pad)])
     kidx_p = np.arange(K + pad, dtype=np.int32)  # pads get indices >= K
 
-    def local(spec_w, starts_loc, kidx_loc):
-        def one(b0):
-            band = jax.lax.dynamic_slice(spec_w, (b0,), (M,))
-            band = jnp.roll(band, -(M // 2))
-            ch = jnp.fft.ifft(band) * (M / N)
-            return jnp.abs(ch).astype(jnp.float32)
+    def make_local(fv_known):
+        # fv_known None → full per-channel scoring + lag-1 MRC;
+        # a float → known-refresh dot scoring + interference-robust MRC
+        # (mirrors ops.combine.combine_core's two modes exactly).
+        def local(spec_w, starts_loc, kidx_loc):
+            def one(b0):
+                band = jax.lax.dynamic_slice(spec_w, (b0,), (M,))
+                band = jnp.roll(band, -(M // 2))
+                ch = jnp.fft.ifft(band) * (M / N)
+                return jnp.abs(ch).astype(jnp.float32)
 
-        amp = jax.vmap(one)(starts_loc)                  # (Kl, M) envelopes
-        mean = jnp.mean(amp, axis=1, keepdims=True)
-        env0 = amp - mean
-        var = jnp.mean(env0 * env0, axis=1)
+            amp = jax.vmap(one)(starts_loc)              # (Kl, M) envelopes
+            mean = jnp.mean(amp, axis=1, keepdims=True)
+            env0 = amp - mean
+            var = jnp.mean(env0 * env0, axis=1)
 
-        def comb_one(e):
-            lin, _ = autocorrelation(e, fs_chan, 0.0, corr_seconds,
-                                     scale="linear")
-            return _selection_prominence(lin, fs_chan, rate_min, rate_max, 5)
+            if fv_known is not None:
+                spf_c = fs_chan / float(fv_known)
 
-        mass_db, _, fv = jax.vmap(comb_one)(env0)
-        valid = (kidx_loc < K)
-        mass_masked = jnp.where(valid, mass_db, -jnp.inf)
-        # Global anchor: gather the K(+pad) masses (scalars) everywhere.
-        mass_all = jax.lax.all_gather(mass_masked, axis, tiled=True)
-        anchor = jnp.argmax(mass_all)
-        anchor_mass = mass_all[anchor]
-        # The anchor's envelope, summoned by one (M,) psum.
-        onehot = (kidx_loc == anchor).astype(jnp.float32)
-        anchor_env = jax.lax.psum(onehot @ env0, axis)
-        dots = env0 @ anchor_env
-        pol = jnp.where(dots >= 0.0, 1.0, -1.0).astype(jnp.float32)
-        if weighting == "equal":
-            w = jnp.ones_like(var)
-        else:
-            c1 = jnp.mean(env0[:, :-1] * env0[:, 1:], axis=1)
-            s = jnp.maximum(c1, 0.0)
-            noise = jnp.maximum(var - c1, 1e-6 * var)
-            w = jnp.sqrt(s) / noise
-            w = jnp.where(mass_db > anchor_mass - 40.0, w, 0.0)
-        w = jnp.where(valid, w, 0.0)
-        wsum = jax.lax.psum(jnp.sum(w), axis)
-        w = w / jnp.maximum(wsum, 1e-30)
-        env = jax.lax.psum((w * pol) @ env0, axis)
-        env = env + jax.lax.psum(jnp.sum(w * mean[:, 0]), axis)
-        return env, w, pol, mass_db, fv
+                def comb_dots(e, half_off):
+                    acc = jnp.zeros(())
+                    cnt = 0
+                    for k in range(1, 6):
+                        lag0 = int(round(k * spf_c
+                                         + half_off * spf_c / 2.0))
+                        if lag0 + 1 >= M:
+                            break
+                        vals = [jnp.mean(e[: M - L] * e[L:])
+                                for L in (lag0 - 1, lag0, lag0 + 1)
+                                if 0 < L < M]
+                        acc = acc + jnp.max(jnp.stack(vals))
+                        cnt += 1
+                    return acc / max(cnt, 1)
 
-    sharded = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(axis), P(axis)),
-        out_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
-    )
+                comb = jax.vmap(lambda e: comb_dots(e, 0))(env0)
+                comb_off = jax.vmap(lambda e: comb_dots(e, 1))(env0)
+                mass_db = 10.0 * jnp.log10(jnp.maximum(comb, 1e-30))
+                fv = jnp.full_like(var, float(fv_known))
+            else:
+                def comb_one(e):
+                    lin, _ = autocorrelation(e, fs_chan, 0.0, corr_seconds,
+                                             scale="linear")
+                    return _selection_prominence(lin, fs_chan, rate_min,
+                                                 rate_max, 5)
 
-    @jax.jit
-    def run(words, starts_in, kidx_in):
-        ri = words[: 2 * N].reshape(N, 2)
-        z = jax.lax.complex(ri[:, 0], ri[:, 1])
-        spec = jnp.fft.fft(z)
-        spec_w = jnp.concatenate([spec, spec[:M]])
-        return sharded(spec_w, starts_in, kidx_in)
+                mass_db, _, fv = jax.vmap(comb_one)(env0)
+            valid = (kidx_loc < K)
+            mass_masked = jnp.where(valid, mass_db, -jnp.inf)
+            # Global anchor: gather the K(+pad) masses (scalars) everywhere.
+            mass_all = jax.lax.all_gather(mass_masked, axis, tiled=True)
+            anchor = jnp.argmax(mass_all)
+            anchor_mass = mass_all[anchor]
+            # The anchor's envelope, summoned by one (M,) psum.
+            onehot = (kidx_loc == anchor).astype(jnp.float32)
+            anchor_env = jax.lax.psum(onehot @ env0, axis)
+            dots = env0 @ anchor_env
+            pol = jnp.where(dots >= 0.0, 1.0, -1.0).astype(jnp.float32)
+            if weighting == "equal":
+                w = jnp.ones_like(var)
+            elif fv_known is not None:
+                s = jnp.maximum(comb - comb_off, 0.0)
+                noise = jnp.maximum(var - s, 1e-6 * var)
+                w = jnp.sqrt(s) / noise
+                gate = ((comb > 10.0 ** ((anchor_mass - 20.0) / 10.0))
+                        & (comb * np.sqrt(M) > 6.0 * var))
+                w = jnp.where(gate, w, 0.0)
+            else:
+                c1 = jnp.mean(env0[:, :-1] * env0[:, 1:], axis=1)
+                s = jnp.maximum(c1, 0.0)
+                noise = jnp.maximum(var - c1, 1e-6 * var)
+                w = jnp.sqrt(s) / noise
+                w = jnp.where(mass_db > anchor_mass - 40.0, w, 0.0)
+            w = jnp.where(valid, w, 0.0)
+            wsum = jax.lax.psum(jnp.sum(w), axis)
+            w = w / jnp.maximum(wsum, 1e-30)
+            env = jax.lax.psum((w * pol) @ env0, axis)
+            env = env + jax.lax.psum(jnp.sum(w * mean[:, 0]), axis)
+            return env, w, pol, mass_db, fv
 
-    sh = NamedSharding(mesh, P(axis))
-    out = run(iq_words, jax.device_put(starts_p, sh),
-              jax.device_put(kidx_p, sh))
-    # Replicate the channel-sharded outputs before the host reads them
-    # (multi-controller: each process only addresses its own shards).
-    env, w, pol, mass, fv = jax.jit(
-        lambda t: t, out_shardings=NamedSharding(mesh, P())
-    )(out)
+        return local
+
+    def run_pass(fv_known):
+        sharded = jax.shard_map(
+            make_local(fv_known),
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis)),
+            out_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+        )
+
+        @jax.jit
+        def run(words, starts_in, kidx_in):
+            ri = words[: 2 * N].reshape(N, 2)
+            z = jax.lax.complex(ri[:, 0], ri[:, 1])
+            spec = jnp.fft.fft(z)
+            spec_w = jnp.concatenate([spec, spec[:M]])
+            return sharded(spec_w, starts_in, kidx_in)
+
+        sh = NamedSharding(mesh, P(axis))
+        out = run(iq_words, jax.device_put(starts_p, sh),
+                  jax.device_put(kidx_p, sh))
+        # Replicate the channel-sharded outputs before the host reads them
+        # (multi-controller: each process only addresses its own shards).
+        return jax.jit(
+            lambda t: t, out_shardings=NamedSharding(mesh, P())
+        )(out)
+
+    env, w, pol, mass, fv = run_pass(
+        None if refresh_hz == "auto" else refresh_hz)
+    if refresh_hz == "auto" and weighting == "mrc":
+        mass_np, fv_np = np.asarray(mass), np.asarray(fv)
+        fv_anchor = float(fv_np[int(np.argmax(mass_np[:K]))])
+        env, w, pol, _, _ = run_pass(fv_anchor)
     return CombineResult(
         envelope=np.asarray(env, np.float32),
         fs_channel=float(fs_chan),

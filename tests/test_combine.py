@@ -76,6 +76,30 @@ def test_combine_single_carrier_is_channel_envelope():
     np.testing.assert_array_equal(comb.polarity, [1.0])
 
 
+def test_interferer_hit_channel_downweighted():
+    """A strong CW interferer inside one channel: its envelope beat is
+    sample-CORRELATED, so a white-noise MRC model counts it as signal; the
+    frame-periodic MRC (on-comb minus off-comb dots, the two-pass default)
+    sees no frame-periodic power from it and crushes the channel's weight.
+    Measured here: weight 0.43 -> ~0.015, fused PSNR 7.5 -> 13.3 (clean
+    reference 13.6)."""
+    cap = tt.generate_iq_harmonics(MODE, FS, int(FS * 0.55), CARRIERS,
+                                   amplitudes=[1.0, 0.7, 0.7],
+                                   snr_db=6.0, seed=5)
+    truth = _truth(cap)
+    n = len(cap.iq)
+    cw = (3.0 * np.exp(2j * np.pi * 11.3e6 / FS * np.arange(n))
+          ).astype(np.complex64)
+    _, r0, c0 = combined_reconstruct(cap.iq, FS, CARRIERS, alpha=0.7)
+    _, r1, c1 = combined_reconstruct((cap.iq + cw).astype(np.complex64),
+                                     FS, CARRIERS, alpha=0.7)
+    assert c1.weights[2] < 0.1, c1.weights
+    assert c1.weights[0] > c1.weights[1] > 0.2
+    p0, _ = aligned_psnr(truth, r0.image)
+    p1, _ = aligned_psnr(truth, r1.image)
+    assert p1 > p0 - 0.8, f"clean {p0:.2f}, interfered {p1:.2f}"
+
+
 def test_combine_manual_mode_override():
     """--combine with an explicit --mode: the detected mode is replaced but
     the fusion and measured refresh are kept (the manual-mode path of the
