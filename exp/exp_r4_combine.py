@@ -16,6 +16,11 @@ MRC weights track channel strength ([0.39, 0.34, 0.27] for [1,.7,.5]);
 the lag-1 decorrelation split (signal = c1, noise = c0-c1) replaced an
 anchor-calibrated comb-mass estimate whose a^4 scaling (linear autocorr is
 |corr|^2) inverted the ordering — kept here as the negative result.
+LATER SUPERSEDED (same round): the lag-1 split mis-reads coherent
+in-channel interference as signal; the shipped default is the
+frame-periodic split (on-comb minus off-comb dots at the detected refresh,
+raw a^2 scale so the ordering is right) — see ops/combine.py and
+tests/test_combine.py::test_interferer_hit_channel_downweighted.
 """
 import os
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"

@@ -21,16 +21,20 @@ and emits the weighted sum — nothing leaves the device but the combined
 envelope and the per-channel diagnostics.
 
 MRC weight derivation: with mean-removed envelopes ``e_k = a_k·v + n_k``,
-receiver noise is white in the envelope domain (decorrelates within one
-sample) while screen content is strongly sample-to-sample correlated — the
-same separation ``ops.autocorr.estimate_snr`` exploits.  So per channel the
-lag-1 autocovariance IS the signal power (``s_k = c1_k``) and the
-decorrelating part the noise (``N_k = c0_k − c1_k``), and the SNR-optimal
-weights are ``w_k = √s_k / N_k`` (matched-filter MRC) — no cross-channel
-calibration needed.  A pure-noise channel has c1≈0 ⇒ w≈0, so combining over
-a blind carrier list is safe; channels whose refresh-comb mass sits ≥40 dB
-under the anchor's are zeroed outright (temporally-correlated interference
-without screen structure would otherwise sneak in).
+screen content is FRAME-periodic while receiver noise, CW envelope beats,
+hum and other interference are not.  Per channel the comb dots at the known
+frame lags minus the same dots at half-frame offsets isolate the screen
+power (``s_k ≈ ρ·a_k²·σ_v²`` with the content persistence ρ common to all
+channels — interference contributes equally to both dot sets and cancels),
+the remainder ``N_k = c0_k − s_k`` is noise+interference, and the
+SNR-optimal weights are ``w_k = √s_k / N_k`` (matched-filter MRC) — no
+cross-channel calibration needed.  A pure-noise channel has s≈0 ⇒ w≈0, so
+combining over a blind carrier list is safe; gates on comb evidence zero
+channels outright (see ``combine_core``).  History: a lag-1 decorrelation
+split (``s=c1``, ``N=c0−c1``) shipped first and is kept as
+``refresh_hz=None`` — it mis-reads coherent in-channel interference as
+signal (a CW's envelope beat is sample-correlated; measured weight 0.43 on
+a channel it should crush to 0.015, fusion −6 dB).
 """
 
 from __future__ import annotations
