@@ -169,14 +169,21 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
 
         centers = (None if args.combine == "auto"
                    else [float(x) for x in args.combine.split(",")])
-        timing, recon, comb = combined_reconstruct(
-            iq, args.fs, centers, chan_bw=args.chan_bw,
-            n_frames=args.frames, alpha=alpha, invert=args.invert,
-            rate_min=args.rate_min, rate_max=args.rate_max,
-            restore=args.restore, restore_nsr=args.restore_nsr,
-            mode=(None if args.mode == "auto"
-                  else ALL_VIDEO_MODES[args.mode]),
-        )
+        try:
+            timing, recon, comb = combined_reconstruct(
+                iq, args.fs, centers, chan_bw=args.chan_bw,
+                n_frames=args.frames, alpha=alpha, invert=args.invert,
+                rate_min=args.rate_min, rate_max=args.rate_max,
+                restore=args.restore, restore_nsr=args.restore_nsr,
+                mode=(None if args.mode == "auto"
+                      else ALL_VIDEO_MODES[args.mode]),
+            )
+        except ValueError as e:
+            # No emissions found by the auto-discovery scan.
+            print(f"error: {e}")
+            print("hint: `scan` the capture to see what the band contains, "
+                  "or pass explicit carriers with --combine F1,F2")
+            return 2
         print(f"detected mode: {timing.mode_name} "
               f"(fv={timing.refresh_hz:.4f} Hz)")
         for c, w, p, m in zip(comb.centers_hz, comb.weights, comb.polarity,

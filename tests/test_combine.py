@@ -391,6 +391,31 @@ def test_cli_survey_two_screens(tmp_path, capsys):
     assert "screen 2:" in summary
 
 
+def test_no_emission_paths_fail_gracefully(tmp_path, capsys):
+    """Pure-noise capture: `reconstruct --combine auto` prints a hint and
+    returns 2 (no traceback); `survey` writes the band plot + summary and
+    also returns 2."""
+    from tempest_tpu.app.cli import main as cli_main
+    from tempest_tpu.io.dat import write_complex_binary
+
+    rng = np.random.default_rng(0)
+    n = int(FS * 0.3)
+    noise = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+             ).astype(np.complex64)
+    capf = tmp_path / "noise.dat"
+    write_complex_binary(noise, str(capf), "single")
+    rc = cli_main(["reconstruct", str(capf), "--fs", str(FS),
+                   "--combine", "auto", "--out", str(tmp_path / "x.png")])
+    assert rc == 2
+    out = capsys.readouterr().out
+    assert "error:" in out and "hint:" in out
+    rc = cli_main(["survey", str(capf), "--fs", str(FS),
+                   "--out", str(tmp_path / "rep")])
+    assert rc == 2
+    assert (tmp_path / "rep" / "band.png").exists()
+    assert "no emissions" in (tmp_path / "rep" / "survey.txt").read_text()
+
+
 def test_combine_invariances():
     """Structural invariants of the fusion: (a) input scale cancels — the
     weights are self-normalised and the envelope scales linearly; (b) the
