@@ -223,6 +223,11 @@ def combine_harmonics(
     if two_pass:
         mass1, fv1 = mass_db, fv  # honest per-channel diagnostics (pass 1)
         fv_anchor = float(np.asarray(fv)[int(np.argmax(np.asarray(mass_db)))])
+        # refresh_hz is a STATIC arg (it bakes the comb lags into the
+        # program): quantise to an integer frame period so the estimator's
+        # sub-mHz jitter cannot mint a fresh XLA compile per capture — the
+        # box-3 lag neighbourhood absorbs the ≤0.5-sample rounding.
+        fv_anchor = fs_chan / round(fs_chan / fv_anchor)
         env, w, pol, _, _ = _combine_kernel(*args, refresh_hz=fv_anchor)
         mass_db, fv = mass1, fv1
     return CombineResult(

@@ -862,6 +862,9 @@ def sharded_combine_harmonics(
     if refresh_hz == "auto" and weighting == "mrc":
         mass_np, fv_np = np.asarray(mass), np.asarray(fv)
         fv_anchor = float(fv_np[int(np.argmax(mass_np[:K]))])
+        # Integer-frame-period quantisation, matching combine_harmonics
+        # exactly (keeps the two paths' comb lags — and envelopes — equal).
+        fv_anchor = fs_chan / round(fs_chan / fv_anchor)
         env, w, pol, _, _ = run_pass(fv_anchor)
     return CombineResult(
         envelope=np.asarray(env, np.float32),
