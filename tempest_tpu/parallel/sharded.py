@@ -54,6 +54,7 @@ __all__ = [
     "sharded_mode_search_2d",
     "sharded_scan_band",
     "sharded_combine_harmonics",
+    "sharded_combined_reconstruct_fn",
     "mode_search_static",
     "ModeSearchResult",
 ]
@@ -703,59 +704,19 @@ def sharded_scan_band(
     )
 
 
-def sharded_combine_harmonics(
-    iq_words: np.ndarray | jnp.ndarray,
-    fs: float,
-    centers_hz: np.ndarray,
-    mesh: Mesh,
-    axis: str = "blocks",
-    chan_bw: float = 4e6,
-    corr_seconds: float = 0.1,
-    rate_min: float = 50.0,
-    rate_max: float = 90.0,
-    weighting: str = "mrc",
-    refresh_hz: float | str | None = "auto",
-):
-    """Multi-harmonic combining with the carriers sharded across the mesh —
-    channel parallelism for :func:`tempest_tpu.ops.combine.combine_harmonics`
-    (the reference has no combining at all, ``GUI.jl:594-605``).
-
-    The spectrum is replicated (one big FFT is cheap next to K per-channel
-    scorings); each device channelises and scores its own carriers, then
-    three small collectives produce identical global decisions everywhere:
-    an ``all_gather`` of the per-channel comb masses (K scalars → the
-    anchor channel), one ``psum`` of the one-hot-selected anchor envelope
-    ((M,) — so every device can read its channels' polarity against it),
-    and one ``psum`` each for the MRC-weighted envelope sum, its weight
-    mass, and the DC term.  Cross-device traffic is ~2·M floats per call
-    regardless of K.  Matches the single-device ``combine_harmonics`` to
-    f32 reassociation (tested on the 8-device mesh).
-    """
+def _combine_local_builder(axis, K, M, N, fs_chan, corr_seconds,
+                           rate_min, rate_max, weighting, fv_known):
+    """shard_map-local kernel of the channel-sharded combine — one device's
+    slice of carriers, with the three small collectives (all_gather masses,
+    one-hot psum anchor envelope, psum fusion).  ``fv_known`` None = full
+    per-channel scoring + lag-1 MRC; a float = known-refresh dot scoring +
+    interference-robust MRC (mirrors ops.combine.combine_core exactly).
+    Shared by :func:`sharded_combine_harmonics` and
+    :func:`sharded_combined_reconstruct_fn`."""
     from ..ops.autocorr import autocorrelation
-    from ..ops.combine import CombineResult
-    from ..ops.scan import _channel_geometry, _selection_prominence
+    from ..ops.scan import _selection_prominence
 
-    if isinstance(iq_words, np.ndarray) and np.iscomplexobj(iq_words):
-        iq_words = np.ascontiguousarray(iq_words, np.complex64).view(np.float32)
-    iq_words = jnp.asarray(iq_words)
-    centers = np.atleast_1d(np.asarray(centers_hz, np.float64))
-    K = len(centers)
-    n_dev = mesh.shape[axis]
-    n_c = int(iq_words.shape[0]) // 2
-    N, M, fs_chan = _channel_geometry(n_c, fs, chan_bw)
-    starts = np.array(
-        [(int(np.round(float(fc) / fs * N)) - M // 2) % N for fc in centers],
-        np.int32,
-    )
-    pad = (-K) % n_dev
-    starts_p = np.concatenate([starts, np.repeat(starts[:1], pad)])
-    kidx_p = np.arange(K + pad, dtype=np.int32)  # pads get indices >= K
-
-    def make_local(fv_known):
-        # fv_known None → full per-channel scoring + lag-1 MRC;
-        # a float → known-refresh dot scoring + interference-robust MRC
-        # (mirrors ops.combine.combine_core's two modes exactly).
-        def local(spec_w, starts_loc, kidx_loc):
+    def local(spec_w, starts_loc, kidx_loc):
             def one(b0):
                 band = jax.lax.dynamic_slice(spec_w, (b0,), (M,))
                 band = jnp.roll(band, -(M // 2))
@@ -830,7 +791,61 @@ def sharded_combine_harmonics(
             env = env + jax.lax.psum(jnp.sum(w * mean[:, 0]), axis)
             return env, w, pol, mass_db, fv
 
-        return local
+    return local
+
+
+def sharded_combine_harmonics(
+    iq_words: np.ndarray | jnp.ndarray,
+    fs: float,
+    centers_hz: np.ndarray,
+    mesh: Mesh,
+    axis: str = "blocks",
+    chan_bw: float = 4e6,
+    corr_seconds: float = 0.1,
+    rate_min: float = 50.0,
+    rate_max: float = 90.0,
+    weighting: str = "mrc",
+    refresh_hz: float | str | None = "auto",
+):
+    """Multi-harmonic combining with the carriers sharded across the mesh —
+    channel parallelism for :func:`tempest_tpu.ops.combine.combine_harmonics`
+    (the reference has no combining at all, ``GUI.jl:594-605``).
+
+    The spectrum is replicated (one big FFT is cheap next to K per-channel
+    scorings); each device channelises and scores its own carriers, then
+    three small collectives produce identical global decisions everywhere:
+    an ``all_gather`` of the per-channel comb masses (K scalars → the
+    anchor channel), one ``psum`` of the one-hot-selected anchor envelope
+    ((M,) — so every device can read its channels' polarity against it),
+    and one ``psum`` each for the MRC-weighted envelope sum, its weight
+    mass, and the DC term.  Cross-device traffic is ~2·M floats per call
+    regardless of K.  Matches the single-device ``combine_harmonics`` to
+    f32 reassociation (tested on the 8-device mesh).
+    """
+    from ..ops.autocorr import autocorrelation
+    from ..ops.combine import CombineResult
+    from ..ops.scan import _channel_geometry, _selection_prominence
+
+    if isinstance(iq_words, np.ndarray) and np.iscomplexobj(iq_words):
+        iq_words = np.ascontiguousarray(iq_words, np.complex64).view(np.float32)
+    iq_words = jnp.asarray(iq_words)
+    centers = np.atleast_1d(np.asarray(centers_hz, np.float64))
+    K = len(centers)
+    n_dev = mesh.shape[axis]
+    n_c = int(iq_words.shape[0]) // 2
+    N, M, fs_chan = _channel_geometry(n_c, fs, chan_bw)
+    starts = np.array(
+        [(int(np.round(float(fc) / fs * N)) - M // 2) % N for fc in centers],
+        np.int32,
+    )
+    pad = (-K) % n_dev
+    starts_p = np.concatenate([starts, np.repeat(starts[:1], pad)])
+    kidx_p = np.arange(K + pad, dtype=np.int32)  # pads get indices >= K
+
+    def make_local(fv_known):
+        return _combine_local_builder(
+            axis, K, M, N, fs_chan, corr_seconds, rate_min, rate_max,
+            weighting, fv_known)
 
     def run_pass(fv_known):
         sharded = jax.shard_map(
@@ -875,3 +890,92 @@ def sharded_combine_harmonics(
         mass_db=np.asarray(mass, np.float64)[:K],
         refresh_hz=np.asarray(fv, np.float64)[:K],
     )
+
+
+def sharded_combined_reconstruct_fn(
+    config: ReconstructionConfig,
+    mesh: Mesh,
+    fs: float,
+    n_samples: int,
+    centers_hz: np.ndarray,
+    refresh_hz: float,
+    axis: str = "blocks",
+    chan_bw: float = 4e6,
+    weighting: str = "mrc",
+):
+    """ONE multi-chip program for fused reconstruction: the combine front
+    with the CARRIERS sharded across the mesh (``_combine_local_builder`` —
+    all_gather of comb masses + one-hot-psum anchor envelope + psum fusion),
+    whose replicated fused envelope is then re-laid out as consecutive
+    per-device TIME spans and reconstructed by the ``ppermute``-halo chain
+    (:func:`sharded_reconstruct_fn`) — two shard_maps over the same mesh
+    axis composed under a single jit, carriers → time without leaving the
+    device.
+
+    ``config``: chain config at the CHANNEL rate (``sample_rate`` must be
+    the channeliser's ``fs·M/N``; ``input_format="envelope"``; ``n_frames``
+    per shard).  ``n_samples``: complex samples per input block (static —
+    sets the FFT geometry).  ``refresh_hz``: the screen's refresh (the comb
+    lags are baked in; quantised to an integer frame period like
+    ``combine_harmonics``).  Returns ``step(words, ema, alpha) ->
+    (ema', frames, sync, score, weights, polarity)`` with ``words`` the
+    block's interleaved float32 I/Q (replicated).
+    """
+    from ..ops.scan import _channel_geometry
+
+    n_shards = mesh.shape[axis]
+    N, M, fs_chan = _channel_geometry(n_samples, fs, chan_bw)
+    if abs(config.sample_rate - fs_chan) > 1e-6 * fs_chan:
+        raise ValueError(
+            f"config.sample_rate {config.sample_rate} != channel rate "
+            f"{fs_chan} (= fs·M/N for n_samples={n_samples}, "
+            f"chan_bw={chan_bw})")
+    if config.input_format != "envelope":
+        raise ValueError("config.input_format must be 'envelope' — the "
+                         "chain consumes the fused envelope")
+    centers = np.atleast_1d(np.asarray(centers_hz, np.float64))
+    K = len(centers)
+    starts = np.array(
+        [(int(np.round(float(fc) / fs * N)) - M // 2) % N for fc in centers],
+        np.int32,
+    )
+    pad = (-K) % n_shards
+    starts_p = np.concatenate([starts, np.repeat(starts[:1], pad)])
+    kidx_p = np.arange(K + pad, dtype=np.int32)
+    fv_q = fs_chan / round(fs_chan / float(refresh_hz))
+    front = jax.shard_map(
+        _combine_local_builder(axis, K, M, N, fs_chan, 0.1,
+                               max(fv_q - 5.0, 20.0), fv_q + 5.0,
+                               weighting, fv_q),
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+    )
+    chain = sharded_reconstruct_fn(config, mesh, axis)
+    S = M // n_shards
+    if S < chain.shard_samples_min:
+        raise ValueError(
+            f"per-device envelope span ({S}) < {config.n_frames} frame "
+            f"periods ({chain.shard_samples_min}) — larger blocks or fewer "
+            f"frames per shard")
+    sh = NamedSharding(mesh, P(axis))
+    starts_dev = jax.device_put(starts_p, sh)
+    kidx_dev = jax.device_put(kidx_p, sh)
+
+    @jax.jit
+    def step(words, ema, alpha):
+        ri = words[: 2 * N].reshape(N, 2)
+        z = jax.lax.complex(ri[:, 0], ri[:, 1])
+        spec = jnp.fft.fft(z)
+        spec_w = jnp.concatenate([spec, spec[:M]])
+        env, w, pol, _, _ = front(spec_w, starts_dev, kidx_dev)
+        env_shards = jax.lax.with_sharding_constraint(
+            env[: n_shards * S].reshape(n_shards, S),
+            NamedSharding(mesh, P(axis, None)))
+        ema2, frames, sync, score = chain(env_shards, ema, alpha)
+        return ema2, frames, sync, score, w, pol
+
+    step.n_shards = n_shards
+    step.fs_channel = fs_chan
+    step.shard_samples = S
+    return step

@@ -3,6 +3,7 @@ MRC weighting, polarity correction, carrier auto-discovery, and the
 envelope input format."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 import tempest_tpu as tt
@@ -463,6 +464,52 @@ def test_sharded_combine_matches_single_device():
     scale = np.abs(ref.envelope).max()
     np.testing.assert_allclose(sh.envelope, ref.envelope, atol=1e-5 * scale)
     assert sh.fs_channel == ref.fs_channel
+
+
+def test_sharded_combined_reconstruct_composition():
+    """ONE multi-chip program: carrier-sharded fusion front → time-sharded
+    halo chain, composed under a single jit.  Must agree with running the
+    two stages separately through the host (combine_harmonics envelope →
+    sharded_reconstruct_fn): weights to 1e-3, image to ~0.2% (the sync
+    stage's argmax quantises f32-reassociation-level envelope differences
+    into sub-pixel shifts — the parity floor for argmax-bearing chains)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tempest_tpu.ops.scan import _channel_geometry
+    from tempest_tpu.parallel.mesh import make_mesh
+    from tempest_tpu.parallel.sharded import (
+        sharded_combined_reconstruct_fn,
+        sharded_reconstruct_fn,
+    )
+
+    fs = 8e6
+    carriers = [-2.4e6, 1.8e6]
+    n_c = 1 << 21
+    cap = tt.generate_iq_harmonics(MODE, fs, n_c, carriers,
+                                   amplitudes=[1.0, 0.8], snr_db=8.0,
+                                   seed=4)
+    mesh = make_mesh(8)
+    _, _, fs_chan = _channel_geometry(n_c, fs, 2e6)
+    cfg = ReconstructionConfig(sample_rate=fs_chan, mode=MODE, n_frames=1,
+                               input_format="envelope", align_subpixel=True)
+    step = sharded_combined_reconstruct_fn(cfg, mesh, fs, n_c, carriers,
+                                           60.0, chan_bw=2e6)
+    words = jnp.asarray(cap.iq.view(np.float32))
+    ema0 = jnp.zeros(cfg.render_size, jnp.float32)
+    ema, frames, sync, score, w, pol = step(words, ema0, jnp.float32(0.5))
+    assert frames.shape == (8, *cfg.render_size)
+
+    fvq = fs_chan / round(fs_chan / 60.0)
+    comb = tt.combine_harmonics(cap.iq, fs, carriers, chan_bw=2e6,
+                                refresh_hz=fvq)
+    np.testing.assert_allclose(np.asarray(w)[:2], comb.weights, atol=1e-3)
+    S = step.shard_samples
+    env_sh = jax.device_put(comb.envelope[: 8 * S].reshape(8, S),
+                            NamedSharding(mesh, P("blocks", None)))
+    chain = sharded_reconstruct_fn(cfg, mesh)
+    ema_ref, *_ = chain(env_sh, ema0, jnp.float32(0.5))
+    err = np.abs(np.asarray(ema) - np.asarray(ema_ref)).max()
+    assert err < 5e-3 * np.abs(np.asarray(ema_ref)).max(), err
 
 
 def test_envelope_input_format_matches_complex():
