@@ -33,7 +33,8 @@ from .io.synthetic import (
     render_frame,
     test_pattern,
 )
-from .ops.demod import am_demod, am_demod_power, invert_am_demod, fm_demod
+from .ops.demod import (am_demod, am_demod_power, invert_am_demod, fm_demod,
+                        fm_demod_rows)
 from .ops.spectrum import get_spectrum, get_welch, get_waterfall
 from .ops.autocorr import (
     autocorrelation,

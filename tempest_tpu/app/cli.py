@@ -145,7 +145,7 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
             iq, args.fs, chan_bw=args.chan_bw, n_frames=args.frames,
             alpha=alpha, invert=args.invert, rate_min=args.rate_min,
             rate_max=args.rate_max, restore=args.restore,
-            restore_nsr=args.restore_nsr,
+            restore_nsr=args.restore_nsr, demod=args.combine_demod,
         )
         if not results:
             print("no emissions detected in the band")
@@ -177,6 +177,7 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
                 restore=args.restore, restore_nsr=args.restore_nsr,
                 mode=(None if args.mode == "auto"
                       else ALL_VIDEO_MODES[args.mode]),
+                demod=args.combine_demod,
             )
         except ValueError as e:
             # No emissions found by the auto-discovery scan.
@@ -278,7 +279,8 @@ def cmd_stream(args: argparse.Namespace) -> int:
                           fidelity_bins=args.fidelity_bins,
                           ring_impl=args.ring,
                           config_overrides=overrides or None,
-                          combine=combine, combine_bw=args.chan_bw)
+                          combine=combine, combine_bw=args.chan_bw,
+                          combine_demod=args.combine_demod)
     if args.render == "terminal":
         sink = TerminalRenderer(crosshair=args.crosshair)
     elif args.render == "png":
@@ -397,10 +399,13 @@ def cmd_synth(args: argparse.Namespace) -> int:
     if args.harmonics:
         carriers = [float(x) for x in args.harmonics.split(",")]
         cap = generate_iq_harmonics(mode, args.fs, n, carriers,
-                                    snr_db=args.snr, seed=args.seed)
+                                    snr_db=args.snr, seed=args.seed,
+                                    modulation=args.modulation,
+                                    deviation_hz=args.deviation)
         extra = f", {len(carriers)} carriers"
     else:
-        cap = generate_iq(mode, args.fs, n, snr_db=args.snr, seed=args.seed)
+        cap = generate_iq(mode, args.fs, n, snr_db=args.snr, seed=args.seed,
+                          modulation=args.modulation)
         extra = ""
     write_complex_binary(cap.iq, args.out, args.format)
     print(f"wrote {args.out}: {len(cap.iq)} samples of {args.mode} "
@@ -529,7 +534,8 @@ def cmd_survey(args: argparse.Namespace) -> int:
     words = np.ascontiguousarray(iq, np.complex64).view(np.float32)
     res = scan_band(words, args.fs, centers, chan_bw=args.bw,
                     corr_seconds=args.seconds,
-                    rate_min=args.rate_min, rate_max=args.rate_max)
+                    rate_min=args.rate_min, rate_max=args.rate_max,
+                    demod=args.demod)
     lines = [f"survey of {args.input}: {len(centers)} channels x "
              f"{res.fs_channel/1e6:.2f} MHz"]
     ems = res.emissions(min_margin_db=args.margin)
@@ -559,7 +565,8 @@ def cmd_survey(args: argparse.Namespace) -> int:
         centers_hz = [e["best_channel_hz"] for e in group]
         timing, recon, comb = combined_reconstruct(
             iq, args.fs, centers_hz, chan_bw=args.bw, alpha=alpha,
-            rate_min=args.rate_min, rate_max=args.rate_max)
+            rate_min=args.rate_min, rate_max=args.rate_max,
+            demod=args.demod)
         png = os.path.join(args.out, f"screen_{i}.png")
         write_png(recon.image, png)
         lines.append(
@@ -706,6 +713,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "reconstruct the fusion")
     p.add_argument("--chan-bw", type=float, default=4e6,
                    help="per-carrier channel bandwidth for --combine [Hz]")
+    p.add_argument("--combine-demod", default="am", choices=["am", "fm"],
+                   help="per-channel demodulator for --combine: 'fm' runs "
+                        "the discriminator (frequency-leaking targets; the "
+                        "discovery sweep switches statistic too)")
     p.add_argument("--out", default="reconstruction.png")
     p.set_defaults(fn=cmd_reconstruct)
 
@@ -769,6 +780,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "for the strongest screen's harmonics first)")
     p.add_argument("--chan-bw", type=float, default=4e6,
                    help="per-carrier channel bandwidth for --combine [Hz]")
+    p.add_argument("--combine-demod", default="am", choices=["am", "fm"],
+                   help="per-channel demodulator of the live combine front")
     p.add_argument("--einsum-bf16", action="store_true",
                    help="weights einsum in bf16 — bit-exact on TPU (its f32 "
                         "matmuls run bf16 passes anyway), ~2%% faster "
@@ -823,6 +836,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="detection margin over the measured noise floor [dB]")
     p.add_argument("--alpha", default=0.7,
                    help="EMA coefficient for the reconstructions")
+    p.add_argument("--demod", default="am", choices=["am", "fm"],
+                   help="per-channel statistic/demodulator for the sweep "
+                        "and the fusions (FM-leaking targets)")
     p.add_argument("--out", default="survey",
                    help="report directory")
     p.set_defaults(fn=cmd_survey)
@@ -836,6 +852,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--harmonics", default=None, metavar="F1,F2,...",
                    help="radiate the screen at several carrier offsets [Hz] "
                         "(one shared envelope — the --combine test fixture)")
+    p.add_argument("--modulation", default="am", choices=["am", "fm"],
+                   help="leakage model: 'fm' rides each carrier at constant "
+                        "amplitude with the video in its frequency")
+    p.add_argument("--deviation", type=float, default=None,
+                   help="FM peak deviation [Hz] (default fs/64; keep inside "
+                        "the combiner's channel half-bandwidth)")
     p.add_argument("--out", default="synthetic.dat")
     p.set_defaults(fn=cmd_synth)
 

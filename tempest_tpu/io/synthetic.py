@@ -188,6 +188,8 @@ def generate_iq_harmonics(
     dc_level: float = 1.0,
     start_phase: float = 0.0,
     seed: int = 0,
+    modulation: str = "am",
+    deviation_hz: float | None = None,
 ) -> SyntheticCapture:
     """Wideband capture of ONE screen radiating at SEVERAL pixel-clock
     harmonics — the test fixture for multi-band combining (ops.combine).
@@ -200,7 +202,13 @@ def generate_iq_harmonics(
     The emitted signal is ``Σ_k A_k (dc + d_k·env) e^{j(2π f_k t + φ_k)}``
     plus one complex AWGN whose power is set ``snr_db`` below the strongest
     single carrier's modulated power (so per-carrier channel SNRs are
-    directly ``snr_db`` scaled by ``A_k²``)."""
+    directly ``snr_db`` scaled by ``A_k²``).
+
+    ``modulation="fm"`` models frequency-modulated leakage instead: each
+    carrier rides at constant amplitude ``A_k·dc`` with instantaneous
+    frequency ``f_k + d_k·deviation_hz·env`` (``depths`` scale — and may
+    invert — the deviation; ``deviation_hz`` defaults to ``sample_rate/64``
+    and must stay inside the combiner's channel half-bandwidth)."""
     rng = np.random.default_rng(seed)
     frame = render_frame(mode, visible)
     env = _sample_envelope(frame, mode, sample_rate, n_samples, start_phase)
@@ -210,14 +218,22 @@ def generate_iq_harmonics(
            else np.asarray(amplitudes, np.float64))
     dep = (np.full(k, 0.8) if depths is None
            else np.asarray(depths, np.float64))
+    if modulation not in ("am", "fm"):
+        raise ValueError(f"unknown modulation {modulation!r}")
+    dev = (sample_rate / 64.0 if deviation_hz is None else float(deviation_hz))
     t = np.arange(n_samples, dtype=np.float64)
     clean = np.zeros(n_samples, np.complex128)
     ref_power = 0.0
     for a, d, fc in zip(amp, dep, carriers):
         phi = rng.uniform(0.0, 2.0 * np.pi)
-        modulated = a * (dc_level + d * env)
-        clean += modulated * np.exp(
-            1j * (2.0 * np.pi * fc / sample_rate * t + phi))
+        if modulation == "fm":
+            modulated = np.full(n_samples, a * dc_level, np.float64)
+            inst_freq = fc + d * dev * env
+            theta = 2.0 * np.pi * np.cumsum(inst_freq) / sample_rate + phi
+        else:
+            modulated = a * (dc_level + d * env)
+            theta = 2.0 * np.pi * fc / sample_rate * t + phi
+        clean += modulated * np.exp(1j * theta)
         ref_power = max(ref_power, float(np.mean(modulated**2)))
     noise_power = ref_power / (10.0 ** (snr_db / 10.0))
     noise = np.sqrt(noise_power / 2.0) * (

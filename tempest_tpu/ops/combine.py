@@ -47,6 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from .autocorr import autocorrelation
+from .demod import fm_demod_rows
 from .scan import _channelize_complex, _channel_geometry, _selection_prominence
 
 __all__ = ["CombineResult", "combine_core", "combine_harmonics"]
@@ -69,7 +70,8 @@ class CombineResult:
 
 
 def combine_core(words, fs, centers, chan_bw, fs_chan, corr_seconds,
-                 rate_min, rate_max, weighting, refresh_hz=None):
+                 rate_min, rate_max, weighting, refresh_hz=None,
+                 demod="am"):
     """Traceable combine: channelise → polarity → MRC weights → fusion.
 
     ``(env, weights, polarity, mass_db, refresh)`` with everything but
@@ -85,9 +87,20 @@ def combine_core(words, fs, centers, chan_bw, fs_chan, corr_seconds,
     estimator (no band-median removal / peak widening), which is irrelevant
     for its only use here: the 40 dB relative gate between channels of ONE
     program.  ``None`` (offline default) keeps the full search and honest
-    per-channel refresh estimates."""
+    per-channel refresh estimates.
+
+    ``demod`` (static): ``"am"`` (default — amplitude envelope per channel)
+    or ``"fm"`` (per-channel FM discriminator, ``ops.demod.fm_demod_rows``).
+    Some targets leak the video in the carrier's FREQUENCY rather than its
+    amplitude (the reference exposes ``fmDemod`` for exactly this,
+    ``Demodulation.jl:17-23`` — but only ever on the single tuned carrier);
+    every downstream stage (comb mass, polarity, frame-periodic MRC) works
+    on the mean-removed demodulated rows and is demod-agnostic."""
     chans, _ = _channelize_complex(words, fs, np.asarray(centers), chan_bw)
-    amp = jnp.abs(chans).astype(jnp.float32)          # (K, M) AM envelopes
+    if demod == "fm":
+        amp = fm_demod_rows(chans)                    # (K, M) discriminator
+    else:
+        amp = jnp.abs(chans).astype(jnp.float32)      # (K, M) AM envelopes
     mean = jnp.mean(amp, axis=1, keepdims=True)
     env0 = amp - mean
     var = jnp.mean(env0 * env0, axis=1)               # σ_k²
@@ -168,6 +181,17 @@ def combine_core(words, fs, centers, chan_bw, fs_chan, corr_seconds,
         # interference is not screen signal).
         w = jnp.where(mass_db > mass_db[anchor] - 40.0, w, 0.0)
     w = w / jnp.maximum(jnp.sum(w), 1e-30)
+    # Deterministic output polarity: ``pol`` is measured relative to the
+    # data-dependent anchor (the strongest channel), which may itself carry
+    # INVERTED modulation — equal-strength harmonics then make the fused
+    # video's sense an arbitrary draw (measured: an FM fixture whose pass-2
+    # anchor landed on the inverted carrier reconstructed at 6.0 dB vs 14.1
+    # for the flip).  Re-base to the first carrier that survives gating, so
+    # the contract is "the fused envelope carries centers_hz[0]'s
+    # modulation sense" — reproducible, and the operator's existing
+    # ``invert`` knob handles the (physically unknowable) absolute sense.
+    first = jnp.argmax(w > 0.0)
+    pol = pol * pol[first]
     env = jnp.einsum("k,km->m", w * pol, env0,
                      preferred_element_type=jnp.float32)
     # Re-add the combined DC so the output looks like a standard positive
@@ -178,7 +202,7 @@ def combine_core(words, fs, centers, chan_bw, fs_chan, corr_seconds,
 
 _combine_kernel = partial(jax.jit, static_argnames=(
     "fs", "centers", "chan_bw", "fs_chan", "corr_seconds", "rate_min",
-    "rate_max", "weighting", "refresh_hz"))(combine_core)
+    "rate_max", "weighting", "refresh_hz", "demod"))(combine_core)
 
 
 def combine_harmonics(
@@ -191,6 +215,7 @@ def combine_harmonics(
     rate_max: float = 90.0,
     weighting: str = "mrc",
     refresh_hz: float | str | None = "auto",
+    demod: str = "am",
 ) -> CombineResult:
     """Extract and fuse the emission at each carrier of ``centers_hz`` from
     one wideband capture.
@@ -208,7 +233,11 @@ def combine_harmonics(
     (``combine_core(refresh_hz=...)``).  A float skips the scoring pass
     (the streaming runtime's mode of use); ``None`` keeps the single-pass
     lag-1 MRC, which misreads coherent in-channel interference as signal —
-    kept for comparison only."""
+    kept for comparison only.
+
+    ``demod``: ``"am"`` (envelope) or ``"fm"`` (per-channel discriminator,
+    for targets that leak the video in carrier frequency — the reference's
+    ``fmDemod`` path, single-carrier only there)."""
     if isinstance(iq, np.ndarray) and np.iscomplexobj(iq):
         iq = np.ascontiguousarray(iq, np.complex64).view(np.float32)
     iq = jnp.asarray(iq)
@@ -219,7 +248,8 @@ def combine_harmonics(
             float(rate_max), weighting)
     two_pass = refresh_hz == "auto" and weighting == "mrc"
     env, w, pol, mass_db, fv = _combine_kernel(
-        *args, refresh_hz=None if refresh_hz == "auto" else refresh_hz)
+        *args, refresh_hz=None if refresh_hz == "auto" else refresh_hz,
+        demod=demod)
     if two_pass:
         mass1, fv1 = mass_db, fv  # honest per-channel diagnostics (pass 1)
         fv_anchor = float(np.asarray(fv)[int(np.argmax(np.asarray(mass_db)))])
@@ -228,7 +258,8 @@ def combine_harmonics(
         # sub-mHz jitter cannot mint a fresh XLA compile per capture — the
         # box-3 lag neighbourhood absorbs the ≤0.5-sample rounding.
         fv_anchor = fs_chan / round(fs_chan / fv_anchor)
-        env, w, pol, _, _ = _combine_kernel(*args, refresh_hz=fv_anchor)
+        env, w, pol, _, _ = _combine_kernel(*args, refresh_hz=fv_anchor,
+                                            demod=demod)
         mass_db, fv = mass1, fv1
     return CombineResult(
         envelope=np.asarray(env, np.float32),

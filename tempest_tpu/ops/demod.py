@@ -22,6 +22,7 @@ __all__ = [
     "am_power_from_iq",
     "fm_demod_from_iq",
     "fm_demod_from_iq_planar",
+    "fm_demod_rows",
     "invert_am_demod",
     "fm_demod",
     "to_planar_iq",
@@ -146,6 +147,25 @@ def fm_demod_from_iq(iq: jnp.ndarray) -> jnp.ndarray:
     re1, im1 = re[1:], im[1:]
     disc = jnp.arctan2(im1 * re0 - re1 * im0, re1 * re0 + im1 * im0)
     return jnp.concatenate([jnp.zeros((1,), disc.dtype), disc])
+
+
+def fm_demod_rows(chans: jnp.ndarray) -> jnp.ndarray:
+    """Batched FM discriminator over complex rows — shape (..., M) complex
+    in, (..., M) float32 out with column 0 zeroed (the reference's
+    ``fmDemod`` convention, ``Demodulation.jl:17-23``, vectorised over a
+    bank of channels).
+
+    This is the per-channel demodulator of the FM harmonic-combining front
+    (``ops.combine.combine_core(demod="fm")``): the channeliser's complex
+    channels stay on-device (complex host transfers are unimplemented on
+    some TPU runtimes) and the discriminator is pure real elementwise ops —
+    XLA fuses it into whatever consumes the rows."""
+    re, im = jnp.real(chans), jnp.imag(chans)
+    cross = im[..., 1:] * re[..., :-1] - re[..., 1:] * im[..., :-1]
+    dotp = re[..., 1:] * re[..., :-1] + im[..., 1:] * im[..., :-1]
+    disc = jnp.arctan2(cross, dotp).astype(jnp.float32)
+    return jnp.concatenate(
+        [jnp.zeros(disc.shape[:-1] + (1,), disc.dtype), disc], axis=-1)
 
 
 def fm_demod(sig: jnp.ndarray) -> jnp.ndarray:

@@ -138,7 +138,8 @@ class ScanResult:
 
 
 def _noise_floor(fs, n_env: int, corr_seconds, rate_min, rate_max,
-                 harmonics: int = 5, draws: int = 4) -> jnp.ndarray:
+                 harmonics: int = 5, draws: int = 4,
+                 demod: str = "am") -> jnp.ndarray:
     """Measured noise selection floor [dB] for ONE window geometry.
 
     The comb estimator maximises over thousands of candidate periods, so
@@ -165,7 +166,15 @@ def _noise_floor(fs, n_env: int, corr_seconds, rate_min, rate_max,
 
     z = jrandom.normal(jrandom.PRNGKey(7), (int(draws), 2, int(n_env)),
                        jnp.float32)
-    env = z[:, 0, :] ** 2 + z[:, 1, :] ** 2
+    if demod == "fm":
+        # The exact null of an empty channel under the FM discriminator:
+        # phase increments of complex white noise (run through the identical
+        # demodulator the real channels get).
+        from .demod import fm_demod_rows
+
+        env = fm_demod_rows(jax.lax.complex(z[:, 0, :], z[:, 1, :]))
+    else:
+        env = z[:, 0, :] ** 2 + z[:, 1, :] ** 2
 
     def one(e):
         e0 = e - jnp.mean(e)
@@ -295,15 +304,52 @@ def _channel_geometry(n_samples: int, fs: float, chan_bw: float):
     return N, M, fs * M / N
 
 
+def _excise_spikes(bands: jnp.ndarray, margin_db: float,
+                   guard_bins: int = 2, dilate_bins: int = 8) -> jnp.ndarray:
+    """Null narrowband interference in channel spectra (K, M), carrier at
+    bin 0 — bins louder than the channel's own carrier peak.
+
+    A CW interferer inside a channel beats against the emission's carrier
+    and the AM envelope picks the beat up as sample-correlated power; the
+    robust MRC already refuses to *weight* such a channel
+    (``combine_core``), but excision *recovers* it.  A naive spike notch is
+    WRONG here — the emission's own spectrum is a forest of narrow lines
+    (the raster is near-periodic: carrier ± k·line-rate comb), so "null
+    everything spiky" deletes the signal.  The criterion that protects the
+    comb grid by construction: the carrier line is always the STRONGEST
+    line of an AM screen emission (unit DC vs depth·env sidebands spread
+    over many lines), so only bins exceeding the carrier peak by
+    ``margin_db`` are presumed interference.  ``guard_bins`` protects the
+    carrier's own leakage skirt (±bins around DC); ``dilate_bins`` widens
+    each detection to swallow the interferer's sinc skirt (rectangular
+    window leakage decays ~1/Δ, and the residual skirt still beats)."""
+    p = jnp.real(bands) ** 2 + jnp.imag(bands) ** 2
+    m = bands.shape[-1]
+    idx = jnp.arange(m)
+    prot = (idx <= guard_bins) | (idx >= m - guard_bins)
+    ref = jnp.max(jnp.where(prot, p, 0.0), axis=-1, keepdims=True)
+    hit = (~prot) & (p > ref * 10.0 ** (margin_db / 10.0))
+    # Circular box dilation by static rolls (small, fuses to elementwise).
+    wide = hit
+    for d in range(1, dilate_bins + 1):
+        wide = wide | jnp.roll(hit, d, axis=-1) | jnp.roll(hit, -d, axis=-1)
+    return jnp.where(wide, 0.0, bands)
+
+
 def _channelize_complex(
     iq_words: jnp.ndarray,
     fs: float,
     centers_hz: np.ndarray,
     chan_bw: float,
+    excise_db: float | None = None,
 ) -> tuple[jnp.ndarray, float]:
     """Traceable core of :func:`channelize` — returns the (K, M) complex64
     channels for on-device consumption (the complex values must stay inside
-    the program on TPU backends without complex host transfers)."""
+    the program on TPU backends without complex host transfers).
+
+    ``excise_db``: when set, narrowband interference above each channel's
+    carrier peak by this margin is nulled in the spectrum before the
+    inverse FFT (see :func:`_excise_spikes`)."""
     n_c = iq_words.shape[0] // 2
     N, M, fs_chan = _channel_geometry(n_c, fs, chan_bw)
     ri = iq_words[: 2 * N].reshape(N, 2)
@@ -359,21 +405,32 @@ def channelize(
 
 
 @partial(jax.jit, static_argnames=("fs", "centers", "chan_bw", "fs_chan",
-                                   "corr_seconds", "rate_min", "rate_max"))
+                                   "corr_seconds", "rate_min", "rate_max",
+                                   "demod"))
 def _sweep_kernel(words, fs, centers, chan_bw, fs_chan, corr_seconds,
-                  rate_min, rate_max):
+                  rate_min, rate_max, demod="am"):
     """Module-level jitted sweep: a per-call ``jax.jit`` closure would
     re-trace and re-lower on EVERY invocation (measured 18 s per warm sweep
-    through the remote-compile tunnel vs sub-second execution)."""
+    through the remote-compile tunnel vs sub-second execution).
+
+    ``demod`` picks the per-channel detection statistic: ``"am"`` scores the
+    squared envelope (AM leakage), ``"fm"`` the discriminator output (FM
+    leakage — an FM emission's AMPLITUDE is flat, so the AM sweep is blind
+    to it); the noise floor runs the matching null surrogate."""
     chans, _ = _channelize_complex(words, fs, np.asarray(centers), chan_bw)
 
-    def score_one(ch):
-        env = jnp.real(ch) ** 2 + jnp.imag(ch) ** 2
-        return _comb_contrast(env, fs_chan, corr_seconds, rate_min, rate_max)
+    if demod == "fm":
+        from .demod import fm_demod_rows
 
-    mass, prom, fv = jax.vmap(score_one)(chans)
+        envs = fm_demod_rows(chans)
+    else:
+        envs = jnp.real(chans) ** 2 + jnp.imag(chans) ** 2
+
+    mass, prom, fv = jax.vmap(
+        lambda env: _comb_contrast(env, fs_chan, corr_seconds,
+                                   rate_min, rate_max))(envs)
     floor = _noise_floor(fs_chan, chans.shape[1], corr_seconds,
-                         rate_min, rate_max)
+                         rate_min, rate_max, demod=demod)
     return mass, prom, fv, floor
 
 
@@ -385,6 +442,7 @@ def scan_band(
     corr_seconds: float = 0.1,
     rate_min: float = 50.0,
     rate_max: float = 90.0,
+    demod: str = "am",
 ) -> ScanResult:
     """Score every candidate carrier in a wideband capture (ONE program).
 
@@ -392,6 +450,11 @@ def scan_band(
     Per channel: envelope power → FFT autocorrelation over ``corr_seconds``
     → refresh-band zoom → comb contrast (max − median, dB) and the refined
     refresh estimate.  Returns a :class:`ScanResult` over ``centers_hz``.
+
+    ``demod="fm"`` scores the per-channel FM discriminator instead of the
+    squared envelope — an FM emission rides at constant amplitude, so the
+    AM statistic is blind to it (and vice versa: run both to survey a band
+    for both leakage modes).
     """
     if isinstance(iq_words, np.ndarray) and np.iscomplexobj(iq_words):
         iq_words = np.ascontiguousarray(iq_words, np.complex64).view(np.float32)
@@ -406,7 +469,7 @@ def scan_band(
     scores, proms, fvs, floor = _sweep_kernel(
         iq_words, float(fs), tuple(float(c) for c in centers),
         float(chan_bw), float(fs_chan), float(corr_seconds),
-        float(rate_min), float(rate_max))
+        float(rate_min), float(rate_max), demod=demod)
     return ScanResult(
         centers_hz=centers,
         scores_db=np.asarray(scores, np.float64),

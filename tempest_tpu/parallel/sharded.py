@@ -705,7 +705,8 @@ def sharded_scan_band(
 
 
 def _combine_local_builder(axis, K, M, N, fs_chan, corr_seconds,
-                           rate_min, rate_max, weighting, fv_known):
+                           rate_min, rate_max, weighting, fv_known,
+                           demod="am"):
     """shard_map-local kernel of the channel-sharded combine — one device's
     slice of carriers, with the three small collectives (all_gather masses,
     one-hot psum anchor envelope, psum fusion).  ``fv_known`` None = full
@@ -716,11 +717,15 @@ def _combine_local_builder(axis, K, M, N, fs_chan, corr_seconds,
     from ..ops.autocorr import autocorrelation
     from ..ops.scan import _selection_prominence
 
+    from ..ops.demod import fm_demod_rows
+
     def local(spec_w, starts_loc, kidx_loc):
             def one(b0):
                 band = jax.lax.dynamic_slice(spec_w, (b0,), (M,))
                 band = jnp.roll(band, -(M // 2))
                 ch = jnp.fft.ifft(band) * (M / N)
+                if demod == "fm":
+                    return fm_demod_rows(ch)
                 return jnp.abs(ch).astype(jnp.float32)
 
             amp = jax.vmap(one)(starts_loc)              # (Kl, M) envelopes
@@ -787,6 +792,17 @@ def _combine_local_builder(axis, K, M, N, fs_chan, corr_seconds,
             w = jnp.where(valid, w, 0.0)
             wsum = jax.lax.psum(jnp.sum(w), axis)
             w = w / jnp.maximum(wsum, 1e-30)
+            # Deterministic output polarity (mirrors combine_core): re-base
+            # from the data-dependent anchor to the globally-first gated
+            # carrier — two more scalar collectives (pmin of the candidate
+            # index, psum of the one-hot-selected sign).
+            cand = jnp.where(w > 0.0, kidx_loc.astype(jnp.int32),
+                             jnp.int32(2**30))
+            gfirst = jax.lax.pmin(jnp.min(cand), axis)
+            sign = jax.lax.psum(
+                jnp.sum(jnp.where(kidx_loc == gfirst, pol, 0.0)), axis)
+            sign = jnp.where(sign == 0.0, 1.0, sign)
+            pol = pol * sign
             env = jax.lax.psum((w * pol) @ env0, axis)
             env = env + jax.lax.psum(jnp.sum(w * mean[:, 0]), axis)
             return env, w, pol, mass_db, fv
@@ -806,6 +822,7 @@ def sharded_combine_harmonics(
     rate_max: float = 90.0,
     weighting: str = "mrc",
     refresh_hz: float | str | None = "auto",
+    demod: str = "am",
 ):
     """Multi-harmonic combining with the carriers sharded across the mesh —
     channel parallelism for :func:`tempest_tpu.ops.combine.combine_harmonics`
@@ -845,7 +862,7 @@ def sharded_combine_harmonics(
     def make_local(fv_known):
         return _combine_local_builder(
             axis, K, M, N, fs_chan, corr_seconds, rate_min, rate_max,
-            weighting, fv_known)
+            weighting, fv_known, demod=demod)
 
     def run_pass(fv_known):
         sharded = jax.shard_map(
@@ -902,6 +919,7 @@ def sharded_combined_reconstruct_fn(
     axis: str = "blocks",
     chan_bw: float = 4e6,
     weighting: str = "mrc",
+    demod: str = "am",
 ):
     """ONE multi-chip program for fused reconstruction: the combine front
     with the CARRIERS sharded across the mesh (``_combine_local_builder`` —
@@ -946,7 +964,7 @@ def sharded_combined_reconstruct_fn(
     front = jax.shard_map(
         _combine_local_builder(axis, K, M, N, fs_chan, 0.1,
                                max(fv_q - 5.0, 20.0), fv_q + 5.0,
-                               weighting, fv_q),
+                               weighting, fv_q, demod=demod),
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
         out_specs=(P(), P(axis), P(axis), P(axis), P(axis)),

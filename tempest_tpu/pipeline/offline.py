@@ -1142,6 +1142,7 @@ def combined_reconstruct(
     restore_nsr: float = 0.002,
     min_margin_db: float = 5.0,
     mode: VideoMode | None = None,
+    demod: str = "am",
 ):
     """Multi-harmonic capture → image: find (or take) the screen's carriers
     in ONE wideband capture, fuse their envelopes at maximal ratio
@@ -1156,7 +1157,12 @@ def combined_reconstruct(
     Beyond the reference: its operator tunes to one carrier at a time
     (``GUI.jl:594-605``); combining K equal-strength harmonics buys up to
     ``10·log10(K)`` dB of envelope SNR before the sync stages (measured
-    gains in tests/test_combine.py and exp/exp_r4_combine.py)."""
+    gains in tests/test_combine.py and exp/exp_r4_combine.py).
+
+    ``demod="fm"`` runs the per-channel FM discriminator instead of the
+    amplitude envelope — both the discovery sweep and the fusion — for
+    targets that leak the video in carrier frequency (the reference's
+    ``fmDemod``, ``Demodulation.jl:17-23``, is single-carrier only)."""
     from ..ops.combine import combine_harmonics
 
     iq = np.asarray(iq)
@@ -1164,14 +1170,15 @@ def combined_reconstruct(
         iq = np.ascontiguousarray(iq, np.complex64).view(np.float32)
     if centers_hz is None:
         screens = discover_screens(iq, fs, chan_bw, corr_seconds,
-                                   rate_min, rate_max, min_margin_db)
+                                   rate_min, rate_max, min_margin_db,
+                                   demod=demod)
         if not screens:
             raise ValueError(
                 "no emissions detected in the band; pass centers_hz "
                 "explicitly or lower min_margin_db")
         centers_hz = [e["best_channel_hz"] for e in screens[0]]
     comb = combine_harmonics(iq, fs, centers_hz, chan_bw, corr_seconds,
-                             rate_min, rate_max, weighting)
+                             rate_min, rate_max, weighting, demod=demod)
     return _reconstruct_from_combine(comb, n_frames, alpha, invert,
                                      corr_seconds, rate_min, rate_max,
                                      restore, restore_nsr, mode)
@@ -1222,6 +1229,7 @@ def discover_screens(
     min_margin_db: float = 5.0,
     refresh_group_hz: float = 0.005,
     scan_result=None,
+    demod: str = "am",
 ) -> list[list[dict]]:
     """Scan the band and group detected emissions into distinct SCREENS.
 
@@ -1247,7 +1255,7 @@ def discover_screens(
         centers = scan_centers(fs, step_hz=chan_bw / 2.0,
                                guard_hz=chan_bw / 2.0)
         scan_result = scan_band(iq, fs, centers, chan_bw, corr_seconds,
-                                rate_min, rate_max)
+                                rate_min, rate_max, demod=demod)
     ems = scan_result.emissions(min_margin_db=min_margin_db)
     screens: list[list[dict]] = []
     for e in ems:  # already ordered by comb mass
@@ -1276,6 +1284,7 @@ def reconstruct_all_emissions(
     min_margin_db: float = 5.0,
     refresh_group_hz: float = 0.005,
     max_screens: int | None = None,
+    demod: str = "am",
 ) -> list[tuple]:
     """Reconstruct EVERY screen radiating in one wideband capture.
 
@@ -1289,7 +1298,8 @@ def reconstruct_all_emissions(
     if np.iscomplexobj(iq):
         iq = np.ascontiguousarray(iq, np.complex64).view(np.float32)
     screens = discover_screens(iq, fs, chan_bw, corr_seconds, rate_min,
-                               rate_max, min_margin_db, refresh_group_hz)
+                               rate_max, min_margin_db, refresh_group_hz,
+                               demod=demod)
     out = []
     for group in screens[:max_screens]:
         centers_hz = [e["best_channel_hz"] for e in group]
@@ -1297,5 +1307,5 @@ def reconstruct_all_emissions(
             iq, fs, centers_hz, chan_bw=chan_bw, n_frames=n_frames,
             alpha=alpha, invert=invert, corr_seconds=corr_seconds,
             rate_min=rate_min, rate_max=rate_max, weighting=weighting,
-            restore=restore, restore_nsr=restore_nsr))
+            restore=restore, restore_nsr=restore_nsr, demod=demod))
     return out

@@ -49,7 +49,7 @@ commands (reference GUI widget in parens):
   scan F1 F2 ...    retune across carriers [Hz], score screen-ness per dwell,
                     tune to the best (no reference equivalent: its operator
                     hunts the waterfall by eye)
-  combine auto|off|F1 F2 ...
+  combine auto|off|am|fm|F1 F2 ...
                     live multi-harmonic fusion: channelise every block at
                     these carrier offsets [Hz] and reconstruct the MRC-fused
                     envelope; `auto` scans the stream for the strongest
@@ -267,6 +267,11 @@ class OperatorConsole:
                                               for c in centers))
                     else:
                         self._say("no emissions detected — combine off")
+                elif args[0].lower() in ("am", "fm"):
+                    # Switch the front's per-channel demodulator in place
+                    # (rebuilds only if combining is active).
+                    rt.set_combine(rt._combine_centers, demod=args[0].lower())
+                    self._say(f"combine demod = {args[0].lower()}")
                 else:
                     centers = [float(a) for a in
                                " ".join(args).replace(",", " ").split()]

@@ -64,6 +64,7 @@ class StreamingRuntime:
         config_overrides: dict | None = None,
         combine: list[float] | None = None,
         combine_bw: float = 4e6,
+        combine_demod: str = "am",
     ) -> None:
         """``fidelity=True`` selects the highest-measured-fidelity chain:
         sub-sample-exact frame cuts with the per-frame sync stage skipped
@@ -102,6 +103,10 @@ class StreamingRuntime:
         # feeds the reconstruction chain at the channel rate.
         self._combine_centers = list(combine) if combine else None
         self._combine_bw = float(combine_bw)
+        # Per-channel demodulator of the combine front: "am" (envelope) or
+        # "fm" (discriminator — ops.demod.fm_demod_rows) for targets whose
+        # video leaks in carrier frequency.
+        self._combine_demod = str(combine_demod)
         self._combine_front = None     # jitted words -> (env, w, pol, mass)
         self.combine_weights = None    # device arrays from the last block
         self._rebuild()
@@ -227,11 +232,14 @@ class StreamingRuntime:
         fv = float(self._mode.refresh)
         block_len = self.config.block_samples
 
+        demod = self._combine_demod
+
         @jax.jit
         def front(words):
             env, w, pol, mass, _ = combine_core(
                 words, fs, centers, bw, fs_chan, 0.1,
-                max(fv - 5.0, 20.0), fv + 5.0, "mrc", refresh_hz=fv)
+                max(fv - 5.0, 20.0), fv + 5.0, "mrc", refresh_hz=fv,
+                demod=demod)
             return env[:block_len], w, pol, mass
 
         return front
@@ -311,7 +319,8 @@ class StreamingRuntime:
         self._rebuild()
 
     def set_combine(self, centers_hz: list[float] | None,
-                    chan_bw: float | None = None) -> None:
+                    chan_bw: float | None = None,
+                    demod: str | None = None) -> None:
         """Turn live multi-harmonic combining on (carrier offsets in Hz,
         relative to the source's tuned center) or off (``None``) mid-stream.
         Every block is then channelised at these carriers and the MRC-fused
@@ -319,10 +328,13 @@ class StreamingRuntime:
         channel rate — the per-channel weights/polarity/comb-mass of the
         last block are kept on ``self.combine_weights``.  The reference
         operator can only tune to one carrier at a time
-        (``GUI.jl:594-605``)."""
+        (``GUI.jl:594-605``).  ``demod`` switches the front's per-channel
+        demodulator ("am"/"fm") — ``None`` keeps the current setting."""
         self._combine_centers = list(centers_hz) if centers_hz else None
         if chan_bw is not None:
             self._combine_bw = float(chan_bw)
+        if demod is not None:
+            self._combine_demod = str(demod)
         self.combine_weights = None
         self._rebuild()
 
@@ -799,6 +811,7 @@ class StreamingRuntime:
                 {
                     "centers_hz": list(self._combine_centers),
                     "chan_bw": self._combine_bw,
+                    "demod": self._combine_demod,
                     "fs_channel": self._combine_geometry[2],
                     "weights": (
                         np.asarray(self.combine_weights[0]).round(3).tolist()
@@ -830,6 +843,7 @@ class StreamingRuntime:
                 frames_out=self.frames_out,
                 combine_centers=self._combine_centers,
                 combine_bw=self._combine_bw,
+                combine_demod=self._combine_demod,
             ),
             path,
         )
@@ -848,6 +862,7 @@ class StreamingRuntime:
         self._combine_centers = (list(state.combine_centers)
                                  if state.combine_centers else None)
         self._combine_bw = state.combine_bw
+        self._combine_demod = state.combine_demod
         self._rebuild()
         self._ema = state.ema
         self._abs_pos = state.abs_pos

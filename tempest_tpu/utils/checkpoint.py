@@ -36,6 +36,7 @@ class RuntimeState:
     # channel bandwidth.  Empty/None = combining off.
     combine_centers: list[float] | None = None
     combine_bw: float = 4e6
+    combine_demod: str = "am"
 
 
 def save_state(state: RuntimeState, path: str) -> None:
@@ -50,6 +51,7 @@ def save_state(state: RuntimeState, path: str) -> None:
         frames_out=np.int64(state.frames_out),
         combine_centers=np.asarray(state.combine_centers or [], np.float64),
         combine_bw=np.float64(state.combine_bw),
+        combine_demod=np.str_(state.combine_demod),
     )
 
 
@@ -73,4 +75,6 @@ def load_state(path: str) -> RuntimeState:
             combine_centers=centers or None,
             combine_bw=(float(z["combine_bw"])
                         if "combine_bw" in z.files else 4e6),
+            combine_demod=(str(z["combine_demod"])
+                           if "combine_demod" in z.files else "am"),
         )

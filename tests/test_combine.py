@@ -207,14 +207,15 @@ def test_reconstruct_all_emissions_two_screens(tmp_path, capsys):
         assert png.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
 
 
-def _stream_ema(path, fs, mode, centers, blocks=5, alpha=0.5, bw=2e6):
+def _stream_ema(path, fs, mode, centers, blocks=5, alpha=0.5, bw=2e6,
+                demod="am"):
     from tempest_tpu.runtime.sources import open_source
     from tempest_tpu.runtime.stream import StreamingRuntime
 
     src = open_source("replay", sample_rate=fs, block_size=int(fs * 0.25),
                       path=str(path))
     rt = StreamingRuntime(src, mode, alpha=alpha, combine=centers,
-                          combine_bw=bw)
+                          combine_bw=bw, combine_demod=demod)
     rt.start()
     try:
         img = rt.process_blocks(blocks)
@@ -510,6 +511,128 @@ def test_sharded_combined_reconstruct_composition():
     ema_ref, *_ = chain(env_sh, ema0, jnp.float32(0.5))
     err = np.abs(np.asarray(ema) - np.asarray(ema_ref)).max()
     assert err < 5e-3 * np.abs(np.asarray(ema_ref)).max(), err
+
+
+def _fm_cap(snr_db=2.0, n_frac=0.55):
+    """FM-leakage fixture: three equal-strength carriers, the video riding
+    in each carrier's FREQUENCY (1.2 MHz peak deviation, inside the 4 MHz
+    channels), the third with inverted deviation."""
+    return tt.generate_iq_harmonics(
+        MODE, FS, int(FS * n_frac), CARRIERS, snr_db=snr_db,
+        amplitudes=[1.0, 1.0, 1.0], depths=[0.8, 0.8, -0.8],
+        modulation="fm", deviation_hz=1.2e6, seed=3)
+
+
+def test_fm_harmonic_combining_beats_single():
+    """FM leakage (video in carrier frequency, constant amplitude): the
+    per-channel discriminator front (demod="fm") must fuse the three
+    carriers into a better image than the best single one (measured +0.98
+    dB at 2 dB SNR; +0.21 at 10 where the chain's ceiling compresses), flip
+    the inverted-deviation carrier, and re-base the output polarity to the
+    FIRST carrier — with equal masses the anchor draw is arbitrary, and an
+    inverted anchor measurably cost 8 dB before the re-basing."""
+    cap = _fm_cap(snr_db=2.0)
+    truth = _truth(cap)
+    t1, r1, _ = combined_reconstruct(cap.iq, FS, [CARRIERS[0]], alpha=0.3,
+                                     demod="fm")
+    t3, r3, c3 = combined_reconstruct(cap.iq, FS, CARRIERS, alpha=0.3,
+                                      demod="fm")
+    assert t3.mode_name == "640x480 @ 60Hz"
+    np.testing.assert_array_equal(c3.polarity, [1.0, 1.0, -1.0])
+    p1, _ = aligned_psnr(truth, r1.image)
+    p3, _ = aligned_psnr(truth, r3.image)
+    assert p3 > p1 + 0.5, f"single {p1:.2f}, fused {p3:.2f}"
+    assert min(c3.weights) > 0.25  # equal-strength carriers, balanced MRC
+
+
+def test_fm_scan_detects_fm_emission():
+    """The FM band sweep (scan_band(demod="fm")) must detect an FM emission
+    over its own measured discriminator noise floor, with the right refresh.
+    (The AM statistic is NOT asserted blind: brick-wall channel edges
+    convert FM sidebands to AM, so it sees *something* — the FM statistic
+    is the honest detector for constant-amplitude carriers.)"""
+    from tempest_tpu.ops.scan import scan_band, scan_centers
+
+    cap = _fm_cap(snr_db=10.0, n_frac=0.3)
+    centers = scan_centers(FS, step_hz=2e6, guard_hz=2e6)
+    res = scan_band(cap.iq, FS, centers, corr_seconds=0.1, demod="fm")
+    ems = res.emissions(min_margin_db=5.0)
+    assert ems, "FM sweep detected nothing"
+    assert abs(ems[0]["refresh_hz"] - 60.0) < 0.05
+    # The discriminator null's floor is measured, not inherited from AM.
+    assert 2.0 < res.floor_db[0] < 14.0
+
+
+def test_sharded_fm_combine_matches_single_device():
+    """Channel-sharded FM combining must match the single-device kernel
+    (same demod="fm" discriminator inside the shard_map local)."""
+    from tempest_tpu.parallel.mesh import make_mesh
+    from tempest_tpu.parallel.sharded import sharded_combine_harmonics
+
+    cap = _fm_cap(snr_db=6.0, n_frac=0.3)
+    ref = tt.combine_harmonics(cap.iq, FS, CARRIERS, demod="fm")
+    sh = sharded_combine_harmonics(cap.iq, FS, CARRIERS, make_mesh(8),
+                                   demod="fm")
+    np.testing.assert_array_equal(ref.polarity, sh.polarity)
+    # The discriminator's atan2 makes the mass dots reassociation-sensitive
+    # (measured 7e-8 relative on the 8-device mesh) — near-exact, not exact
+    # like the AM path's plain envelope dots.
+    np.testing.assert_allclose(ref.mass_db, sh.mass_db, rtol=1e-6)
+    np.testing.assert_allclose(ref.weights, sh.weights, rtol=1e-5)
+    scale = np.abs(ref.envelope).max()
+    np.testing.assert_allclose(sh.envelope, ref.envelope, atol=1e-5 * scale)
+
+
+def test_streaming_combine_fm(tmp_path):
+    """Live FM combining: the runtime's front discriminates every channel
+    per block (combine_demod="fm") and the fused stream must beat the
+    single carrier, carrying polarity/weights through health()."""
+    from tempest_tpu.io.dat import write_complex_binary
+
+    fs = 8e6
+    carriers = [-2.4e6, 1.8e6]
+    cap = tt.generate_iq_harmonics(MODE, fs, int(fs * 1.3), carriers,
+                                   amplitudes=[1.0, 1.0],
+                                   depths=[0.8, -0.8], snr_db=2.0,
+                                   modulation="fm", deviation_hz=0.6e6,
+                                   seed=4)
+    path = tmp_path / "hfm.dat"
+    write_complex_binary(cap.iq, str(path), "single")
+    truth = _truth(cap)
+    img1, _ = _stream_ema(path, fs, MODE, [carriers[0]], alpha=0.7,
+                          demod="fm")
+    img2, rt = _stream_ema(path, fs, MODE, carriers, alpha=0.7, demod="fm")
+    p1, _ = aligned_psnr(truth, img1)
+    p2, _ = aligned_psnr(truth, img2)
+    assert p2 > p1 + 0.2, f"single {p1:.2f}, fused {p2:.2f}"
+    info = rt.health()["combine"]
+    assert info["demod"] == "fm"
+    w = info["weights"]
+    assert min(w) > 0.3, w
+
+
+def test_cli_synth_fm_harmonics_combine(tmp_path, capsys):
+    """CLI surface: synth --modulation fm writes an FM multi-carrier
+    capture that reconstruct --combine --combine-demod fm fuses."""
+    from tempest_tpu.app.cli import main as cli_main
+
+    cap = tmp_path / "hfm.dat"
+    out = tmp_path / "cfm.png"
+    assert cli_main([
+        "synth", "--mode", "640x480 @ 60Hz", "--fs", str(FS),
+        "--seconds", "0.3", "--snr", "10",
+        "--harmonics=-8e6,2.5e6,11e6", "--modulation", "fm",
+        "--deviation", "1.2e6", "--out", str(cap),
+    ]) == 0
+    assert cli_main([
+        "reconstruct", str(cap), "--fs", str(FS), "--alpha", "0.5",
+        "--combine=-8e6,2.5e6,11e6", "--combine-demod", "fm",
+        "--out", str(out),
+    ]) == 0
+    text = capsys.readouterr().out
+    assert "640x480 @ 60Hz" in text
+    assert text.count("  carrier ") == 3
+    assert out.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
 
 
 def test_envelope_input_format_matches_complex():
