@@ -146,6 +146,7 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
             alpha=alpha, invert=args.invert, rate_min=args.rate_min,
             rate_max=args.rate_max, restore=args.restore,
             restore_nsr=args.restore_nsr, demod=args.combine_demod,
+            excise_db=args.excise,
         )
         if not results:
             print("no emissions detected in the band")
@@ -178,6 +179,7 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
                 mode=(None if args.mode == "auto"
                       else ALL_VIDEO_MODES[args.mode]),
                 demod=args.combine_demod,
+                excise_db=args.excise,
             )
         except ValueError as e:
             # No emissions found by the auto-discovery scan.
@@ -280,7 +282,8 @@ def cmd_stream(args: argparse.Namespace) -> int:
                           ring_impl=args.ring,
                           config_overrides=overrides or None,
                           combine=combine, combine_bw=args.chan_bw,
-                          combine_demod=args.combine_demod)
+                          combine_demod=args.combine_demod,
+                          combine_excise_db=args.excise)
     if args.render == "terminal":
         sink = TerminalRenderer(crosshair=args.crosshair)
     elif args.render == "png":
@@ -717,6 +720,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-channel demodulator for --combine: 'fm' runs "
                         "the discriminator (frequency-leaking targets; the "
                         "discovery sweep switches statistic too)")
+    p.add_argument("--excise", type=float, default=None, metavar="DB",
+                   help="null in-channel CW interference louder than each "
+                        "channel's carrier peak by this margin (dB; 0 is a "
+                        "good setting) before demod — recovers a hit "
+                        "channel instead of just down-weighting it")
     p.add_argument("--out", default="reconstruction.png")
     p.set_defaults(fn=cmd_reconstruct)
 
@@ -782,6 +790,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-carrier channel bandwidth for --combine [Hz]")
     p.add_argument("--combine-demod", default="am", choices=["am", "fm"],
                    help="per-channel demodulator of the live combine front")
+    p.add_argument("--excise", type=float, default=None, metavar="DB",
+                   help="live CW excision margin over the carrier peak "
+                        "(dB) in the combine front")
     p.add_argument("--einsum-bf16", action="store_true",
                    help="weights einsum in bf16 — bit-exact on TPU (its f32 "
                         "matmuls run bf16 passes anyway), ~2%% faster "

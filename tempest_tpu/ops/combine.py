@@ -71,7 +71,7 @@ class CombineResult:
 
 def combine_core(words, fs, centers, chan_bw, fs_chan, corr_seconds,
                  rate_min, rate_max, weighting, refresh_hz=None,
-                 demod="am"):
+                 demod="am", excise_db=None):
     """Traceable combine: channelise → polarity → MRC weights → fusion.
 
     ``(env, weights, polarity, mass_db, refresh)`` with everything but
@@ -95,8 +95,15 @@ def combine_core(words, fs, centers, chan_bw, fs_chan, corr_seconds,
     amplitude (the reference exposes ``fmDemod`` for exactly this,
     ``Demodulation.jl:17-23`` — but only ever on the single tuned carrier);
     every downstream stage (comb mass, polarity, frame-periodic MRC) works
-    on the mean-removed demodulated rows and is demod-agnostic."""
-    chans, _ = _channelize_complex(words, fs, np.asarray(centers), chan_bw)
+    on the mean-removed demodulated rows and is demod-agnostic.
+
+    ``excise_db`` (static float | None): null narrowband interference
+    louder than each channel's own carrier peak by this margin in the
+    channel spectra before demodulation (``ops.scan._excise_spikes``) —
+    RECOVERS a CW-hit channel where the robust MRC alone can only refuse
+    to weight it."""
+    chans, _ = _channelize_complex(words, fs, np.asarray(centers), chan_bw,
+                                   excise_db=excise_db)
     if demod == "fm":
         amp = fm_demod_rows(chans)                    # (K, M) discriminator
     else:
@@ -202,7 +209,8 @@ def combine_core(words, fs, centers, chan_bw, fs_chan, corr_seconds,
 
 _combine_kernel = partial(jax.jit, static_argnames=(
     "fs", "centers", "chan_bw", "fs_chan", "corr_seconds", "rate_min",
-    "rate_max", "weighting", "refresh_hz", "demod"))(combine_core)
+    "rate_max", "weighting", "refresh_hz", "demod",
+    "excise_db"))(combine_core)
 
 
 def combine_harmonics(
@@ -216,6 +224,7 @@ def combine_harmonics(
     weighting: str = "mrc",
     refresh_hz: float | str | None = "auto",
     demod: str = "am",
+    excise_db: float | None = None,
 ) -> CombineResult:
     """Extract and fuse the emission at each carrier of ``centers_hz`` from
     one wideband capture.
@@ -237,7 +246,11 @@ def combine_harmonics(
 
     ``demod``: ``"am"`` (envelope) or ``"fm"`` (per-channel discriminator,
     for targets that leak the video in carrier frequency — the reference's
-    ``fmDemod`` path, single-carrier only there)."""
+    ``fmDemod`` path, single-carrier only there).
+
+    ``excise_db``: opt-in spectral excision of in-channel CW interference
+    (bins louder than the channel's carrier peak by this margin, nulled
+    before demod — 0.0 is a good setting; see ``combine_core``)."""
     if isinstance(iq, np.ndarray) and np.iscomplexobj(iq):
         iq = np.ascontiguousarray(iq, np.complex64).view(np.float32)
     iq = jnp.asarray(iq)
@@ -249,7 +262,7 @@ def combine_harmonics(
     two_pass = refresh_hz == "auto" and weighting == "mrc"
     env, w, pol, mass_db, fv = _combine_kernel(
         *args, refresh_hz=None if refresh_hz == "auto" else refresh_hz,
-        demod=demod)
+        demod=demod, excise_db=excise_db)
     if two_pass:
         mass1, fv1 = mass_db, fv  # honest per-channel diagnostics (pass 1)
         fv_anchor = float(np.asarray(fv)[int(np.argmax(np.asarray(mass_db)))])
@@ -259,7 +272,7 @@ def combine_harmonics(
         # box-3 lag neighbourhood absorbs the ≤0.5-sample rounding.
         fv_anchor = fs_chan / round(fs_chan / fv_anchor)
         env, w, pol, _, _ = _combine_kernel(*args, refresh_hz=fv_anchor,
-                                            demod=demod)
+                                            demod=demod, excise_db=excise_db)
         mass_db, fv = mass1, fv1
     return CombineResult(
         envelope=np.asarray(env, np.float32),

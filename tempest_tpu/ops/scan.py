@@ -305,7 +305,7 @@ def _channel_geometry(n_samples: int, fs: float, chan_bw: float):
 
 
 def _excise_spikes(bands: jnp.ndarray, margin_db: float,
-                   guard_bins: int = 2, dilate_bins: int = 8) -> jnp.ndarray:
+                   guard_bins: int = 2, dilate_bins: int = 256) -> jnp.ndarray:
     """Null narrowband interference in channel spectra (K, M), carrier at
     bin 0 — bins louder than the channel's own carrier peak.
 
@@ -321,19 +321,29 @@ def _excise_spikes(bands: jnp.ndarray, margin_db: float,
     over many lines), so only bins exceeding the carrier peak by
     ``margin_db`` are presumed interference.  ``guard_bins`` protects the
     carrier's own leakage skirt (±bins around DC); ``dilate_bins`` widens
-    each detection to swallow the interferer's sinc skirt (rectangular
-    window leakage decays ~1/Δ, and the residual skirt still beats)."""
+    each detection to swallow the interferer's sinc skirt — rectangular-
+    window leakage decays only ~1/Δ, and the residual still beats: on the
+    CW fixture ±8 bins left the residual at −6 dB vs the carrier (beat
+    ~37% of the envelope DC, weight recovery stalled at 0.08 of 0.28);
+    ±256 cuts it another ~10×, and nulling 512 of 2M bins costs the
+    emission nothing measurable."""
     p = jnp.real(bands) ** 2 + jnp.imag(bands) ** 2
     m = bands.shape[-1]
     idx = jnp.arange(m)
     prot = (idx <= guard_bins) | (idx >= m - guard_bins)
     ref = jnp.max(jnp.where(prot, p, 0.0), axis=-1, keepdims=True)
     hit = (~prot) & (p > ref * 10.0 ** (margin_db / 10.0))
-    # Circular box dilation by static rolls (small, fuses to elementwise).
-    wide = hit
-    for d in range(1, dilate_bins + 1):
-        wide = wide | jnp.roll(hit, d, axis=-1) | jnp.roll(hit, -d, axis=-1)
-    return jnp.where(wide, 0.0, bands)
+    # Circular box dilation in O(M): box-sum the hit indicator via one
+    # cumsum over a circularly padded copy (W rolls would be W fused
+    # passes; the prefix sum is two).
+    w = int(dilate_bins)
+    hf = hit.astype(jnp.float32)
+    ext = jnp.concatenate([hf[..., -w:], hf, hf[..., :w]], axis=-1)
+    cz = jnp.concatenate(
+        [jnp.zeros(ext.shape[:-1] + (1,), ext.dtype),
+         jnp.cumsum(ext, axis=-1)], axis=-1)
+    box = cz[..., 2 * w + 1:] - cz[..., : -(2 * w + 1)]   # (…, M)
+    return jnp.where(box > 0.0, 0.0, bands)
 
 
 def _channelize_complex(
@@ -368,6 +378,8 @@ def _channelize_complex(
     ])                                            # (K, M), centered at DC+M/2
     # Rotate so each channel's center lands at bin 0 (DC) of its own FFT.
     bands = jnp.roll(bands, -(M // 2), axis=1)
+    if excise_db is not None:
+        bands = _excise_spikes(bands, excise_db)
     return jnp.fft.ifft(bands, axis=1) * (M / N), fs_chan
 
 

@@ -706,7 +706,7 @@ def sharded_scan_band(
 
 def _combine_local_builder(axis, K, M, N, fs_chan, corr_seconds,
                            rate_min, rate_max, weighting, fv_known,
-                           demod="am"):
+                           demod="am", excise_db=None):
     """shard_map-local kernel of the channel-sharded combine — one device's
     slice of carriers, with the three small collectives (all_gather masses,
     one-hot psum anchor envelope, psum fusion).  ``fv_known`` None = full
@@ -718,11 +718,14 @@ def _combine_local_builder(axis, K, M, N, fs_chan, corr_seconds,
     from ..ops.scan import _selection_prominence
 
     from ..ops.demod import fm_demod_rows
+    from ..ops.scan import _excise_spikes
 
     def local(spec_w, starts_loc, kidx_loc):
             def one(b0):
                 band = jax.lax.dynamic_slice(spec_w, (b0,), (M,))
                 band = jnp.roll(band, -(M // 2))
+                if excise_db is not None:
+                    band = _excise_spikes(band, excise_db)
                 ch = jnp.fft.ifft(band) * (M / N)
                 if demod == "fm":
                     return fm_demod_rows(ch)
@@ -823,6 +826,7 @@ def sharded_combine_harmonics(
     weighting: str = "mrc",
     refresh_hz: float | str | None = "auto",
     demod: str = "am",
+    excise_db: float | None = None,
 ):
     """Multi-harmonic combining with the carriers sharded across the mesh —
     channel parallelism for :func:`tempest_tpu.ops.combine.combine_harmonics`
@@ -862,7 +866,7 @@ def sharded_combine_harmonics(
     def make_local(fv_known):
         return _combine_local_builder(
             axis, K, M, N, fs_chan, corr_seconds, rate_min, rate_max,
-            weighting, fv_known, demod=demod)
+            weighting, fv_known, demod=demod, excise_db=excise_db)
 
     def run_pass(fv_known):
         sharded = jax.shard_map(

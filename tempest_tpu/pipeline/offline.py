@@ -1143,6 +1143,7 @@ def combined_reconstruct(
     min_margin_db: float = 5.0,
     mode: VideoMode | None = None,
     demod: str = "am",
+    excise_db: float | None = None,
 ):
     """Multi-harmonic capture → image: find (or take) the screen's carriers
     in ONE wideband capture, fuse their envelopes at maximal ratio
@@ -1162,7 +1163,14 @@ def combined_reconstruct(
     ``demod="fm"`` runs the per-channel FM discriminator instead of the
     amplitude envelope — both the discovery sweep and the fusion — for
     targets that leak the video in carrier frequency (the reference's
-    ``fmDemod``, ``Demodulation.jl:17-23``, is single-carrier only)."""
+    ``fmDemod``, ``Demodulation.jl:17-23``, is single-carrier only).
+
+    ``excise_db`` (e.g. ``0.0``): null in-channel CW interference louder
+    than each channel's carrier peak by this margin before demodulation —
+    RECOVERS a hit channel (measured: weight 0.018 → 0.258 vs clean 0.279,
+    fused PSNR back to the clean 13.5) where the robust MRC alone can only
+    refuse to weight it (13.2).  See ``ops.scan._excise_spikes`` for why
+    the carrier-relative criterion cannot touch the emission's own comb."""
     from ..ops.combine import combine_harmonics
 
     iq = np.asarray(iq)
@@ -1178,7 +1186,8 @@ def combined_reconstruct(
                 "explicitly or lower min_margin_db")
         centers_hz = [e["best_channel_hz"] for e in screens[0]]
     comb = combine_harmonics(iq, fs, centers_hz, chan_bw, corr_seconds,
-                             rate_min, rate_max, weighting, demod=demod)
+                             rate_min, rate_max, weighting, demod=demod,
+                             excise_db=excise_db)
     return _reconstruct_from_combine(comb, n_frames, alpha, invert,
                                      corr_seconds, rate_min, rate_max,
                                      restore, restore_nsr, mode)
@@ -1285,6 +1294,7 @@ def reconstruct_all_emissions(
     refresh_group_hz: float = 0.005,
     max_screens: int | None = None,
     demod: str = "am",
+    excise_db: float | None = None,
 ) -> list[tuple]:
     """Reconstruct EVERY screen radiating in one wideband capture.
 
@@ -1307,5 +1317,6 @@ def reconstruct_all_emissions(
             iq, fs, centers_hz, chan_bw=chan_bw, n_frames=n_frames,
             alpha=alpha, invert=invert, corr_seconds=corr_seconds,
             rate_min=rate_min, rate_max=rate_max, weighting=weighting,
-            restore=restore, restore_nsr=restore_nsr, demod=demod))
+            restore=restore, restore_nsr=restore_nsr, demod=demod,
+            excise_db=excise_db))
     return out

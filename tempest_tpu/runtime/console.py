@@ -49,7 +49,7 @@ commands (reference GUI widget in parens):
   scan F1 F2 ...    retune across carriers [Hz], score screen-ness per dwell,
                     tune to the best (no reference equivalent: its operator
                     hunts the waterfall by eye)
-  combine auto|off|am|fm|F1 F2 ...
+  combine auto|off|am|fm|excise [dB|off]|F1 F2 ...
                     live multi-harmonic fusion: channelise every block at
                     these carrier offsets [Hz] and reconstruct the MRC-fused
                     envelope; `auto` scans the stream for the strongest
@@ -272,6 +272,12 @@ class OperatorConsole:
                     # (rebuilds only if combining is active).
                     rt.set_combine(rt._combine_centers, demod=args[0].lower())
                     self._say(f"combine demod = {args[0].lower()}")
+                elif args[0].lower() == "excise":
+                    val = (None if len(args) < 2 or args[1].lower() == "off"
+                           else float(args[1]))
+                    rt.set_combine(rt._combine_centers, excise_db=val)
+                    self._say(f"combine excise = "
+                              f"{'off' if val is None else f'{val:g} dB'}")
                 else:
                     centers = [float(a) for a in
                                " ".join(args).replace(",", " ").split()]

@@ -65,6 +65,7 @@ class StreamingRuntime:
         combine: list[float] | None = None,
         combine_bw: float = 4e6,
         combine_demod: str = "am",
+        combine_excise_db: float | None = None,
     ) -> None:
         """``fidelity=True`` selects the highest-measured-fidelity chain:
         sub-sample-exact frame cuts with the per-frame sync stage skipped
@@ -107,6 +108,9 @@ class StreamingRuntime:
         # "fm" (discriminator — ops.demod.fm_demod_rows) for targets whose
         # video leaks in carrier frequency.
         self._combine_demod = str(combine_demod)
+        # Opt-in spectral excision of in-channel CW interference (margin
+        # over the carrier peak, dB — ops.scan._excise_spikes).
+        self._combine_excise = combine_excise_db
         self._combine_front = None     # jitted words -> (env, w, pol, mass)
         self.combine_weights = None    # device arrays from the last block
         self._rebuild()
@@ -233,13 +237,14 @@ class StreamingRuntime:
         block_len = self.config.block_samples
 
         demod = self._combine_demod
+        excise = self._combine_excise
 
         @jax.jit
         def front(words):
             env, w, pol, mass, _ = combine_core(
                 words, fs, centers, bw, fs_chan, 0.1,
                 max(fv - 5.0, 20.0), fv + 5.0, "mrc", refresh_hz=fv,
-                demod=demod)
+                demod=demod, excise_db=excise)
             return env[:block_len], w, pol, mass
 
         return front
@@ -320,7 +325,8 @@ class StreamingRuntime:
 
     def set_combine(self, centers_hz: list[float] | None,
                     chan_bw: float | None = None,
-                    demod: str | None = None) -> None:
+                    demod: str | None = None,
+                    excise_db: float | None | str = "keep") -> None:
         """Turn live multi-harmonic combining on (carrier offsets in Hz,
         relative to the source's tuned center) or off (``None``) mid-stream.
         Every block is then channelised at these carriers and the MRC-fused
@@ -329,12 +335,16 @@ class StreamingRuntime:
         last block are kept on ``self.combine_weights``.  The reference
         operator can only tune to one carrier at a time
         (``GUI.jl:594-605``).  ``demod`` switches the front's per-channel
-        demodulator ("am"/"fm") — ``None`` keeps the current setting."""
+        demodulator ("am"/"fm") — ``None`` keeps the current setting.
+        ``excise_db`` sets the CW-excision margin (a float), turns it off
+        (``None``); the default string ``"keep"`` leaves it unchanged."""
         self._combine_centers = list(centers_hz) if centers_hz else None
         if chan_bw is not None:
             self._combine_bw = float(chan_bw)
         if demod is not None:
             self._combine_demod = str(demod)
+        if excise_db != "keep":
+            self._combine_excise = excise_db
         self.combine_weights = None
         self._rebuild()
 
@@ -812,6 +822,7 @@ class StreamingRuntime:
                     "centers_hz": list(self._combine_centers),
                     "chan_bw": self._combine_bw,
                     "demod": self._combine_demod,
+                    "excise_db": self._combine_excise,
                     "fs_channel": self._combine_geometry[2],
                     "weights": (
                         np.asarray(self.combine_weights[0]).round(3).tolist()
