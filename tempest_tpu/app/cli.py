@@ -38,12 +38,22 @@ def cmd_analyze(args: argparse.Namespace) -> int:
 
     iq = read_complex_binary(args.input, args.format, count=args.samples)
     t0 = time.perf_counter()
+    sig, is_env = iq, False
+    if args.demod == "fm":
+        import jax.numpy as jnp
+
+        from ..ops.demod import fm_demod_from_iq
+
+        words = np.ascontiguousarray(iq, np.complex64).view(np.float32)
+        sig = np.asarray(fm_demod_from_iq(jnp.asarray(words)), np.float32)
+        is_env = True
     evidence = None
     pick_failed = False
     want_evidence = args.plots or args.peaks or args.pick_line_peak is not None
     if want_evidence:
         timing, evidence = timing_evidence(
-            iq, args.fs, args.seconds, args.rate_min, args.rate_max
+            sig, args.fs, args.seconds, args.rate_min, args.rate_max,
+            envelope=is_env,
         )
         if args.pick_line_peak is not None:
             from ..pipeline.offline import pick_line_peak
@@ -57,7 +67,8 @@ def cmd_analyze(args: argparse.Namespace) -> int:
                 pick_failed = True
     else:
         timing = estimate_timing(
-            iq, args.fs, args.seconds, args.rate_min, args.rate_max
+            sig, args.fs, args.seconds, args.rate_min, args.rate_max,
+            envelope=is_env,
         )
     dt = time.perf_counter() - t0
     print(f"samples           : {len(iq)} ({len(iq)/args.fs:.3f} s @ {args.fs/1e6:.1f} MHz)")
@@ -202,6 +213,7 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
                 align_subpixel=args.subpixel,
                 pick_line_peak=args.pick_line_peak,
                 restore=args.restore, restore_nsr=args.restore_nsr,
+                demod=args.demod,
             )
         except (IndexError, ValueError) as e:
             if args.pick_line_peak is None:
@@ -215,6 +227,7 @@ def cmd_reconstruct(args: argparse.Namespace) -> int:
         n_frames = args.frames or max(int(len(iq) * mode.refresh / args.fs) - 1, 1)
         config = ReconstructionConfig(
             sample_rate=args.fs, mode=mode, n_frames=n_frames, invert=args.invert,
+            demod=args.demod,
             do_align=not args.no_align,
             # Exact cuts run on the mxu3 matmul tables offline (static
             # offsets); only the streaming carry-phase path needs 'gather'.
@@ -667,6 +680,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pick-line-peak", type=int, default=None, metavar="N",
                    help="adopt ranked line peak N (0-based) instead of the "
                         "automatic lock")
+    p.add_argument("--demod", default="am", choices=["am", "fm"],
+                   help="demodulator for the timing statistics (a constant-"
+                        "amplitude FM capture has a flat envelope — the AM "
+                        "statistic cannot find its refresh)")
     p.set_defaults(fn=cmd_analyze)
 
     p = sub.add_parser("reconstruct", help="reconstruct the screen from a capture")
@@ -678,6 +695,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alpha", default="0.1",
                    help="EMA coefficient, or 'auto' (SNR-adaptive)")
     p.add_argument("--invert", action="store_true", help="use inverted envelope")
+    p.add_argument("--demod", default="am", choices=["am", "fm"],
+                   help="demodulator for the single-carrier chain (the "
+                        "reference GUI's selector incl. fmDemod; timing "
+                        "estimation and mode search follow)")
     p.add_argument("--invert-output", action="store_true")
     p.add_argument("--auto-polarity", action="store_true",
                    help="invert the output automatically if blanking is bright")

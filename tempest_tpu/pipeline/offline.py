@@ -368,8 +368,11 @@ class TimingEvidence:
                                    "rate_min", "rate_max"))
 def _evidence_kernel(iq: jnp.ndarray, fs: float, corr_seconds: float,
                      interleaved: bool,
-                     rate_min: float, rate_max: float):
-    if interleaved:
+                     rate_min: float, rate_max: float,
+                     envelope: bool = False):
+    if envelope:
+        env = iq.astype(jnp.float32)  # already demodulated
+    elif interleaved:
         env = am_power_from_iq(iq)
     else:
         env = jnp.real(iq) ** 2 + jnp.imag(iq) ** 2
@@ -388,19 +391,21 @@ def timing_evidence(
     rate_max: float = 90.0,
     y_min: int = 200,
     y_max: int = 2500,
+    envelope: bool = False,
 ) -> tuple[TimingEstimate, TimingEvidence]:
     """Stage 1 with its evidence: the timing estimate plus the correlation
     windows it was read from, for rendering (``analyze --plots`` / the stream
-    HUD sparkline).  Same input conventions as :func:`estimate_timing`."""
+    HUD sparkline).  Same input conventions as :func:`estimate_timing`
+    (incl. ``envelope=True`` for an already-demodulated real signal)."""
     from ..ops.autocorr import zoom_autocorr
 
     if isinstance(iq, np.ndarray) and np.iscomplexobj(iq):
         iq = np.ascontiguousarray(iq, np.complex64).view(np.float32)
     iq = jnp.asarray(iq)
-    interleaved = not jnp.iscomplexobj(iq)
+    interleaved = not envelope and not jnp.iscomplexobj(iq)
     gamma, fv, y_t, snr = _evidence_kernel(
         iq, float(fs), float(corr_seconds), interleaved,
-        float(rate_min), float(rate_max),
+        float(rate_min), float(rate_max), envelope,
     )
     fv_f, y_f = float(fv), float(y_t)
     name, mode = find_closest_mode(y_f, fv_f)
@@ -1052,10 +1057,18 @@ def auto_reconstruct(
     # neutral at 10 dB SNR.  The raw EMA stays in Reconstruction.image_raw.
     restore: bool = True,
     restore_nsr: float = 0.002,
+    demod: str = "am",
 ) -> tuple[TimingEstimate, Reconstruction]:
     """Fully automatic capture → image: the end-to-end equivalent of the
     reference's offline script (``production/investigate_data.jl``), with the
     interactive steps (refresh pick, line-count click) automated.
+
+    ``demod="fm"`` drives the whole auto chain off the FM discriminator
+    (the reference GUI's demodulation selector includes ``fmDemod`` on its
+    main path, ``Demodulation.jl:17-23``): timing estimation, the optional
+    mode search, and the reconstruction all run on/for the discriminator
+    output instead of the AM envelope — a constant-amplitude FM capture has
+    a FLAT envelope, so the AM statistic cannot even find its refresh.
 
     ``refine_with_search=True`` additionally scores every video mode within
     ``search_tol_hz`` of the measured refresh by sync contrast (sharded across
@@ -1071,11 +1084,24 @@ def auto_reconstruct(
     # reconstruct_frames document): two words per complex sample.
     interleaved = not np.iscomplexobj(iq)
     n_complex = len(iq) // 2 if interleaved else len(iq)
+    env_fm = None
+    if demod == "fm":
+        # One discriminator pass feeds timing estimation and (below) the
+        # mode search; the reconstruction chain re-demodulates internally
+        # (ReconstructionConfig.demod="fm"), which is negligible offline.
+        from ..ops.demod import fm_demod_from_iq
+
+        words = (iq if interleaved
+                 else np.ascontiguousarray(iq, np.complex64).view(np.float32))
+        env_fm = np.asarray(fm_demod_from_iq(jnp.asarray(words)), np.float32)
+    sig = env_fm if env_fm is not None else iq
     if pick_line_peak is not None:
-        timing, ev = timing_evidence(iq, fs, corr_seconds, rate_min, rate_max)
+        timing, ev = timing_evidence(sig, fs, corr_seconds, rate_min,
+                                     rate_max, envelope=env_fm is not None)
         timing = _pick_line_peak_fn(timing, ev, pick_line_peak)
     else:
-        timing = estimate_timing(iq, fs, corr_seconds, rate_min, rate_max)
+        timing = estimate_timing(sig, fs, corr_seconds, rate_min, rate_max,
+                                 envelope=env_fm is not None)
     if alpha == "auto":
         alpha = timing.suggested_alpha
     if refine_with_search:
@@ -1084,7 +1110,9 @@ def auto_reconstruct(
 
         cands = candidate_modes(timing.refresh_hz, tol_hz=search_tol_hz)
         if len(cands) > 1:
-            if interleaved:
+            if env_fm is not None:
+                env = env_fm
+            elif interleaved:
                 # Demodulate the word stream before the search — a raw real
                 # array would be scored as an already-demodulated envelope.
                 w = np.ascontiguousarray(iq, np.float32)
@@ -1115,7 +1143,7 @@ def auto_reconstruct(
     taps = 4 if spf / timing.mode.pixels_per_frame >= 1.0 else 2
     config = ReconstructionConfig(
         sample_rate=fs, mode=timing.mode, n_frames=n_frames, invert=invert,
-        align_subpixel=align_subpixel, interp_taps=taps,
+        align_subpixel=align_subpixel, interp_taps=taps, demod=demod,
     )
     recon = reconstruct_frames(iq, config, alpha=alpha)
     if restore:

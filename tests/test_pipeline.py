@@ -865,6 +865,51 @@ def test_fm_modulated_reconstruction():
     assert corr > 0.7, f"FM reconstruction corr {corr}"
 
 
+def test_fm_auto_reconstruct():
+    """auto_reconstruct(demod="fm") drives the WHOLE auto chain off the
+    discriminator (timing + mode detect + reconstruction) — the reference
+    GUI's demod selector includes fmDemod on its main path.  A constant-
+    amplitude FM capture has a flat envelope, so the AM timing statistic
+    cannot lock (measured: mis-detects 56.85 Hz on this fixture where the
+    FM path reads exactly 60.000)."""
+    from tempest_tpu.pipeline.offline import auto_reconstruct
+
+    mode = tt.ALL_VIDEO_MODES["800x600 @ 60Hz"]
+    fs = 16e6
+    cap = tt.generate_iq(mode, fs, int(fs * 0.4), snr_db=15.0, seed=9,
+                         modulation="fm")
+    timing, recon = auto_reconstruct(cap.iq, fs, alpha=0.6, demod="fm")
+    assert timing.mode_name == "800x600 @ 60Hz"
+    assert abs(timing.refresh_hz - 60.0) < 0.01
+    truth = np.asarray(downgrade_image(jnp.asarray(cap.frame)))
+    corr = _best_corr(truth, recon.image)
+    assert corr > 0.7, f"FM auto reconstruction corr {corr}"
+
+
+def test_cli_fm_single_carrier(tmp_path, capsys):
+    """CLI: synth --modulation fm (single carrier) -> analyze --demod fm
+    locks the mode; reconstruct --demod fm writes the image."""
+    from tempest_tpu.app.cli import main as cli_main
+
+    dat = tmp_path / "fm1.dat"
+    out = tmp_path / "fm1.png"
+    assert cli_main([
+        "synth", "--mode", "800x600 @ 60Hz", "--fs", "16e6",
+        "--seconds", "0.4", "--snr", "15", "--modulation", "fm",
+        "--seed", "9", "--out", str(dat),
+    ]) == 0
+    assert cli_main([
+        "analyze", str(dat), "--fs", "16e6", "--demod", "fm",
+    ]) == 0
+    assert "800x600 @ 60Hz" in capsys.readouterr().out
+    assert cli_main([
+        "reconstruct", str(dat), "--fs", "16e6", "--demod", "fm",
+        "--alpha", "0.6", "--out", str(out),
+    ]) == 0
+    assert "800x600 @ 60Hz" in capsys.readouterr().out
+    assert out.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
 def test_custom_render_size():
     """render_size is configurable (the reference hardcodes 600x800)."""
     cap = _capture(0.15)
