@@ -365,7 +365,7 @@ class TimingEvidence:
 
 
 @partial(jax.jit, static_argnames=("fs", "corr_seconds", "interleaved",
-                                   "rate_min", "rate_max"))
+                                   "rate_min", "rate_max", "envelope"))
 def _evidence_kernel(iq: jnp.ndarray, fs: float, corr_seconds: float,
                      interleaved: bool,
                      rate_min: float, rate_max: float,
