@@ -343,7 +343,10 @@ def _excise_spikes(bands: jnp.ndarray, margin_db: float,
         [jnp.zeros(ext.shape[:-1] + (1,), ext.dtype),
          jnp.cumsum(ext, axis=-1)], axis=-1)
     box = cz[..., 2 * w + 1:] - cz[..., : -(2 * w + 1)]   # (…, M)
-    return jnp.where(box > 0.0, 0.0, bands)
+    # The dilation must never swallow the protected carrier bins: a CW
+    # within ``dilate_bins`` of DC would otherwise null the channel's own
+    # carrier line — destroying the channel instead of recovering it.
+    return jnp.where((box > 0.0) & ~prot, 0.0, bands)
 
 
 def _channelize_complex(

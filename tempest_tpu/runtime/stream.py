@@ -855,6 +855,10 @@ class StreamingRuntime:
                 combine_centers=self._combine_centers,
                 combine_bw=self._combine_bw,
                 combine_demod=self._combine_demod,
+                combine_excise_db=self._combine_excise,
+                fidelity=self.fidelity,
+                fidelity_bins=self.fidelity_bins,
+                invert=self.invert,
             ),
             path,
         )
@@ -874,6 +878,10 @@ class StreamingRuntime:
                                  if state.combine_centers else None)
         self._combine_bw = state.combine_bw
         self._combine_demod = state.combine_demod
+        self._combine_excise = state.combine_excise_db
+        self.fidelity = state.fidelity
+        self.fidelity_bins = state.fidelity_bins
+        self.invert = state.invert
         self._rebuild()
         self._ema = state.ema
         self._abs_pos = state.abs_pos

@@ -37,6 +37,14 @@ class RuntimeState:
     combine_centers: list[float] | None = None
     combine_bw: float = 4e6
     combine_demod: str = "am"
+    # Spectral CW excision margin [dB] (None = off) — must round-trip or a
+    # resumed session silently loses interference rejection (r4 verdict).
+    combine_excise_db: float | None = None
+    # Chain-selection knobs owned by the runtime constructor; without them a
+    # resume falls back to the constructor's chain, not the saved one.
+    fidelity: bool = False
+    fidelity_bins: int = 64
+    invert: bool = False
 
 
 def save_state(state: RuntimeState, path: str) -> None:
@@ -52,6 +60,12 @@ def save_state(state: RuntimeState, path: str) -> None:
         combine_centers=np.asarray(state.combine_centers or [], np.float64),
         combine_bw=np.float64(state.combine_bw),
         combine_demod=np.str_(state.combine_demod),
+        combine_excise_db=np.float64(
+            np.nan if state.combine_excise_db is None
+            else state.combine_excise_db),
+        fidelity=np.bool_(state.fidelity),
+        fidelity_bins=np.int64(state.fidelity_bins),
+        invert=np.bool_(state.invert),
     )
 
 
@@ -77,4 +91,14 @@ def load_state(path: str) -> RuntimeState:
                         if "combine_bw" in z.files else 4e6),
             combine_demod=(str(z["combine_demod"])
                            if "combine_demod" in z.files else "am"),
+            combine_excise_db=(
+                None
+                if "combine_excise_db" not in z.files
+                or np.isnan(float(z["combine_excise_db"]))
+                else float(z["combine_excise_db"])),
+            fidelity=(bool(z["fidelity"])
+                      if "fidelity" in z.files else False),
+            fidelity_bins=(int(z["fidelity_bins"])
+                           if "fidelity_bins" in z.files else 64),
+            invert=(bool(z["invert"]) if "invert" in z.files else False),
         )

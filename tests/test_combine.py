@@ -544,6 +544,26 @@ def test_excision_recovers_cw_hit_channel():
     assert p_exc > p_clean - 0.15, f"excised {p_exc:.2f}, clean {p_clean:.2f}"
 
 
+def test_excision_never_nulls_carrier_near_dc():
+    """A CW interferer within ``dilate_bins`` of the carrier bin must not
+    null the channel's own carrier line: the box dilation used to swallow
+    the protected DC guard bins, destroying the channel instead of
+    recovering it (r4 advisor finding)."""
+    from tempest_tpu.ops.scan import _excise_spikes
+
+    m = 4096
+    rng = np.random.default_rng(0)
+    spec = (0.01 * (rng.normal(size=m) + 1j * rng.normal(size=m))
+            ).astype(np.complex64)
+    spec[0] = 10.0      # carrier line (strongest emission line)
+    spec[100] = 300.0   # CW interferer, 100 < dilate_bins=256 from DC
+    out = np.asarray(_excise_spikes(jnp.asarray(spec)[None, :], 0.0))[0]
+    assert out[100] == 0.0, "interferer must be nulled"
+    assert out[0] == spec[0], "carrier line must survive the dilation"
+    assert out[1] == spec[1] and out[-1] == spec[-1], \
+        "guard bins must survive the dilation"
+
+
 def test_sharded_excision_matches_single_device():
     """The sharded combine's per-channel excision (inside the shard_map
     local) must match the single-device kernel on the CW-hit capture."""

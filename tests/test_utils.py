@@ -68,6 +68,40 @@ def test_runtime_checkpoint_resume(tmp_path):
     assert rt2.frames_out > rt.frames_out
 
 
+def test_checkpoint_resumes_full_chain_state(tmp_path):
+    """The COMPLETE runtime state rides the checkpoint (r4 verdict: excise/
+    fidelity/invert were silently dropped): a resumed session built with
+    all-default constructor args must be indistinguishable from the saved
+    one — same rebuilt ReconstructionConfig, same health()['combine']."""
+    from tempest_tpu.runtime.sources import SyntheticSource
+
+    block = int(FS * 0.2)
+    carriers = [-1.2e6, 1.2e6]
+    src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=7)
+    rt = StreamingRuntime(src, MODE, alpha=0.5, fidelity=True,
+                          fidelity_bins=32, invert=True, combine=carriers,
+                          combine_bw=1.5e6, combine_demod="fm",
+                          combine_excise_db=3.0)
+    p = str(tmp_path / "full.npz")
+    rt.save_checkpoint(p)
+
+    src2 = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=7)
+    rt2 = StreamingRuntime(src2, MODE)  # every knob at its default
+    rt2.load_checkpoint(p)
+    assert rt2.fidelity is True
+    assert rt2.fidelity_bins == 32
+    assert rt2.invert is True
+    assert rt2._combine_excise == 3.0
+    assert rt2.config == rt.config
+    assert rt2.health()["combine"] == rt.health()["combine"]
+
+    # None excise must survive the NaN sentinel round-trip too.
+    rt._combine_excise = None
+    rt.save_checkpoint(p)
+    rt2.load_checkpoint(p)
+    assert rt2._combine_excise is None
+
+
 def test_producer_error_propagates():
     class FailingSource:
         sample_rate = FS
