@@ -284,6 +284,15 @@ def cmd_stream(args: argparse.Namespace) -> int:
         overrides["interp_taps"] = args.interp_taps
     if args.einsum_bf16:
         overrides["einsum_bf16"] = True
+    if args.demod != "am":
+        # Single-carrier live FM: the chain's demod stage is a config field
+        # (ops.demod.fm_demod_from_iq); with --combine active the per-channel
+        # front demodulates instead (--combine-demod) and the chain reads the
+        # fused envelope.
+        if args.combine:
+            raise SystemExit("--demod applies to the single-carrier chain; "
+                             "with --combine use --combine-demod")
+        overrides["demod"] = args.demod
     # With --drift-lock the warm-up needs per-frame sync measurements, so
     # fidelity mode (which skips sync) is switched on after the lock.
     combine = None
@@ -811,6 +820,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-carrier channel bandwidth for --combine [Hz]")
     p.add_argument("--combine-demod", default="am", choices=["am", "fm"],
                    help="per-channel demodulator of the live combine front")
+    p.add_argument("--demod", default="am", choices=["am", "fm"],
+                   help="single-carrier demodulator of the live chain "
+                        "(FM discriminator for targets leaking the video "
+                        "in carrier frequency; combine fronts use "
+                        "--combine-demod instead)")
     p.add_argument("--excise", type=float, default=None, metavar="DB",
                    help="live CW excision margin over the carrier peak "
                         "(dB) in the combine front")

@@ -101,7 +101,11 @@ def combine_core(words, fs, centers, chan_bw, fs_chan, corr_seconds,
     louder than each channel's own carrier peak by this margin in the
     channel spectra before demodulation (``ops.scan._excise_spikes``) —
     RECOVERS a CW-hit channel where the robust MRC alone can only refuse
-    to weight it."""
+    to weight it.  AM only — the carrier-relative criterion is unsound for
+    wideband FM (:func:`tempest_tpu.ops.scan.check_excise_demod`)."""
+    from .scan import check_excise_demod
+
+    check_excise_demod(demod, excise_db)
     chans, _ = _channelize_complex(words, fs, np.asarray(centers), chan_bw,
                                    excise_db=excise_db)
     if demod == "fm":

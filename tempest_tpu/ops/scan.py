@@ -419,11 +419,29 @@ def channelize(
     return words, fs_chan
 
 
+def check_excise_demod(demod: str, excise_db: float | None) -> None:
+    """Refuse the unsound knob combination loudly (every public entry point
+    calls this): the excision criterion nulls bins louder than the channel's
+    carrier line, which is safe for AM (the carrier is always the strongest
+    emission line) but NOT for wideband FM — the carrier line nulls entirely
+    at J₀ zeros of the modulation index and Carson sidebands can exceed it,
+    so excision could null the emission itself.  The robust frame-periodic
+    MRC (``ops.combine``) still downweights interfered FM channels."""
+    if excise_db is not None and demod == "fm":
+        raise ValueError(
+            "excise_db with demod='fm' is unsupported: wideband FM can null "
+            "its own carrier line (J0 zeros), so 'louder than the carrier' "
+            "no longer identifies interference — excision could delete the "
+            "emission. Disable excision for FM; the robust MRC weighting "
+            "already rejects interfered channels."
+        )
+
+
 @partial(jax.jit, static_argnames=("fs", "centers", "chan_bw", "fs_chan",
                                    "corr_seconds", "rate_min", "rate_max",
-                                   "demod"))
+                                   "demod", "excise_db"))
 def _sweep_kernel(words, fs, centers, chan_bw, fs_chan, corr_seconds,
-                  rate_min, rate_max, demod="am"):
+                  rate_min, rate_max, demod="am", excise_db=None):
     """Module-level jitted sweep: a per-call ``jax.jit`` closure would
     re-trace and re-lower on EVERY invocation (measured 18 s per warm sweep
     through the remote-compile tunnel vs sub-second execution).
@@ -432,7 +450,8 @@ def _sweep_kernel(words, fs, centers, chan_bw, fs_chan, corr_seconds,
     squared envelope (AM leakage), ``"fm"`` the discriminator output (FM
     leakage — an FM emission's AMPLITUDE is flat, so the AM sweep is blind
     to it); the noise floor runs the matching null surrogate."""
-    chans, _ = _channelize_complex(words, fs, np.asarray(centers), chan_bw)
+    chans, _ = _channelize_complex(words, fs, np.asarray(centers), chan_bw,
+                                   excise_db=excise_db)
 
     if demod == "fm":
         from .demod import fm_demod_rows
@@ -458,6 +477,7 @@ def scan_band(
     rate_min: float = 50.0,
     rate_max: float = 90.0,
     demod: str = "am",
+    excise_db: float | None = None,
 ) -> ScanResult:
     """Score every candidate carrier in a wideband capture (ONE program).
 
@@ -470,7 +490,11 @@ def scan_band(
     squared envelope — an FM emission rides at constant amplitude, so the
     AM statistic is blind to it (and vice versa: run both to survey a band
     for both leakage modes).
+
+    ``excise_db``: opt-in CW excision per channel before scoring (margin
+    over the carrier peak, dB — :func:`_excise_spikes`); AM only.
     """
+    check_excise_demod(demod, excise_db)
     if isinstance(iq_words, np.ndarray) and np.iscomplexobj(iq_words):
         iq_words = np.ascontiguousarray(iq_words, np.complex64).view(np.float32)
     iq_words = jnp.asarray(iq_words)
@@ -484,7 +508,8 @@ def scan_band(
     scores, proms, fvs, floor = _sweep_kernel(
         iq_words, float(fs), tuple(float(c) for c in centers),
         float(chan_bw), float(fs_chan), float(corr_seconds),
-        float(rate_min), float(rate_max), demod=demod)
+        float(rate_min), float(rate_max), demod=demod,
+        excise_db=None if excise_db is None else float(excise_db))
     return ScanResult(
         centers_hz=centers,
         scores_db=np.asarray(scores, np.float64),

@@ -625,6 +625,8 @@ def sharded_scan_band(
     corr_seconds: float = 0.1,
     rate_min: float = 50.0,
     rate_max: float = 90.0,
+    demod: str = "am",
+    excise_db: float | None = None,
 ):
     """Carrier scan with the candidate channels sharded across the mesh —
     hypothesis parallelism for :func:`tempest_tpu.ops.scan.scan_band` (no
@@ -636,11 +638,16 @@ def sharded_scan_band(
     ``dynamic_slice`` on the wrapped spectrum), M-point inverse FFT,
     envelope, refresh-comb mass/prominence.  No collectives are needed:
     channels are independent, exactly like the mode-hypothesis search.
-    Scores match the single-device :func:`scan_band` bit-for-bit (tested).
+    Scores match the single-device :func:`scan_band` bit-for-bit (tested),
+    with the same knob surface: ``demod="fm"`` scores the per-channel FM
+    discriminator, ``excise_db`` nulls in-channel CW interference before
+    scoring (AM only — :func:`tempest_tpu.ops.scan.check_excise_demod`).
     """
+    from ..ops.demod import fm_demod_rows
     from ..ops.scan import (ScanResult, _channel_geometry, _comb_contrast,
-                            _noise_floor)
+                            _excise_spikes, _noise_floor, check_excise_demod)
 
+    check_excise_demod(demod, excise_db)
     if isinstance(iq_words, np.ndarray) and np.iscomplexobj(iq_words):
         iq_words = np.ascontiguousarray(iq_words, np.complex64).view(np.float32)
     iq_words = jnp.asarray(iq_words)
@@ -662,12 +669,18 @@ def sharded_scan_band(
         def one(b0):
             band = jax.lax.dynamic_slice(spec_w, (b0,), (M,))
             band = jnp.roll(band, -(M // 2))
-            ch = jnp.fft.ifft(band) * (M / N)
-            env = jnp.real(ch) ** 2 + jnp.imag(ch) ** 2
-            return _comb_contrast(env, fs_chan, corr_seconds,
-                                  rate_min, rate_max)
+            if excise_db is not None:
+                band = _excise_spikes(band, excise_db)
+            return jnp.fft.ifft(band) * (M / N)
 
-        return jax.vmap(one)(starts_loc)
+        chans_l = jax.vmap(one)(starts_loc)           # (K_local, M)
+        if demod == "fm":
+            envs = fm_demod_rows(chans_l)
+        else:
+            envs = jnp.real(chans_l) ** 2 + jnp.imag(chans_l) ** 2
+        return jax.vmap(
+            lambda env: _comb_contrast(env, fs_chan, corr_seconds,
+                                       rate_min, rate_max))(envs)
 
     sharded = jax.shard_map(
         local,
@@ -685,7 +698,8 @@ def sharded_scan_band(
         # Geometry noise floor: channel-independent, replicated (same value
         # on every device; matches the single-device sweep bit-for-bit —
         # same PRNG key, same shapes).
-        floor = _noise_floor(fs_chan, M, corr_seconds, rate_min, rate_max)
+        floor = _noise_floor(fs_chan, M, corr_seconds, rate_min, rate_max,
+                             demod=demod)
         return sharded(spec_w, starts_in) + (floor,)
 
     starts_dev = jax.device_put(starts_p, NamedSharding(mesh, P(axis)))
@@ -845,8 +859,10 @@ def sharded_combine_harmonics(
     """
     from ..ops.autocorr import autocorrelation
     from ..ops.combine import CombineResult
-    from ..ops.scan import _channel_geometry, _selection_prominence
+    from ..ops.scan import (_channel_geometry, _selection_prominence,
+                            check_excise_demod)
 
+    check_excise_demod(demod, excise_db)
     if isinstance(iq_words, np.ndarray) and np.iscomplexobj(iq_words):
         iq_words = np.ascontiguousarray(iq_words, np.complex64).view(np.float32)
     iq_words = jnp.asarray(iq_words)
@@ -924,6 +940,7 @@ def sharded_combined_reconstruct_fn(
     chan_bw: float = 4e6,
     weighting: str = "mrc",
     demod: str = "am",
+    excise_db: float | None = None,
 ):
     """ONE multi-chip program for fused reconstruction: the combine front
     with the CARRIERS sharded across the mesh (``_combine_local_builder`` —
@@ -943,8 +960,9 @@ def sharded_combined_reconstruct_fn(
     (ema', frames, sync, score, weights, polarity)`` with ``words`` the
     block's interleaved float32 I/Q (replicated).
     """
-    from ..ops.scan import _channel_geometry
+    from ..ops.scan import _channel_geometry, check_excise_demod
 
+    check_excise_demod(demod, excise_db)
     n_shards = mesh.shape[axis]
     N, M, fs_chan = _channel_geometry(n_samples, fs, chan_bw)
     if abs(config.sample_rate - fs_chan) > 1e-6 * fs_chan:
@@ -968,7 +986,8 @@ def sharded_combined_reconstruct_fn(
     front = jax.shard_map(
         _combine_local_builder(axis, K, M, N, fs_chan, 0.1,
                                max(fv_q - 5.0, 20.0), fv_q + 5.0,
-                               weighting, fv_q, demod=demod),
+                               weighting, fv_q, demod=demod,
+                               excise_db=excise_db),
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
         out_specs=(P(), P(axis), P(axis), P(axis), P(axis)),

@@ -238,6 +238,11 @@ class StreamingRuntime:
 
         demod = self._combine_demod
         excise = self._combine_excise
+        # Fail fast (constructor / set_combine / resume), not at first-block
+        # trace time: excision's carrier-relative criterion is AM-only.
+        from ..ops.scan import check_excise_demod
+
+        check_excise_demod(demod, excise)
 
         @jax.jit
         def front(words):

@@ -5,6 +5,7 @@ envelope input format."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 import tempest_tpu as tt
 from tempest_tpu.ops.resample import downgrade_image
@@ -634,6 +635,29 @@ def test_fm_scan_detects_fm_emission():
     assert abs(ems[0]["refresh_hz"] - 60.0) < 0.05
     # The discriminator null's floor is measured, not inherited from AM.
     assert 2.0 < res.floor_db[0] < 14.0
+
+
+def test_fm_excise_refused_everywhere():
+    """excise_db + demod='fm' is unsound (wideband FM nulls its own carrier
+    at J0 zeros, so 'louder than the carrier' stops meaning interference) —
+    every public combine entry refuses it loudly instead of silently
+    excising the emission."""
+    from tempest_tpu.parallel.mesh import make_mesh
+    from tempest_tpu.parallel.sharded import sharded_combine_harmonics
+    from tempest_tpu.runtime.sources import SyntheticSource
+    from tempest_tpu.runtime.stream import StreamingRuntime
+
+    cap = _fm_cap(snr_db=10.0, n_frac=0.15)
+    with pytest.raises(ValueError, match="excise_db with demod='fm'"):
+        tt.combine_harmonics(cap.iq, FS, CARRIERS, demod="fm",
+                             excise_db=0.0)
+    with pytest.raises(ValueError, match="excise_db with demod='fm'"):
+        sharded_combine_harmonics(cap.iq, FS, CARRIERS, make_mesh(8),
+                                  demod="fm", excise_db=0.0)
+    src = SyntheticSource(MODE, FS, int(FS * 0.3), snr_db=20.0, seed=0)
+    with pytest.raises(ValueError, match="excise_db with demod='fm'"):
+        StreamingRuntime(src, MODE, combine=list(CARRIERS),
+                         combine_demod="fm", combine_excise_db=0.0)
 
 
 def test_sharded_fm_combine_matches_single_device():

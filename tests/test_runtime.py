@@ -721,6 +721,33 @@ def test_streaming_correlate_band_100hz():
         rt.stop()
 
 
+def test_cli_stream_fm_single_carrier(tmp_path, monkeypatch):
+    """`cli stream --demod fm`: single-carrier live FM through the chain's
+    demod config (r4 verdict: stream lacked the flag analyze/reconstruct
+    had, forcing operators to fake it with a one-carrier --combine)."""
+    monkeypatch.chdir(tmp_path)
+    dat = tmp_path / "fm.dat"
+    assert cli_main([
+        "synth", "--mode", "640x480 @ 60Hz", "--fs", str(FS),
+        "--seconds", "0.4", "--snr", "25", "--modulation", "fm",
+        "--seed", "3", "--out", str(dat),
+    ]) == 0
+    assert cli_main([
+        "stream", "--source", "replay", "--file", str(dat),
+        "--mode", "640x480 @ 60Hz", "--fs", str(FS), "--blocks", "2",
+        "--demod", "fm", "--render", "png", "--out-prefix", "fmshot",
+    ]) == 0
+    assert (tmp_path / "fmshot_00000.png").exists()
+    # --demod targets the single-carrier chain; with --combine the front
+    # demodulates per channel (--combine-demod) — refused loudly.
+    with pytest.raises(SystemExit):
+        cli_main([
+            "stream", "--source", "replay", "--file", str(dat),
+            "--mode", "640x480 @ 60Hz", "--fs", str(FS), "--blocks", "1",
+            "--demod", "fm", "--combine", "1e6",
+        ])
+
+
 def test_cli_stream_png_renderer(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     assert cli_main([
