@@ -247,9 +247,14 @@ class OperatorConsole:
                     self._say("usage: scan F1 F2 ... [Hz] — retune-and-score "
                               "each carrier, leave the best tuned")
                 else:
-                    for f, score, fv in rt.scan(freqs):
+                    for f, score, floor, fv in rt.scan(freqs):
+                        margin = score - floor
+                        verdict = ("EMISSION" if margin >= 5.0
+                                   else "noise-level")
                         self._say(f"  {f/1e6:10.3f} MHz: screen-ness "
-                                  f"{score:5.1f} dB, refresh {fv:7.3f} Hz")
+                                  f"{score:5.1f} dB = floor {floor:4.1f} "
+                                  f"{margin:+5.1f} ({verdict}), "
+                                  f"refresh {fv:7.3f} Hz")
                     self._say("tuned to best candidate")
             elif cmd == "combine":
                 if not args or args[0].lower() == "status":

@@ -354,13 +354,23 @@ class StreamingRuntime:
         self._rebuild()
 
     def combine_auto(self, seconds: float = 0.4,
-                     min_margin_db: float = 5.0) -> list[float]:
+                     min_margin_db: float = 5.0,
+                     refresh_tol_hz: float = 0.5) -> list[float]:
         """Discover the strongest screen's carriers from the live stream and
         switch combining onto them: gather a contiguous window from the
         ring (sequence-fenced), run the band scan + same-refresh emission
         grouping (``pipeline.offline.discover_screens``), and
         ``set_combine`` the winning screen's channel centers.  Returns the
-        centers chosen (empty list = nothing detected, combining off)."""
+        centers chosen (empty list = nothing detected, combining off).
+
+        The discovered screen's measured refresh RE-ANCHORS the runtime
+        mode first: the combine front bakes its comb lags and ±5 Hz gate
+        band from ``self.mode.refresh``, so a mode the operator never
+        ``correlate()``d (or a stale one) would silently score the wrong
+        lags and degrade every weight.  When the discovery disagrees by
+        more than ``refresh_tol_hz`` the emission's refresh is adopted
+        (same estimator grid as ``correlate()``'s timing path); within the
+        tolerance the current — possibly mHz-refined — lock is kept."""
         from ..pipeline.offline import discover_screens
 
         sig = self._gather_window(seconds)
@@ -370,6 +380,11 @@ class StreamingRuntime:
             min_margin_db=min_margin_db)
         centers = ([e["best_channel_hz"] for e in screens[0]]
                    if screens else [])
+        if centers:
+            fv_disc = float(screens[0][0]["refresh_hz"])
+            if abs(fv_disc - self._mode.refresh) > refresh_tol_hz:
+                self._mode = VideoMode(self._mode.width, self._mode.height,
+                                       fv_disc)
         self.set_combine(centers or None)
         return centers
 
@@ -623,7 +638,7 @@ class StreamingRuntime:
         retune_to_best: bool = True,
         rate_min: float = 50.0,
         rate_max: float = 90.0,
-    ) -> list[tuple[float, float, float]]:
+    ) -> list[tuple[float, float, float, float]]:
         """Retune across candidate carriers and score each dwell's
         screen-ness — the automated version of the reference operator's
         hunt-by-eye over the waterfall (its carrier is a hand-filled textbox,
@@ -634,14 +649,22 @@ class StreamingRuntime:
         ``settle_blocks`` after the retune (sequence-fenced: the ring may
         hold a full depth of pre-retune blocks), then score ~``dwell_
         seconds`` of signal block-by-block with the scale-free refresh-comb
-        prominence (gain-independent — AGC may differ per dwell; noise's
-        selection floor is ~6-12 dB, emissions measure well above it, see
-        ``ops.scan.carrier_score``), keeping the best block.  Returns
-        ``[(freq, prominence_db, refresh_hz), ...]`` in input order and, by
-        default, leaves the source tuned to the best candidate.  For a
-        single wideband CAPTURE use :func:`tempest_tpu.ops.scan.scan_band`
-        instead — it scores every channel in one batched program."""
-        from ..ops.scan import carrier_score
+        prominence (gain-independent — AGC may differ per dwell; see
+        ``ops.scan.carrier_score``), keeping the best block.
+
+        Detection is CALIBRATED like the offline sweep: the measured noise
+        selection floor of the dwell's own window geometry (white-noise
+        surrogates through the identical estimator at the per-block length,
+        ``ops.scan._noise_floor``) is computed once per scan, so a dwell's
+        margin-over-floor is comparable with an offline ``scan_band`` of
+        the same geometry rather than an uncalibrated raw prominence.
+
+        Returns ``[(freq, prominence_db, floor_db, refresh_hz), ...]`` in
+        input order and, by default, leaves the source tuned to the best
+        candidate.  For a single wideband CAPTURE use
+        :func:`tempest_tpu.ops.scan.scan_band` instead — it scores every
+        channel in one batched program."""
+        from ..ops.scan import _noise_floor, carrier_score
 
         retune = getattr(self.source, "set_carrier", None)
         if retune is None:
@@ -668,7 +691,13 @@ class StreamingRuntime:
         n_blocks = max(int(np.ceil(dwell_seconds * fs))
                        // self.source.block_size + 1, 1)
         buf = np.empty(self.source.block_size, np.complex64)
-        results: list[tuple[float, float, float]] = []
+        # ONE floor per scan: the dwell scores whole blocks, so the null
+        # geometry is (block_size envelope, per-block correlation window) —
+        # identical for every candidate carrier.
+        corr_s = min(dwell_seconds, 0.5 * self.source.block_size / fs)
+        floor = float(_noise_floor(fs, self.source.block_size, corr_s,
+                                   rate_min, rate_max))
+        results: list[tuple[float, float, float, float]] = []
         def _take():
             if self.ring.take(buf) is None:
                 raise RuntimeError("ring closed during scan()")
@@ -704,13 +733,10 @@ class StreamingRuntime:
             best_sf = (-np.inf, float("nan"))
             for _ in range(n_blocks):
                 _take()
-                sc, fv = carrier_score(
-                    buf, fs, min(dwell_seconds,
-                                 0.5 * self.source.block_size / fs),
-                    rate_min, rate_max)
+                sc, fv = carrier_score(buf, fs, corr_s, rate_min, rate_max)
                 if sc > best_sf[0]:
                     best_sf = (sc, fv)
-            results.append((float(freq), best_sf[0], best_sf[1]))
+            results.append((float(freq), best_sf[0], floor, best_sf[1]))
         if retune_to_best and results:
             best = max(results, key=lambda r: r[1])
             retune(best[0])

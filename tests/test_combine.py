@@ -321,6 +321,46 @@ def test_streaming_combine_auto_and_console(tmp_path, capsys):
     assert "combining" in out
 
 
+def test_combine_auto_reanchors_wrong_refresh(tmp_path):
+    """combine_auto must re-anchor the runtime mode at the DISCOVERED
+    screen's refresh (r4 verdict): with a deliberately wrong mode (+8 Hz)
+    the front would bake its comb gate and frame lags at the wrong rate and
+    silently degrade every MRC weight.  The wrong-mode runtime's fused
+    weights must match the correct-refresh run after discovery."""
+    from tempest_tpu.io.dat import write_complex_binary
+    from tempest_tpu.runtime.sources import open_source
+    from tempest_tpu.runtime.stream import StreamingRuntime
+    from tempest_tpu.video.modes import VideoMode
+
+    fs = 8e6
+    carriers = [-2.4e6, 1.8e6]
+    cap = tt.generate_iq_harmonics(MODE, fs, int(fs * 1.3), carriers,
+                                   amplitudes=[1.0, 0.8], snr_db=8.0, seed=4)
+    path = tmp_path / "h.dat"
+    write_complex_binary(cap.iq, str(path), "single")
+
+    def run(mode):
+        src = open_source("replay", sample_rate=fs,
+                          block_size=int(fs * 0.25), path=str(path))
+        rt = StreamingRuntime(src, mode, alpha=0.5, combine_bw=2e6)
+        rt.start()
+        try:
+            found = rt.combine_auto(seconds=0.3)
+            assert len(found) >= 2, found
+            rt.process_blocks(1)
+            w = np.asarray(rt.combine_weights[0])
+        finally:
+            rt.stop()
+        return rt, w
+
+    wrong = VideoMode(MODE.width, MODE.height, MODE.refresh + 8.0)
+    rt_wrong, w_wrong = run(wrong)
+    assert abs(rt_wrong.mode.refresh - MODE.refresh) < 0.1, \
+        rt_wrong.mode.refresh
+    _, w_right = run(MODE)
+    np.testing.assert_allclose(w_wrong, w_right, atol=0.02)
+
+
 def test_streaming_combine_survives_checkpoint_resume(tmp_path):
     """Combine state (carriers + channel bandwidth) rides the checkpoint:
     a resumed runtime rebuilds the fused chain without being told."""

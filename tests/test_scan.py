@@ -149,11 +149,11 @@ def test_runtime_scan_retunes_to_best(wideband):
         results = rt.scan([1e6, F_EMIT, 5e6], dwell_seconds=0.1)
     finally:
         rt.stop()
-    assert [f for f, _, _ in results] == [1e6, F_EMIT, 5e6]
+    assert [f for f, _, _, _ in results] == [1e6, F_EMIT, 5e6]
     best = max(results, key=lambda r: r[1])
     assert best[0] == F_EMIT, results
     assert src.carrier_freq == F_EMIT          # left tuned to the winner
-    scores = {f: s for f, s, _ in results}
+    scores = {f: s for f, s, _, _ in results}
     assert scores[F_EMIT] > max(scores[1e6], scores[5e6]) + 5.0, results
 
 
@@ -209,6 +209,39 @@ def test_detection_floor_tracks_window_length():
     # The floor itself tracks the window geometry (measured ~11.6 vs ~6.3):
     # a constant threshold cannot be right for both.
     assert floors[0.02] > floors[0.25] + 3.0, floors
+
+
+def test_live_scan_calibrated_floor(wideband):
+    """Live dwells are CALIBRATED like the offline sweep (r4 verdict: raw
+    prominence left the console operator eyeballing 'is 12 dB real?'):
+    every dwell reports the measured noise selection floor of its own
+    window geometry, noise dwells sit below floor + 5 dB at BOTH dwell
+    geometries, the emission clears it at both, and the floor itself
+    tracks the geometry (shorter correlation windows → higher selection
+    floor), exactly like offline ``emissions()``."""
+    from tempest_tpu.runtime.stream import StreamingRuntime
+
+    x, _ = wideband
+    floors = {}
+    for blk_s in (0.08, 0.3):
+        src = _RetunableSource(x, block_size=int(FS_BASE * blk_s))
+        rt = StreamingRuntime(src, MODE, alpha=0.5)
+        rt.start()
+        try:
+            res = rt.scan([1e6, F_EMIT, 5e6], dwell_seconds=blk_s,
+                          retune_to_best=False)
+        finally:
+            rt.stop()
+        by_f = {f: (p, fl, fv) for f, p, fl, fv in res}
+        p_emit, fl, fv = by_f[F_EMIT]
+        assert p_emit >= fl + 5.0, (blk_s, p_emit, fl)
+        assert abs(fv - MODE.refresh) < 0.2
+        for f in (1e6, 5e6):
+            p_noise, fl2, _ = by_f[f]
+            assert fl2 == fl                 # one floor per scan geometry
+            assert p_noise < fl + 5.0, (blk_s, f, p_noise, fl)
+        floors[blk_s] = fl
+    assert floors[0.08] > floors[0.3] + 1.0, floors
 
 
 def test_console_scan_command(wideband):
