@@ -353,15 +353,25 @@ class TimingEvidence:
     line_peaks: np.ndarray | None = None
 
     def rate_mark(self) -> float:
-        """Fractional x position of the refresh peak on the rates axis."""
-        r = self.rates_hz
-        return float(np.clip((r[0] - self.refresh_hz) / (r[0] - r[-1] + 1e-12),
-                             0.0, 1.0))
+        """Fractional x position of the refresh peak ON THE DRAWN PANEL.
+
+        The panels plot the gamma arrays against INDEX, and the rates axis
+        is 1/lag-spaced (rate = fs/lag over a linear lag window) — so the
+        mark must be the peak's index fraction, not its rate-linear
+        fraction (which sat up to a few percent off the plotted peak, found
+        when the web click-to-pick mapped clicks through the same
+        geometry)."""
+        r = np.asarray(self.rates_hz)
+        i = int(np.argmin(np.abs(r - self.refresh_hz)))
+        return i / max(len(r) - 1, 1)
 
     def line_mark(self) -> float:
-        """Fractional x position of the line-period peak on the lag axis."""
-        lo, hi = float(self.line_lags[0]), float(self.line_lags[-1])
-        return float(np.clip((self.line_lag - lo) / (hi - lo + 1e-12), 0.0, 1.0))
+        """Fractional x position of the line-period peak on the drawn
+        panel (index space, same convention as :meth:`rate_mark`; the lag
+        axis is uniform so this equals the lag-linear fraction)."""
+        lags = np.asarray(self.line_lags)
+        i = int(np.argmin(np.abs(lags - self.line_lag)))
+        return i / max(len(lags) - 1, 1)
 
 
 @partial(jax.jit, static_argnames=("fs", "corr_seconds", "interleaved",

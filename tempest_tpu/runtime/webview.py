@@ -19,6 +19,12 @@ HTTP server on the streaming runtime serving
                     boundary through the same :class:`OperatorConsole`
                     surface the terminal uses (fv/lines/±N/alpha/correlate/
                     pick/scan/record/... — every reference widget).
+* ``POST /corr_click`` a click on the correlation panels as fractional
+                    image coordinates — the reference's click-a-peak
+                    interaction (``GUI.jl:450-459`` refresh panel adopts
+                    the clicked rate, ``GUI.jl:512-523`` line panel adopts
+                    the nearest ranked peak via ``delay2yt``), routed
+                    through the same console dispatch.
 
 Design: the HTTP server runs on daemon threads and only *reads* published
 state (latest frame, evidence, log) under a lock or enqueues command lines;
@@ -62,8 +68,9 @@ button{background:#233;color:#d6d6d6;border:1px solid #444;padding:5px 12px}
 <h3>tempest_tpu &mdash; live operator view</h3>
 <div id=status>connecting&hellip;</div>
 <img id=frame src="/frame.png" alt="reconstruction">
-<h4>correlation evidence (run <code>correlate</code>)</h4>
-<img id=corr src="/corr.png" alt="no evidence yet">
+<h4>correlation evidence (run <code>correlate</code>; click a peak to
+adopt it &mdash; top: refresh, bottom: line period)</h4>
+<img id=corr src="/corr.png" alt="no evidence yet" style="cursor:crosshair">
 <h4>command (<code>help</code> lists all)</h4>
 <form id=f><input id=cmd autocomplete=off autofocus
  placeholder="e.g.  correlate | + 1 | alpha 0.6 | fidelity on | quit">
@@ -87,6 +94,11 @@ document.getElementById('f').addEventListener('submit',async (e)=>{
  const c=document.getElementById('cmd');
  if(c.value.trim()) await fetch('/command',{method:'POST',body:c.value});
  c.value='';
+});
+document.getElementById('corr').addEventListener('click',async (e)=>{
+ const r=e.currentTarget.getBoundingClientRect();
+ await fetch('/corr_click',{method:'POST',body:JSON.stringify(
+  {x:(e.clientX-r.left)/r.width,y:(e.clientY-r.top)/r.height})});
 });
 </script></body></html>"""
 
@@ -201,14 +213,25 @@ class WebOperatorView:
 
             def do_POST(self):  # noqa: N802
                 path = self.path.split("?", 1)[0]
-                if path != "/command":
-                    self._send(404, "text/plain", b"not found")
-                    return
                 n = int(self.headers.get("Content-Length", "0") or 0)
-                line = self.rfile.read(n).decode(errors="replace").strip()
-                if line:
-                    view._q.put(line)
-                self._send(200, "text/plain", b"queued\n")
+                body = self.rfile.read(n)
+                if path == "/command":
+                    line = body.decode(errors="replace").strip()
+                    if line:
+                        view._q.put(line)
+                    self._send(200, "text/plain", b"queued\n")
+                elif path == "/corr_click":
+                    try:
+                        d = json.loads(body or b"{}")
+                        msg = view.corr_click(float(d["x"]), float(d["y"]))
+                    except (KeyError, TypeError, ValueError) as e:
+                        self._send(400, "text/plain",
+                                   f"bad click: {e}".encode())
+                        return
+                    view._log.write(msg + "\n")
+                    self._send(200, "text/plain", msg.encode() + b"\n")
+                else:
+                    self._send(404, "text/plain", b"not found")
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self._server.daemon_threads = True
@@ -274,6 +297,41 @@ class WebOperatorView:
         with self._lock:
             self._ev_src, self._corr_png = ev, png
         return png
+
+    def corr_click(self, xf: float, yf: float) -> str:
+        """Map a click on ``/corr.png`` (fractions of the image's displayed
+        width/height) to an operator action and queue it for the next block
+        boundary — the last reference-GUI interaction without an equivalent
+        until now: ``GUI.jl:450-459`` (refresh panel → adopt the clicked
+        rate) and ``GUI.jl:512-523`` (line panel → ``delay2yt`` the clicked
+        peak).  Top half = refresh-band panel: the click snaps to the local
+        maximum and queues ``fv``; bottom half = line-period panel: the
+        click selects the NEAREST ranked peak and queues ``pick N`` (same
+        recovery path as the console commands)."""
+        ev = self.rt.last_evidence
+        if ev is None:
+            return "click ignored — no evidence, run `correlate` first"
+        xf = float(min(max(xf, 0.0), 1.0))
+        if yf < 0.5:
+            g = np.asarray(ev.gamma_rates)
+            n = g.shape[0]
+            i = int(round(xf * (n - 1)))
+            w = max(n // 50, 2)               # snap window: ±2% of the axis
+            lo, hi = max(i - w, 0), min(i + w + 1, n)
+            j = lo + int(np.argmax(g[lo:hi]))
+            f = float(np.asarray(ev.rates_hz)[j])
+            self._q.put(f"fv {f:.6f}")
+            return f"rate panel click -> fv {f:.4f} Hz (queued)"
+        if ev.line_peaks is None or not len(ev.line_peaks):
+            return "click ignored — evidence has no ranked line peaks"
+        lags = np.asarray(ev.line_lags, np.float64)
+        target = float(lags[0] + (lags[-1] - lags[0]) * xf)
+        peaks = np.asarray(ev.line_peaks, np.float64)
+        n_pk = int(np.argmin(np.abs(peaks[:, 0] - target)))
+        self._q.put(f"pick {n_pk}")
+        return (f"line panel click -> peak #{n_pk} "
+                f"(lag {peaks[n_pk, 0]:.1f}, {peaks[n_pk, 1]:.0f} lines, "
+                "queued)")
 
     def status(self) -> dict:
         rt = self.rt

@@ -112,6 +112,49 @@ def test_web_session_full_surface(session):
     _poll(lambda: json.loads(_get(f"{base}/status.json"))["running"] is True)
 
 
+def test_web_corr_click_adopts_peak(session):
+    """The reference GUI's last un-reproduced interaction (r4 verdict):
+    clicking a peak on either correlation panel adopts it
+    (GUI.jl:450-459 refresh panel, GUI.jl:512-523 line panel).  A browser
+    click arrives as fractional image coordinates on POST /corr_click and
+    routes through the same console dispatch as typed commands."""
+    rt, web, base = session
+
+    # Clicking before any evidence is a polite no-op, not an error.
+    msg = _post(f"{base}/corr_click",
+                json.dumps({"x": 0.5, "y": 0.8})).decode()
+    assert "no evidence" in msg
+
+    _post(f"{base}/command", "correlate")
+    _poll(lambda: rt.last_evidence is not None)
+    ev = rt.last_evidence
+
+    # Rate panel (top half): a click at the detected peak's x position
+    # snaps to the local maximum and queues `fv` at the detected refresh.
+    msg = _post(f"{base}/corr_click",
+                json.dumps({"x": ev.rate_mark(), "y": 0.2})).decode()
+    assert "fv" in msg, msg
+    f_queued = float(msg.split("fv ")[1].split(" Hz")[0])
+    assert abs(f_queued - ev.refresh_hz) < 0.05, (f_queued, ev.refresh_hz)
+    _poll(lambda: "fv = " in _get(f"{base}/log").decode())
+
+    # Line panel (bottom half): a click at ranked peak #k's lag position
+    # picks the NEAREST ranked peak and dispatches `pick k`.
+    peaks = np.asarray(ev.line_peaks, np.float64)
+    lags = np.asarray(ev.line_lags, np.float64)
+    k = min(1, len(peaks) - 1)
+    xf = float((peaks[k, 0] - lags[0]) / (lags[-1] - lags[0]))
+    msg = _post(f"{base}/corr_click",
+                json.dumps({"x": xf, "y": 0.8})).decode()
+    assert f"peak #{k}" in msg, msg
+    _poll(lambda: f"picked peak {k}" in _get(f"{base}/log").decode())
+
+    # Malformed clicks are a 400, not a crash.
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(f"{base}/corr_click", "not json")
+    assert exc.value.code == 400
+
+
 def test_web_quit_ends_session(session):
     rt, web, base = session
     _poll(lambda: web.console.blocks_done >= 1)
