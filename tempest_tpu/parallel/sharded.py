@@ -49,6 +49,7 @@ from ..video.modes import VideoMode
 
 __all__ = [
     "sharded_reconstruct_fn",
+    "sharded_streaming_reconstruct_fn",
     "sharded_batched_reconstruct_fn",
     "sharded_mode_search",
     "sharded_mode_search_2d",
@@ -218,6 +219,140 @@ def sharded_reconstruct_fn(
     step.n_shards = n_shards
     step.shard_samples_min = shard_samples_min
     return step
+
+
+def sharded_streaming_reconstruct_fn(
+    config: ReconstructionConfig,
+    mesh: Mesh,
+    shard_samples: int,
+    axis: str = "blocks",
+):
+    """The LIVE multi-chip reconstruction step: one source block split into
+    ``n_shards`` consecutive time spans, with the carried frame phase as a
+    per-shard traced input — the step a :class:`MeshStreamingRuntime` feeds
+    block-after-block from the host ring (the reference's live 3-stage
+    pipeline, ``GUI.jl:380-382``, at the BASELINE 8-chip target's shape).
+
+    Differences from :func:`sharded_reconstruct_fn` (the batch-shaped step):
+
+    * **Carry phase.** Frame cuts tick on the global grid (multiples of
+      ``spf`` from stream start).  The host passes each shard's fractional
+      offset to its next grid boundary (``phases[d] = (-(abs_pos + d·S)) %
+      spf``, computed in float64 host-side exactly like the single-chip
+      carry-phase runtime) — consecutive blocks continue the grid instead
+      of re-anchoring at zero.
+    * **True continuation tail.** The last shard's halo cannot come from a
+      neighbour (its right neighbour is the NEXT block), so the step takes
+      the next block's first ``overlap`` samples as a replicated ``tail``
+      input; shards 0..n-2 still receive their halo over ICI
+      (``lax.ppermute``).  No circular wrap, no phase shear at block
+      boundaries.
+
+    Semantics are exactly "the single-chip carry-phase streaming step on
+    ``shard_samples``-sized blocks, ``n_shards`` of them at a time": same
+    per-span frame count, same grid, same cut windows — so a mesh runtime
+    and the single-chip runtime fed the same stream produce the same EMA
+    (parity-tested).
+
+    ``config.input_format`` may be ``"iq_interleaved"`` (rows of
+    ``2·shard_samples`` float32 words — the real device boundary) or
+    ``"envelope"``.  Returns ``step(rows, tail, ema, alpha, phases)`` with
+    ``rows (n_shards, u·S)``, ``tail (u·overlap,)``, ``phases (n_shards,)``
+    float32; jit ``in_shardings`` place host arrays directly (rows/phases
+    sharded over ``axis``, the rest replicated).  ``step.overlap`` and
+    ``step.n_frames`` expose the geometry."""
+    if not config.carry_phase:
+        raise ValueError("sharded_streaming_reconstruct_fn needs "
+                         "config.carry_phase=True (the streaming grid)")
+    if config.input_format not in ("iq_interleaved", "envelope"):
+        raise ValueError("streaming mesh step takes 'iq_interleaved' or "
+                         "'envelope' rows (real device boundaries)")
+    sub = config.subsample_align
+    if sub and config.resampler != "gather":
+        raise ValueError(
+            "mesh streaming subsample_align needs resampler='gather' "
+            "(traced fractional offsets; the quantised-table fidelity chain "
+            "selects host-side bins and is single-chip for now)")
+    n_shards = mesh.shape[axis]
+    fs = config.sample_rate
+    mode = config.mode
+    n_frames = config.n_frames           # frames per shard
+    h, w = config.render_size
+    spf = fs / mode.refresh
+    frame_len = int(np.floor(spf))
+    u = 2 if config.input_format == "iq_interleaved" else 1
+    S = int(shard_samples)
+    block_need = config.block_samples    # single-chip window for n_frames
+    overlap = max(block_need - S, 1)
+    if overlap > S:
+        raise ValueError(
+            f"halo ({overlap}) exceeds the shard ({S}); use larger shards "
+            f"or fewer frames per shard")
+
+    def local_step(iq_local, phase_local, tail, ema, alpha):
+        sig = iq_local[0]                          # (u·S,) this shard's span
+        halo = sig[: u * overlap]
+        perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+        halo_from_right = jax.lax.ppermute(halo, axis, perm)
+        # The last shard's right neighbour is the NEXT block: use the tail.
+        is_last = jax.lax.axis_index(axis) == n_shards - 1
+        halo_from_right = jnp.where(is_last, tail, halo_from_right)
+        ext = jnp.concatenate([sig, halo_from_right])
+
+        env = demodulate(ext, config)              # (S + overlap,) samples
+        phase = phase_local[0]
+        exact_t = phase + spf * jnp.arange(n_frames, dtype=jnp.float32)
+        if sub:
+            fstarts = jnp.floor(exact_t).astype(jnp.int32)
+            fracs = exact_t - fstarts.astype(jnp.float32)
+        else:
+            fstarts = jnp.floor(exact_t + 0.5).astype(jnp.int32)
+            fracs = None
+        frames, sync, score = process_frames(env, fstarts, config, frame_len,
+                                             fracs)
+
+        # Associative EMA combine, identical to sharded_reconstruct_fn.
+        zero = jax.lax.pcast(
+            jnp.zeros((h, w), jnp.float32), (axis,), to="varying"
+        )
+        b_local = ema_fold(zero, frames, alpha)
+        a_local = alpha ** n_frames
+        b_all = jax.lax.all_gather(b_local, axis)
+        ema_out = ema
+        for d in range(n_shards):
+            ema_out = a_local * ema_out + b_all[d]
+        return ema_out[None], frames[None], sync[None], score[None]
+
+    shard_step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+    )
+
+    row_sh = NamedSharding(mesh, P(axis, None))
+    vec_sh = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    @_functools.partial(
+        jax.jit,
+        in_shardings=(row_sh, vec_sh, repl, repl, repl),
+        out_shardings=(repl, row_sh, row_sh, vec_sh),
+    )
+    def step(rows, phases, tail, ema, alpha):
+        ema_shards, frames, sync, score = shard_step(rows, phases, tail,
+                                                     ema, alpha)
+        return (ema_shards[0], frames.reshape(-1, h, w),
+                sync.reshape(-1, 2), score.reshape(-1))
+
+    def step_api(rows, tail, ema, alpha, phases):
+        return step(rows, phases, tail, ema, alpha)
+
+    step_api.n_shards = n_shards
+    step_api.n_frames = n_frames
+    step_api.overlap = overlap
+    step_api.shard_samples = S
+    return step_api
 
 
 def _padded_candidate_arrays(

@@ -1,0 +1,213 @@
+"""Live streaming executor on a multi-chip mesh.
+
+The reference is a *live* 3-stage pipeline — producer thread → ring →
+consumer DSP loop (``/root/reference/src/GUI.jl:380-382``); the BASELINE
+8-chip ≥8× real-time target is therefore a *streaming* claim, not a batch
+one.  :class:`MeshStreamingRuntime` is the single-chip
+:class:`~tempest_tpu.runtime.stream.StreamingRuntime` with its per-block
+jitted step replaced by the time-sharded multi-chip step
+(:func:`~tempest_tpu.parallel.sharded.sharded_streaming_reconstruct_fn`):
+each host ring block is split into ``n_shards`` consecutive time spans laid
+across the mesh, frame cuts tick on the same global carry-phase grid, halos
+ride ICI (``ppermute``), and the EMA folds associatively across shards.
+
+Semantics are EXACTLY "the single-chip runtime on ``block/n_shards``-sample
+blocks, ``n_shards`` of them per dispatch": same per-span frame count, same
+grid, same cut windows — so this runtime and the single-chip runtime fed
+the same stream produce the same EMA (parity-tested on the virtual 8-CPU
+mesh, ``tests/test_runtime.py::test_mesh_streaming_matches_single_chip``).
+
+Design notes:
+
+* **One-block lookahead.** The last shard's halo is the next block's first
+  ``overlap`` samples (the true continuation — no circular wrap, no phase
+  shear at block boundaries), so the runtime dispatches block *t* when
+  block *t+1* arrives.  One extra block of latency, exact cuts.
+* Everything else — ring, producer thread, sequence-anchored positions,
+  correlate/scan/console/checkpoint — is inherited from the single-chip
+  runtime unchanged; hot-swapping the mode rebuilds the mesh program.
+* Live combining and the quantised-table fidelity chain stay single-chip
+  for now (the combine front's carrier sharding composes in
+  ``sharded_combined_reconstruct_fn`` for batch steps; the fidelity
+  tables select host-side bins).  Both raise loudly here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..pipeline.offline import ReconstructionConfig
+from ..video.modes import VideoMode
+from .sources import SampleSource
+from .stream import FrameSink, StreamingRuntime
+
+__all__ = ["MeshStreamingRuntime"]
+
+
+class MeshStreamingRuntime(StreamingRuntime):
+    """Block-streaming executor whose jitted step spans a device mesh."""
+
+    def __init__(
+        self,
+        source: SampleSource,
+        mode: VideoMode,
+        mesh: Mesh,
+        axis: str = "blocks",
+        n_frames_per_shard: int | None = None,
+        alpha: float = 0.1,
+        ring_depth: int = 16,
+        invert: bool = False,
+        ring_impl: str = "python",
+        config_overrides: dict | None = None,
+    ) -> None:
+        self.mesh = mesh
+        self._mesh_axis = axis
+        self._pending: tuple[np.ndarray, int] | None = None
+        super().__init__(
+            source, mode, n_frames_per_block=n_frames_per_shard,
+            alpha=alpha, ring_depth=ring_depth, invert=invert,
+            ring_impl=ring_impl, config_overrides=config_overrides,
+        )
+
+    # ------------------------------------------------------------ config
+    def _rebuild(self) -> None:
+        from ..parallel.sharded import sharded_streaming_reconstruct_fn
+
+        if getattr(self, "_combine_centers", None):
+            raise NotImplementedError(
+                "live combining on the mesh runtime is not wired yet — use "
+                "the single-chip StreamingRuntime (its front is one chip) "
+                "or the batch-shaped sharded_combined_reconstruct_fn")
+        if getattr(self, "fidelity", False):
+            raise NotImplementedError(
+                "the quantised-table fidelity chain selects host-side phase "
+                "bins and stays single-chip; the mesh runtime runs the "
+                "carry-phase sync chain")
+        n_shards = self.mesh.shape[self._mesh_axis]
+        block = self.source.block_size
+        if block % n_shards:
+            raise ValueError(
+                f"source block_size {block} must divide into {n_shards} "
+                f"equal shard spans")
+        S = block // n_shards
+        fs = self.source.sample_rate
+        spf = fs / self._mode.refresh
+        if self._n_frames_fixed is None:
+            # Same derivation as the single-chip runtime with its chain
+            # capacity set to ONE SHARD SPAN — that is what makes the mesh
+            # step per-span-identical to single-chip blocks of S samples.
+            n = max(int((S - 2 - spf) / spf), 1)
+            while n > 1 and (int(np.ceil(spf * n)) + 1 + int(np.ceil(spf))
+                             > S):
+                n -= 1
+            self._n_frames = n
+        else:
+            self._n_frames = self._n_frames_fixed
+        self.config = ReconstructionConfig(
+            sample_rate=fs,
+            mode=self._mode,
+            n_frames=self._n_frames,
+            invert=self.invert,
+            carry_phase=True,
+            input_format="iq_interleaved",
+            resampler="mxu3",
+            subsample_align=False,
+            do_align=True,
+            align_subpixel=True,
+        )
+        if self._overrides:
+            import dataclasses
+
+            self.config = dataclasses.replace(self.config, **self._overrides)
+        self._spf = spf
+        self._abs_pos = 0
+        self._phase_scale = 1.0
+        self._upload_samples = self.config.block_samples
+        self._combine_geometry = None
+        self._combine_front = None
+        # A config change invalidates the pending block's pairing with the
+        # compiled geometry — drop it (one block of signal, same real-time
+        # semantics as a ring drop).
+        self._pending = None
+        self._step = sharded_streaming_reconstruct_fn(
+            self.config, self.mesh, S, self._mesh_axis)
+
+    # ---------------------------------------------------------- consumer
+    def process_blocks(
+        self,
+        n_blocks: int,
+        sink: FrameSink | None = None,
+        emit_every_frame: bool = False,
+    ) -> np.ndarray:
+        """Consume ring blocks through the mesh step.
+
+        Dispatches ``n_blocks`` blocks; because the last shard's halo is
+        the NEXT block's head, the first call primes a one-block lookahead
+        (``n_blocks`` dispatches consume ``n_blocks + 1`` ring blocks; the
+        trailing block stays pending for the next call).  If the ring
+        dropped blocks between two takes, the pending block's phase is
+        still exact (sequence-anchored) and only its last ``overlap``
+        halo samples come from non-contiguous signal."""
+        ema = jnp.asarray(self._ema)
+        block = self.source.block_size
+        n_shards = self._step.n_shards
+        S = self._step.shard_samples
+        ov_words = 2 * self._step.overlap
+        dispatched = 0
+        while dispatched < n_blocks:
+            buf = np.empty(block, np.complex64)
+            if self.ring.take(buf) is None:
+                if self._producer_error is not None:
+                    raise RuntimeError(
+                        "sample source failed") from self._producer_error
+                break
+            seq = getattr(self.ring, "last_seq", -1)
+            abs_this = (self._abs_base + seq * block if seq >= 0
+                        else self._abs_pos)
+            if self._pending is not None:
+                pbuf, ppos = self._pending
+                rows = pbuf.view(np.float32).reshape(n_shards, 2 * S)
+                tail = np.ascontiguousarray(
+                    buf[: self._step.overlap]).view(np.float32)
+                # Host float64 phases, exactly like the single-chip path.
+                phases = np.asarray(
+                    [(-(ppos + d * S)) % self._spf for d in range(n_shards)],
+                    np.float32)
+                assert tail.shape[0] == ov_words
+                ema, frames, sync, score = self._step(
+                    rows, tail, ema, jnp.float32(self.alpha), phases)
+                self._abs_pos = ppos + block
+                self.frames_out += int(frames.shape[0])
+                dispatched += 1
+                if sink is not None:
+                    info = {
+                        "sync": np.asarray(sync),
+                        "score": np.asarray(score),
+                        "mode": self._mode,
+                        "frames_out": self.frames_out,
+                    }
+                    if self.corr_spark:
+                        info["spark"] = self.corr_spark
+                    if emit_every_frame:
+                        for f in np.asarray(frames):
+                            sink(f, info)
+                    else:
+                        sink(np.asarray(ema), info)
+            self._pending = (buf, abs_this)
+        self._ema = np.asarray(ema)
+        return self._ema
+
+    # -------------------------------------------------- failure detection
+    def health(self) -> dict:
+        h = super().health()
+        h["mesh"] = {
+            "n_shards": int(self.mesh.shape[self._mesh_axis]),
+            "axis": self._mesh_axis,
+            "shard_samples": int(self._step.shard_samples),
+            "frames_per_shard": int(self._step.n_frames),
+            "halo_samples": int(self._step.overlap),
+            "pending_block": self._pending is not None,
+        }
+        return h

@@ -483,12 +483,18 @@ class StreamingRuntime:
         renderer (``GUI.jl:177,207-234``) collapsed into a callback.  Returns
         the final EMA image.
         """
-        # Two host buffers: while block k's host->device transfer is still in
-        # flight (JAX transfers are async), block k+1 fills the other buffer.
-        bufs = [np.empty(self.source.block_size, np.complex64) for _ in range(2)]
+        # A FRESH host buffer per block: JAX may alias (zero-copy) an
+        # aligned numpy input on some backends, and mutating a buffer after
+        # handing it to a dispatched program is undefined — the previous
+        # two-buffer rotation corrupted block k's in-flight input when
+        # block k+2's ring.take overwrote it, whenever no sink forced
+        # per-block completion (REAL bug, caught by the mesh-runtime parity
+        # test: no-sink EMA deviated 0.07 from the sink-fenced fold on the
+        # CPU backend).  Allocation is microseconds against a multi-MB DSP
+        # block; correctness must not depend on transfer semantics.
         ema = jnp.asarray(self._ema)
         for i in range(n_blocks):
-            buf = bufs[i % 2]
+            buf = np.empty(self.source.block_size, np.complex64)
             got = self.ring.take(buf)
             if got is None:
                 if self._producer_error is not None:

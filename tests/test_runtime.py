@@ -721,6 +721,79 @@ def test_streaming_correlate_band_100hz():
         rt.stop()
 
 
+def test_mesh_streaming_matches_single_chip():
+    """The multi-chip STREAMING runtime (r4 verdict #2): T consecutive ring
+    blocks through MeshStreamingRuntime (each block laid out as 8 time
+    spans across the virtual mesh, halos over ppermute, last-shard halo
+    from the one-block lookahead) must produce the same EMA as the
+    single-chip carry-phase runtime fed the same stream in span-sized
+    blocks — same frame grid, same cut windows, same fold."""
+    from tempest_tpu.parallel.mesh import make_mesh
+    from tempest_tpu.runtime.mesh_stream import MeshStreamingRuntime
+    from tempest_tpu.runtime.sources import SyntheticSource
+
+    n_sh, T = 8, 2
+    S = int(FS * 0.05)                       # one shard span (≥ 2 frames)
+    cap = tt.generate_iq(MODE, FS, (T + 1) * n_sh * S, snr_db=20.0, seed=12)
+    sig = np.asarray(cap.iq, np.complex64)
+
+    def _feed(rt, block, count):
+        for t in range(count):
+            rt.ring.put(np.ascontiguousarray(sig[t * block:(t + 1) * block]))
+
+    # Mesh runtime: T dispatches need T+1 blocks (one-block lookahead).
+    msrc = SyntheticSource(MODE, FS, n_sh * S, snr_db=25.0, seed=0)
+    mrt = MeshStreamingRuntime(msrc, MODE, make_mesh(n_sh), alpha=0.5)
+    _feed(mrt, n_sh * S, T + 1)
+    img_m = mrt.process_blocks(T)
+
+    # Single-chip runtime on span-sized blocks over the same signal.
+    ssrc = SyntheticSource(MODE, FS, S, snr_db=25.0, seed=0)
+    srt = StreamingRuntime(ssrc, MODE, alpha=0.5)
+    assert srt._n_frames == mrt._n_frames    # same per-span frame count
+    _feed(srt, S, T * n_sh)
+    img_s = srt.process_blocks(T * n_sh)
+
+    assert mrt.frames_out == srt.frames_out == T * n_sh * mrt._n_frames
+    np.testing.assert_allclose(img_m, img_s, atol=2e-3)
+    h = mrt.health()["mesh"]
+    assert h["n_shards"] == n_sh and h["pending_block"] is True
+
+
+def test_mesh_streaming_reconstruction_quality():
+    """End-to-end quality through the mesh runtime: the reconstructed EMA
+    correlates with the synthesised raster (the flagship drive, on the
+    8-device virtual mesh, with the producer thread and ring in the loop)
+    and hot-swapping the mode rebuilds the mesh program."""
+    from tempest_tpu.ops.resample import downgrade_image
+    from tempest_tpu.parallel.mesh import make_mesh
+    from tempest_tpu.render.screen import aligned_psnr
+    from tempest_tpu.runtime.mesh_stream import MeshStreamingRuntime
+    from tempest_tpu.runtime.sources import SyntheticSource
+    import jax.numpy as jnp
+
+    n_sh = 8
+    S = int(FS * 0.05)
+    src = SyntheticSource(MODE, FS, n_sh * S, snr_db=25.0, seed=3)
+    rt = MeshStreamingRuntime(src, MODE, make_mesh(n_sh), alpha=0.5)
+    rt.start()
+    try:
+        img = rt.process_blocks(3)
+    finally:
+        rt.stop()
+    assert rt.frames_out >= 3 * n_sh * rt._n_frames // 2
+    # The synthetic source renders the deterministic default test pattern:
+    # regenerate it for ground truth.
+    truth = np.asarray(downgrade_image(jnp.asarray(
+        tt.generate_iq(MODE, FS, 1024, snr_db=25.0, seed=3).frame)))
+    p, _ = aligned_psnr(truth, img)
+    assert p > 10.0, p
+    # Mode hot-swap rebuilds the sharded program (console `+ 1` path).
+    rt.set_line_count(MODE.height + 1)
+    assert rt.mode.height == MODE.height + 1
+    assert rt.health()["mesh"]["pending_block"] is False  # dropped on rebuild
+
+
 def test_cli_stream_fm_single_carrier(tmp_path, monkeypatch):
     """`cli stream --demod fm`: single-carrier live FM through the chain's
     demod config (r4 verdict: stream lacked the flag analyze/reconstruct
