@@ -267,6 +267,8 @@ def cmd_stream(args: argparse.Namespace) -> int:
 
     mode = ALL_VIDEO_MODES[args.mode]
     block = int(args.fs * args.block_seconds)
+    if args.mesh:
+        block -= block % args.mesh      # equal shard spans
     source = open_source(
         args.source,
         sample_rate=args.fs,
@@ -298,14 +300,31 @@ def cmd_stream(args: argparse.Namespace) -> int:
     combine = None
     if args.combine and args.combine != "auto":
         combine = [float(x) for x in args.combine.split(",")]
-    rt = StreamingRuntime(source, mode, alpha=args.alpha, invert=args.invert,
-                          fidelity=args.fidelity and not args.drift_lock,
-                          fidelity_bins=args.fidelity_bins,
-                          ring_impl=args.ring,
-                          config_overrides=overrides or None,
-                          combine=combine, combine_bw=args.chan_bw,
-                          combine_demod=args.combine_demod,
-                          combine_excise_db=args.excise)
+    if args.mesh:
+        # Live MULTI-CHIP streaming: each ring block laid out as N time
+        # spans across the device mesh (ppermute halos, associative EMA
+        # combine, one-block lookahead) — the BASELINE 8-chip streaming
+        # shape.  Parity with the single-chip runtime is bit-tested.
+        from ..parallel.mesh import make_mesh
+        from ..runtime.mesh_stream import MeshStreamingRuntime
+
+        if combine or args.combine == "auto" or args.fidelity:
+            raise SystemExit("--mesh runs the carry-phase sync chain; "
+                             "combine/fidelity stay single-chip for now")
+        rt = MeshStreamingRuntime(source, mode, make_mesh(args.mesh),
+                                  alpha=args.alpha, invert=args.invert,
+                                  ring_impl=args.ring,
+                                  config_overrides=overrides or None)
+    else:
+        rt = StreamingRuntime(source, mode, alpha=args.alpha,
+                              invert=args.invert,
+                              fidelity=args.fidelity and not args.drift_lock,
+                              fidelity_bins=args.fidelity_bins,
+                              ring_impl=args.ring,
+                              config_overrides=overrides or None,
+                              combine=combine, combine_bw=args.chan_bw,
+                              combine_demod=args.combine_demod,
+                              combine_excise_db=args.excise)
     if args.render == "terminal":
         sink = TerminalRenderer(crosshair=args.crosshair)
     elif args.render == "png":
@@ -797,6 +816,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--crosshair", action="store_true",
                    help="overlay the detected sync position on the live view "
                         "(displayScreen_vsync! parity)")
+    p.add_argument("--mesh", type=int, default=None, metavar="N",
+                   help="stream through the N-device mesh runtime (each "
+                        "block split into N time spans, halos over ICI; "
+                        "sync chain only — combine/fidelity stay "
+                        "single-chip)")
     p.add_argument("--ring", default="python", choices=["python", "native"],
                    help="host ring buffer implementation (native = C++, "
                         "GIL-free)")
