@@ -308,13 +308,17 @@ def cmd_stream(args: argparse.Namespace) -> int:
         from ..parallel.mesh import make_mesh
         from ..runtime.mesh_stream import MeshStreamingRuntime
 
-        if combine or args.combine == "auto" or args.fidelity:
-            raise SystemExit("--mesh runs the carry-phase sync chain; "
-                             "combine/fidelity stay single-chip for now")
+        if args.fidelity:
+            raise SystemExit("--mesh runs the carry-phase sync chain; the "
+                             "quantised-table fidelity chain stays "
+                             "single-chip")
         rt = MeshStreamingRuntime(source, mode, make_mesh(args.mesh),
                                   alpha=args.alpha, invert=args.invert,
                                   ring_impl=args.ring,
-                                  config_overrides=overrides or None)
+                                  config_overrides=overrides or None,
+                                  combine=combine, combine_bw=args.chan_bw,
+                                  combine_demod=args.combine_demod,
+                                  combine_excise_db=args.excise)
     else:
         rt = StreamingRuntime(source, mode, alpha=args.alpha,
                               invert=args.invert,
@@ -819,8 +823,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=int, default=None, metavar="N",
                    help="stream through the N-device mesh runtime (each "
                         "block split into N time spans, halos over ICI; "
-                        "sync chain only — combine/fidelity stay "
-                        "single-chip)")
+                        "--combine shards the carriers across the same "
+                        "mesh; fidelity stays single-chip)")
     p.add_argument("--ring", default="python", choices=["python", "native"],
                    help="host ring buffer implementation (native = C++, "
                         "GIL-free)")

@@ -1155,3 +1155,74 @@ def sharded_combined_reconstruct_fn(
     step.fs_channel = fs_chan
     step.shard_samples = S
     return step
+
+
+def sharded_streaming_combine_front(
+    fs: float,
+    n_samples: int,
+    centers_hz: np.ndarray,
+    refresh_hz: float,
+    mesh: Mesh,
+    axis: str = "blocks",
+    chan_bw: float = 4e6,
+    weighting: str = "mrc",
+    demod: str = "am",
+    excise_db: float | None = None,
+):
+    """Carrier-sharded per-block combine front for the LIVE mesh runtime:
+    ``front(words) -> (env, weights, polarity, mass)`` with the fused
+    envelope REPLICATED and device-resident — the mesh runtime hands it
+    straight to :func:`sharded_streaming_reconstruct_fn` (input_format
+    ``"envelope"``) without a host round trip, carrying the previous
+    block's envelope on device for the one-block lookahead tail.
+
+    This is the front half of :func:`sharded_combined_reconstruct_fn`
+    (same ``_combine_local_builder`` locals: all_gather of the comb
+    masses, one-hot-psum anchor envelope, psum fusion — ~2·M floats of
+    ICI per call regardless of K) split out as its own program, because a
+    streaming step consumes the PREVIOUS block's envelope while this
+    block's is being fused."""
+    from ..ops.scan import _channel_geometry, check_excise_demod
+
+    check_excise_demod(demod, excise_db)
+    n_dev = mesh.shape[axis]
+    N, M, fs_chan = _channel_geometry(n_samples, fs, chan_bw)
+    centers = np.atleast_1d(np.asarray(centers_hz, np.float64))
+    K = len(centers)
+    starts = np.array(
+        [(int(np.round(float(fc) / fs * N)) - M // 2) % N for fc in centers],
+        np.int32,
+    )
+    pad = (-K) % n_dev
+    starts_p = np.concatenate([starts, np.repeat(starts[:1], pad)])
+    kidx_p = np.arange(K + pad, dtype=np.int32)
+    fv_q = fs_chan / round(fs_chan / float(refresh_hz))
+    local = _combine_local_builder(
+        axis, K, M, N, fs_chan, 0.1, max(fv_q - 5.0, 20.0), fv_q + 5.0,
+        weighting, fv_q, demod=demod, excise_db=excise_db)
+    front_sm = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+    )
+    sh = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    starts_dev = jax.device_put(starts_p, sh)
+    kidx_dev = jax.device_put(kidx_p, sh)
+
+    @_functools.partial(
+        jax.jit, in_shardings=(repl,),
+        out_shardings=(repl, repl, repl, repl),
+    )
+    def front(words):
+        ri = words[: 2 * N].reshape(N, 2)
+        z = jax.lax.complex(ri[:, 0], ri[:, 1])
+        spec = jnp.fft.fft(z)
+        spec_w = jnp.concatenate([spec, spec[:M]])
+        env, w, pol, mass, _ = front_sm(spec_w, starts_dev, kidx_dev)
+        return env, w[:K], pol[:K], mass[:K]
+
+    front.fs_channel = fs_chan
+    front.n_fft = N
+    front.m_chan = M
+    return front

@@ -26,10 +26,16 @@ Design notes:
 * Everything else — ring, producer thread, sequence-anchored positions,
   correlate/scan/console/checkpoint — is inherited from the single-chip
   runtime unchanged; hot-swapping the mode rebuilds the mesh program.
-* Live combining and the quantised-table fidelity chain stay single-chip
-  for now (the combine front's carrier sharding composes in
-  ``sharded_combined_reconstruct_fn`` for batch steps; the fidelity
-  tables select host-side bins).  Both raise loudly here.
+* **Live combining runs on the same mesh**: the carrier-sharded front
+  (:func:`~tempest_tpu.parallel.sharded.sharded_streaming_combine_front`)
+  fuses each block's harmonics (all_gather masses + one-hot-psum anchor +
+  psum fusion), the replicated envelope stays DEVICE-RESIDENT as the
+  pending payload, and the time-sharded chain consumes the previous
+  block's envelope with the new one's head as the lookahead tail —
+  carriers → time across one mesh, streaming.  Frame-grid math stays in
+  source samples, scaled by the exact decimation M/N on dispatch.
+* The quantised-table fidelity chain selects host-side phase bins and
+  stays single-chip; ``fidelity=True`` raises loudly here.
 """
 
 from __future__ import annotations
@@ -61,25 +67,31 @@ class MeshStreamingRuntime(StreamingRuntime):
         invert: bool = False,
         ring_impl: str = "python",
         config_overrides: dict | None = None,
+        combine: list[float] | None = None,
+        combine_bw: float = 4e6,
+        combine_demod: str = "am",
+        combine_excise_db: float | None = None,
     ) -> None:
         self.mesh = mesh
         self._mesh_axis = axis
-        self._pending: tuple[np.ndarray, int] | None = None
+        self._pending: tuple[object, int] | None = None
+        self._mesh_front = None
         super().__init__(
             source, mode, n_frames_per_block=n_frames_per_shard,
             alpha=alpha, ring_depth=ring_depth, invert=invert,
             ring_impl=ring_impl, config_overrides=config_overrides,
+            combine=combine, combine_bw=combine_bw,
+            combine_demod=combine_demod,
+            combine_excise_db=combine_excise_db,
         )
 
     # ------------------------------------------------------------ config
     def _rebuild(self) -> None:
-        from ..parallel.sharded import sharded_streaming_reconstruct_fn
+        from ..parallel.sharded import (
+            sharded_streaming_combine_front,
+            sharded_streaming_reconstruct_fn,
+        )
 
-        if getattr(self, "_combine_centers", None):
-            raise NotImplementedError(
-                "live combining on the mesh runtime is not wired yet — use "
-                "the single-chip StreamingRuntime (its front is one chip) "
-                "or the batch-shaped sharded_combined_reconstruct_fn")
         if getattr(self, "fidelity", False):
             raise NotImplementedError(
                 "the quantised-table fidelity chain selects host-side phase "
@@ -87,31 +99,67 @@ class MeshStreamingRuntime(StreamingRuntime):
                 "carry-phase sync chain")
         n_shards = self.mesh.shape[self._mesh_axis]
         block = self.source.block_size
-        if block % n_shards:
-            raise ValueError(
-                f"source block_size {block} must divide into {n_shards} "
-                f"equal shard spans")
-        S = block // n_shards
         fs = self.source.sample_rate
         spf = fs / self._mode.refresh
+        self._spf = spf
+
+        if getattr(self, "_combine_centers", None):
+            # Live combine across the SAME mesh: the front shards the
+            # CARRIERS (all_gather masses + one-hot-psum anchor + psum
+            # fusion) and hands the replicated fused envelope — still on
+            # device — to the time-sharded chain at the channel rate.
+            # Frame-grid math stays in SOURCE samples, scaled by the exact
+            # decimation M/N on dispatch (same contract as the single-chip
+            # combine front).
+            from ..ops.scan import _channel_geometry
+
+            n_fft, m_chan, fs_chan = _channel_geometry(
+                block, fs, self._combine_bw)
+            if m_chan % n_shards:
+                raise ValueError(
+                    f"channel length {m_chan} must divide into {n_shards} "
+                    f"equal envelope spans")
+            S = m_chan // n_shards
+            chain_fs = fs_chan
+            self._phase_scale = m_chan / n_fft
+            self._combine_geometry = (n_fft, m_chan, fs_chan)
+            self._mesh_front = sharded_streaming_combine_front(
+                fs, block, np.asarray(self._combine_centers),
+                self._mode.refresh, self.mesh, self._mesh_axis,
+                chan_bw=self._combine_bw, demod=self._combine_demod,
+                excise_db=self._combine_excise)
+            input_format = "envelope"
+        else:
+            chain_fs = fs
+            S = block // n_shards
+            if block % n_shards:
+                raise ValueError(
+                    f"source block_size {block} must divide into {n_shards} "
+                    f"equal shard spans")
+            self._phase_scale = 1.0
+            self._combine_geometry = None
+            self._mesh_front = None
+            input_format = "iq_interleaved"
+
+        spf_chain = chain_fs / self._mode.refresh
         if self._n_frames_fixed is None:
             # Same derivation as the single-chip runtime with its chain
             # capacity set to ONE SHARD SPAN — that is what makes the mesh
             # step per-span-identical to single-chip blocks of S samples.
-            n = max(int((S - 2 - spf) / spf), 1)
-            while n > 1 and (int(np.ceil(spf * n)) + 1 + int(np.ceil(spf))
-                             > S):
+            n = max(int((S - 2 - spf_chain) / spf_chain), 1)
+            while n > 1 and (int(np.ceil(spf_chain * n)) + 1
+                             + int(np.ceil(spf_chain)) > S):
                 n -= 1
             self._n_frames = n
         else:
             self._n_frames = self._n_frames_fixed
         self.config = ReconstructionConfig(
-            sample_rate=fs,
+            sample_rate=chain_fs,
             mode=self._mode,
             n_frames=self._n_frames,
             invert=self.invert,
             carry_phase=True,
-            input_format="iq_interleaved",
+            input_format=input_format,
             resampler="mxu3",
             subsample_align=False,
             do_align=True,
@@ -121,18 +169,23 @@ class MeshStreamingRuntime(StreamingRuntime):
             import dataclasses
 
             self.config = dataclasses.replace(self.config, **self._overrides)
-        self._spf = spf
         self._abs_pos = 0
-        self._phase_scale = 1.0
         self._upload_samples = self.config.block_samples
-        self._combine_geometry = None
-        self._combine_front = None
+        self._combine_front = None     # single-chip front unused here
+        self.combine_weights = None
         # A config change invalidates the pending block's pairing with the
         # compiled geometry — drop it (one block of signal, same real-time
         # semantics as a ring drop).
         self._pending = None
         self._step = sharded_streaming_reconstruct_fn(
             self.config, self.mesh, S, self._mesh_axis)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # The front's fused envelope comes back committed-replicated; the
+        # chain declares row-sharded inputs, so re-lay it out explicitly
+        # (a device-side reshard — the envelope never visits the host).
+        self._row_sharding = NamedSharding(self.mesh, P(self._mesh_axis,
+                                                        None))
 
     # ---------------------------------------------------------- consumer
     def process_blocks(
@@ -154,7 +207,11 @@ class MeshStreamingRuntime(StreamingRuntime):
         block = self.source.block_size
         n_shards = self._step.n_shards
         S = self._step.shard_samples
-        ov_words = 2 * self._step.overlap
+        ov = self._step.overlap
+        combining = self._mesh_front is not None
+        # Chain-grid frame period: source samples, or channel samples
+        # scaled by the exact decimation M/N when the front is active.
+        spf_chain = self._spf * self._phase_scale
         dispatched = 0
         while dispatched < n_blocks:
             buf = np.empty(block, np.complex64)
@@ -166,16 +223,37 @@ class MeshStreamingRuntime(StreamingRuntime):
             seq = getattr(self.ring, "last_seq", -1)
             abs_this = (self._abs_base + seq * block if seq >= 0
                         else self._abs_pos)
+            if combining:
+                # Fuse THIS block's carriers on the mesh now; the envelope
+                # stays device-resident and becomes the pending payload
+                # (its head is also the previous dispatch's tail).
+                env_new, w, pol, mass = self._mesh_front(
+                    jnp.asarray(buf.view(np.float32)))
+                self.combine_weights = (w, pol, mass)
+                payload = env_new
+            else:
+                payload = buf
             if self._pending is not None:
-                pbuf, ppos = self._pending
-                rows = pbuf.view(np.float32).reshape(n_shards, 2 * S)
-                tail = np.ascontiguousarray(
-                    buf[: self._step.overlap]).view(np.float32)
-                # Host float64 phases, exactly like the single-chip path.
-                phases = np.asarray(
-                    [(-(ppos + d * S)) % self._spf for d in range(n_shards)],
-                    np.float32)
-                assert tail.shape[0] == ov_words
+                prev, ppos = self._pending
+                if combining:
+                    import jax
+
+                    rows = jax.device_put(
+                        prev[: n_shards * S].reshape(n_shards, S),
+                        self._row_sharding)
+                    tail = payload[:ov]
+                    ph0 = ((-ppos) % self._spf) * self._phase_scale
+                    phases = np.asarray(
+                        [(ph0 - d * S) % spf_chain for d in range(n_shards)],
+                        np.float32)
+                else:
+                    rows = prev.view(np.float32).reshape(n_shards, 2 * S)
+                    tail = np.ascontiguousarray(buf[:ov]).view(np.float32)
+                    # Host float64 phases, like the single-chip path.
+                    phases = np.asarray(
+                        [(-(ppos + d * S)) % self._spf
+                         for d in range(n_shards)],
+                        np.float32)
                 ema, frames, sync, score = self._step(
                     rows, tail, ema, jnp.float32(self.alpha), phases)
                 self._abs_pos = ppos + block
@@ -195,7 +273,7 @@ class MeshStreamingRuntime(StreamingRuntime):
                             sink(f, info)
                     else:
                         sink(np.asarray(ema), info)
-            self._pending = (buf, abs_this)
+            self._pending = (payload, abs_this)
         self._ema = np.asarray(ema)
         return self._ema
 
