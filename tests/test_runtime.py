@@ -760,6 +760,78 @@ def test_mesh_streaming_matches_single_chip():
     assert h["n_shards"] == n_sh and h["pending_block"] is True
 
 
+def test_mesh_streaming_phase_survives_ring_drops():
+    """Ring drops on the MESH runtime: the pending/lookahead bookkeeping
+    must re-anchor the dispatched block's phase to its production
+    sequence, so the reconstructed geometry matches an uninterrupted
+    stream's (the same invariant the single-chip runtime pins, with the
+    extra subtlety that a dropped block also breaks the halo pairing)."""
+    from tempest_tpu.parallel.mesh import make_mesh
+    from tempest_tpu.runtime.mesh_stream import MeshStreamingRuntime
+
+    S = int(FS * 0.05)
+    block = 8 * S
+    src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=22)
+    blocks = []
+    buf = np.empty(block, np.complex64)
+    for _ in range(6):
+        src.read(buf)
+        blocks.append(buf.copy())
+
+    def run(ring_depth, n_dispatch):
+        s2 = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=22)
+        rt = MeshStreamingRuntime(s2, MODE, make_mesh(8), alpha=0.5)
+        rt.ring = type(rt.ring)(block, ring_depth)
+        for b in blocks:
+            rt.ring.put(b)
+        img = rt.process_blocks(n_dispatch)
+        rt.stop()
+        return rt, img
+
+    rt_c, clean = run(8, 5)
+    assert rt_c.ring.overflows == 0
+    rt_d, dropped = run(3, 2)   # blocks 0-2 overwritten before consuming
+    assert rt_d.ring.overflows == 3
+    d = np.abs(clean - dropped) / (clean.max() - clean.min() + 1e-9)
+    assert d.mean() < 0.02, d.mean()
+
+
+def test_mesh_streaming_checkpoint_resume(tmp_path):
+    """Checkpoint/resume is inherited by the mesh runtime: a resumed
+    session rebuilds the mesh program and continues frame-phase-continuous
+    averaging at the saved absolute position (the one-block lookahead must
+    not shift the restored grid)."""
+    from tempest_tpu.parallel.mesh import make_mesh
+    from tempest_tpu.runtime.mesh_stream import MeshStreamingRuntime
+
+    S = int(FS * 0.05)
+    block = 8 * S
+    src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=7)
+    rt = MeshStreamingRuntime(src, MODE, make_mesh(8), alpha=0.5)
+    rt.start()
+    try:
+        rt.process_blocks(2)
+    finally:
+        rt.stop()
+    p = str(tmp_path / "mesh.npz")
+    rt.save_checkpoint(p)
+
+    src2 = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=7)
+    rt2 = MeshStreamingRuntime(src2, MODE, make_mesh(8), alpha=0.1)
+    rt2.load_checkpoint(p)
+    assert rt2.alpha == 0.5
+    assert rt2.frames_out == rt.frames_out
+    np.testing.assert_array_equal(rt2._ema, rt._ema)
+    saved = rt2._abs_pos
+    rt2.start()
+    try:
+        rt2.process_blocks(1)
+    finally:
+        rt2.stop()
+    assert rt2._abs_pos == saved + block
+    assert rt2.frames_out > rt.frames_out
+
+
 def test_mesh_streaming_reconstruction_quality():
     """End-to-end quality through the mesh runtime: the reconstructed EMA
     correlates with the synthesised raster (the flagship drive, on the
