@@ -337,6 +337,38 @@ def main() -> None:
         }
     )
 
+    # 8. MESH streaming host loop: the same end-to-end system with the
+    # per-block step spanning the device mesh (MeshStreamingRuntime: time
+    # spans + ppermute halos + one-block lookahead) — the BASELINE 8-chip
+    # streaming shape, runnable on the virtual CPU mesh (--device cpu) and
+    # collapsing to one shard on a single-chip session.
+    from tempest_tpu.runtime.mesh_stream import MeshStreamingRuntime
+
+    n_dev = mesh.devices.size
+    blk_m = (blk // n_dev) * n_dev
+    mrt = MeshStreamingRuntime(
+        _MemSource(src_blocks[:, :blk_m]), mode, mesh, alpha=0.1)
+    mrt.start()
+    try:
+        mrt.process_blocks(2)         # compile + settle (+1 lookahead)
+        n_loop = max(args.iters, 8)
+        t0 = time.perf_counter()
+        mrt.process_blocks(n_loop)
+        dt = time.perf_counter() - t0
+    finally:
+        mrt.stop()
+    msps = n_loop * blk_m / dt / 1e6
+    results.append(
+        {
+            "metric": f"mesh streaming host loop 1080p60 ({n_dev} shards)",
+            "value": round(msps, 2),
+            "unit": "Msamples/s",
+            "vs_baseline": round(msps / 20.0, 2),
+            "blocks_per_s": round(n_loop / dt, 2),
+            "realtime_factor": round(msps * 1e6 / fs, 3),
+        }
+    )
+
     for r in results:
         print(json.dumps(r))
 
