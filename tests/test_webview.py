@@ -162,6 +162,37 @@ def test_web_quit_ends_session(session):
     _poll(lambda: not web.console.alive)
 
 
+def test_web_view_on_mesh_runtime():
+    """The web operator surface composes with the MESH runtime unchanged
+    (it drives any StreamingRuntime): live frame, status with mesh
+    health, and a command dispatch."""
+    from tempest_tpu.parallel.mesh import make_mesh
+    from tempest_tpu.runtime.mesh_stream import MeshStreamingRuntime
+
+    S = int(FS * 0.05)
+    src = SyntheticSource(MODE, FS, 8 * S, snr_db=25.0, seed=3)
+    rt = MeshStreamingRuntime(src, MODE, make_mesh(8), alpha=0.5)
+    web = WebOperatorView(rt, port=0)
+    base = f"http://{web.host}:{web.port}"
+    rt.start()
+    t = threading.Thread(target=web.run, daemon=True, name="web-mesh")
+    t.start()
+    try:
+        _poll(lambda: (lambda p: p if len(p) > 2000 else None)(
+            _get(f"{base}/frame.png")))
+        s = json.loads(_get(f"{base}/status.json"))
+        assert s["health"]["mesh"]["n_shards"] == 8
+        _post(f"{base}/command", "+ 1")
+        _poll(lambda: rt.mode.height == MODE.height + 1)
+    finally:
+        try:
+            _post(f"{base}/command", "quit")
+        except OSError:
+            pass
+        t.join(timeout=30)
+        rt.stop()
+
+
 def test_web_unknown_paths_404(session):
     _, _, base = session
     with pytest.raises(urllib.error.HTTPError) as exc:
