@@ -268,6 +268,11 @@ def cmd_stream(args: argparse.Namespace) -> int:
     mode = ALL_VIDEO_MODES[args.mode]
     block = int(args.fs * args.block_seconds)
     if args.mesh:
+        if args.combine:
+            # Mesh live combine needs the block to BE the channeliser FFT
+            # window (the lookahead tail must continue exactly where the
+            # previous envelope ends) — round down to a power of two.
+            block = 1 << (max(block, 2).bit_length() - 1)
         block -= block % args.mesh      # equal shard spans
     source = open_source(
         args.source,

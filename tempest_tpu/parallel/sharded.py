@@ -791,14 +791,7 @@ def sharded_scan_band(
     n_dev = mesh.shape[axis]
     n_c = int(iq_words.shape[0]) // 2
     N, M, fs_chan = _channel_geometry(n_c, fs, chan_bw)
-    # Per-channel slice starts into the wrapped spectrum, padded to a
-    # multiple of the mesh axis (pad channels repeat center 0 — discarded).
-    starts = np.array(
-        [(int(np.round(float(fc) / fs * N)) - M // 2) % N for fc in centers],
-        np.int32,
-    )
-    pad = (-K) % n_dev
-    starts_p = np.concatenate([starts, np.repeat(starts[:1], pad)])
+    starts_p, _ = _carrier_layout(centers, fs, N, M, n_dev)
 
     def local(spec_w, starts_loc):
         def one(b0):
@@ -851,6 +844,24 @@ def sharded_scan_band(
         fs_channel=fs_chan,
         floor_db=np.full(K, float(floor)),
     )
+
+
+def _carrier_layout(centers: np.ndarray, fs: float, N: int, M: int,
+                    n_dev: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-carrier slice starts into the wrapped capture spectrum (the
+    carrier's bin minus M/2, mod N) plus carrier indices, both padded to a
+    multiple of the mesh axis (pads repeat carrier 0 and get indices ≥ K,
+    so downstream gating discards them).  ONE definition shared by every
+    carrier-sharded pipeline — the start-bin rounding must never drift
+    between the sweep, the fused step, and the streaming front."""
+    starts = np.array(
+        [(int(np.round(float(fc) / fs * N)) - M // 2) % N for fc in centers],
+        np.int32,
+    )
+    pad = (-len(centers)) % n_dev
+    starts_p = np.concatenate([starts, np.repeat(starts[:1], pad)])
+    kidx_p = np.arange(len(centers) + pad, dtype=np.int32)
+    return starts_p, kidx_p
 
 
 def _combine_local_builder(axis, K, M, N, fs_chan, corr_seconds,
@@ -1006,13 +1017,7 @@ def sharded_combine_harmonics(
     n_dev = mesh.shape[axis]
     n_c = int(iq_words.shape[0]) // 2
     N, M, fs_chan = _channel_geometry(n_c, fs, chan_bw)
-    starts = np.array(
-        [(int(np.round(float(fc) / fs * N)) - M // 2) % N for fc in centers],
-        np.int32,
-    )
-    pad = (-K) % n_dev
-    starts_p = np.concatenate([starts, np.repeat(starts[:1], pad)])
-    kidx_p = np.arange(K + pad, dtype=np.int32)  # pads get indices >= K
+    starts_p, kidx_p = _carrier_layout(centers, fs, N, M, n_dev)
 
     def make_local(fv_known):
         return _combine_local_builder(
@@ -1110,13 +1115,7 @@ def sharded_combined_reconstruct_fn(
                          "chain consumes the fused envelope")
     centers = np.atleast_1d(np.asarray(centers_hz, np.float64))
     K = len(centers)
-    starts = np.array(
-        [(int(np.round(float(fc) / fs * N)) - M // 2) % N for fc in centers],
-        np.int32,
-    )
-    pad = (-K) % n_shards
-    starts_p = np.concatenate([starts, np.repeat(starts[:1], pad)])
-    kidx_p = np.arange(K + pad, dtype=np.int32)
+    starts_p, kidx_p = _carrier_layout(centers, fs, N, M, n_shards)
     fv_q = fs_chan / round(fs_chan / float(refresh_hz))
     front = jax.shard_map(
         _combine_local_builder(axis, K, M, N, fs_chan, 0.1,
@@ -1189,13 +1188,7 @@ def sharded_streaming_combine_front(
     N, M, fs_chan = _channel_geometry(n_samples, fs, chan_bw)
     centers = np.atleast_1d(np.asarray(centers_hz, np.float64))
     K = len(centers)
-    starts = np.array(
-        [(int(np.round(float(fc) / fs * N)) - M // 2) % N for fc in centers],
-        np.int32,
-    )
-    pad = (-K) % n_dev
-    starts_p = np.concatenate([starts, np.repeat(starts[:1], pad)])
-    kidx_p = np.arange(K + pad, dtype=np.int32)
+    starts_p, kidx_p = _carrier_layout(centers, fs, N, M, n_dev)
     fv_q = fs_chan / round(fs_chan / float(refresh_hz))
     local = _combine_local_builder(
         axis, K, M, N, fs_chan, 0.1, max(fv_q - 5.0, 20.0), fv_q + 5.0,

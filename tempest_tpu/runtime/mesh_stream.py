@@ -47,7 +47,7 @@ from jax.sharding import Mesh
 from ..pipeline.offline import ReconstructionConfig
 from ..video.modes import VideoMode
 from .sources import SampleSource
-from .stream import FrameSink, StreamingRuntime
+from .stream import FrameSink, StreamingRuntime, frames_per_window
 
 __all__ = ["MeshStreamingRuntime"]
 
@@ -115,6 +115,20 @@ class MeshStreamingRuntime(StreamingRuntime):
 
             n_fft, m_chan, fs_chan = _channel_geometry(
                 block, fs, self._combine_bw)
+            if block != n_fft:
+                # The single-chip runtime tolerates block > N (its per-block
+                # phase re-anchoring absorbs the uncovered tail), but the
+                # MESH runtime's lookahead tail is the NEXT block's envelope
+                # head: with block > N the tail would continue at source
+                # position ppos+block while the chain assumes ppos+N — a
+                # (block−N)·M/N-channel-sample tear inside the last shard's
+                # halo frames, folded into the EMA every dispatch.  Refuse
+                # and tell the operator the fix.
+                raise ValueError(
+                    f"mesh live combine needs a power-of-two block size "
+                    f"(the channeliser FFT window): block {block} vs "
+                    f"window {n_fft} — use block_size={n_fft} "
+                    f"(cli: --block-seconds {n_fft / fs:.6f})")
             if m_chan % n_shards:
                 raise ValueError(
                     f"channel length {m_chan} must divide into {n_shards} "
@@ -143,14 +157,11 @@ class MeshStreamingRuntime(StreamingRuntime):
 
         spf_chain = chain_fs / self._mode.refresh
         if self._n_frames_fixed is None:
-            # Same derivation as the single-chip runtime with its chain
-            # capacity set to ONE SHARD SPAN — that is what makes the mesh
-            # step per-span-identical to single-chip blocks of S samples.
-            n = max(int((S - 2 - spf_chain) / spf_chain), 1)
-            while n > 1 and (int(np.ceil(spf_chain * n)) + 1
-                             + int(np.ceil(spf_chain)) > S):
-                n -= 1
-            self._n_frames = n
+            # The single-chip derivation with the chain capacity set to ONE
+            # SHARD SPAN — that is what makes the mesh step per-span-
+            # identical to single-chip blocks of S samples (shared helper:
+            # the parity contract depends on the identical formula).
+            self._n_frames = frames_per_window(S, spf_chain)
         else:
             self._n_frames = self._n_frames_fixed
         self.config = ReconstructionConfig(
@@ -221,8 +232,15 @@ class MeshStreamingRuntime(StreamingRuntime):
                         "sample source failed") from self._producer_error
                 break
             seq = getattr(self.ring, "last_seq", -1)
-            abs_this = (self._abs_base + seq * block if seq >= 0
-                        else self._abs_pos)
+            if seq >= 0:
+                abs_this = self._abs_base + seq * block
+            elif self._pending is not None:
+                # Sequence-less ring: this block continues the pending one
+                # (self._abs_pos still points at the pending block's start
+                # until its dispatch below, so it would be one block stale).
+                abs_this = self._pending[1] + block
+            else:
+                abs_this = self._abs_pos
             if combining:
                 # Fuse THIS block's carriers on the mesh now; the envelope
                 # stays device-resident and becomes the pending payload

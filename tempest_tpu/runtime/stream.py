@@ -47,6 +47,18 @@ __all__ = ["StreamingRuntime"]
 FrameSink = Callable[[np.ndarray, dict], None]
 
 
+def frames_per_window(cap: int, spf: float) -> int:
+    """Whole frame periods fitting one chain window of ``cap`` samples
+    after a frame period of phase headroom + fractional-cut slack (cf. the
+    reference's headroom-less ``nbIm`` floor, ``GUI.jl:137``, which
+    drifts).  ONE definition shared by the single-chip and mesh runtimes —
+    their bit-parity contract depends on the identical derivation."""
+    n = max(int((cap - 2 - spf) / spf), 1)
+    while n > 1 and int(np.ceil(spf * n)) + 1 + int(np.ceil(spf)) > cap:
+        n -= 1
+    return n
+
+
 class StreamingRuntime:
     """Block-streaming executor around one ``SampleSource``."""
 
@@ -169,10 +181,7 @@ class StreamingRuntime:
         # on every mode change: a slower refresh may fit one frame less.
         spf = chain_fs / self._mode.refresh
         if self._n_frames_fixed is None:
-            n = max(int((chain_cap - 2 - spf) / spf), 1)
-            while n > 1 and int(np.ceil(spf * n)) + 1 + int(np.ceil(spf)) > chain_cap:
-                n -= 1
-            self._n_frames = n
+            self._n_frames = frames_per_window(chain_cap, spf)
         else:
             self._n_frames = self._n_frames_fixed
         self.config = ReconstructionConfig(

@@ -102,6 +102,11 @@ document.getElementById('corr').addEventListener('click',async (e)=>{
 });
 </script></body></html>"""
 
+# Correlation-panel raster geometry, shared by corr_png (drawing) and
+# corr_click (inverse mapping): two PANEL_H-row line plots with PAD-px
+# insets (render_line_plot's margin) stacked around a SEP-row separator.
+_PANEL_W, _PANEL_H, _SEP, _PAD = 800, 200, 6, 8
+
 # 1x1 dark-grey PNG placeholder served before the first frame / evidence.
 _PLACEHOLDER = None
 
@@ -288,11 +293,11 @@ class WebOperatorView:
         from ..render.plots import render_line_plot
         from ..render.screen import png_bytes
 
-        top = render_line_plot(ev.gamma_rates, width=800, height=200,
-                               marks=(ev.rate_mark(),))
-        bottom = render_line_plot(ev.gamma_lines, width=800, height=200,
-                                  marks=(ev.line_mark(),))
-        sep = np.full((6, 800), 0.3, np.float32)
+        top = render_line_plot(ev.gamma_rates, width=_PANEL_W,
+                               height=_PANEL_H, marks=(ev.rate_mark(),))
+        bottom = render_line_plot(ev.gamma_lines, width=_PANEL_W,
+                                  height=_PANEL_H, marks=(ev.line_mark(),))
+        sep = np.full((_SEP, _PANEL_W), 0.3, np.float32)
         png = png_bytes(np.concatenate([top, sep, bottom], axis=0))
         with self._lock:
             self._ev_src, self._corr_png = ev, png
@@ -311,8 +316,17 @@ class WebOperatorView:
         ev = self.rt.last_evidence
         if ev is None:
             return "click ignored — no evidence, run `correlate` first"
-        xf = float(min(max(xf, 0.0), 1.0))
-        if yf < 0.5:
+        # Invert the panel raster geometry: the curve (and the marks)
+        # occupy columns [PAD, W-PAD-1], so the data fraction is the
+        # click's pixel column minus the inset — using the image fraction
+        # raw would skew edge clicks by up to ~1% of the axis (enough to
+        # pick a neighbouring ranked peak near the window edge).
+        xf = float(np.clip(
+            (float(xf) * _PANEL_W - _PAD) / (_PANEL_W - 2 * _PAD - 1),
+            0.0, 1.0))
+        # Panel split at the separator's midline (the top panel ends at
+        # row PANEL_H of the 2·PANEL_H+SEP stack, not at half height).
+        if yf * (2 * _PANEL_H + _SEP) < _PANEL_H + _SEP / 2:
             g = np.asarray(ev.gamma_rates)
             n = g.shape[0]
             i = int(round(xf * (n - 1)))

@@ -78,9 +78,11 @@ def test_checkpoint_resumes_full_chain_state(tmp_path):
     block = int(FS * 0.2)
     carriers = [-1.2e6, 1.2e6]
     src = SyntheticSource(MODE, FS, block, snr_db=25.0, seed=7)
+    # AM + excision (fm + excision is refused by check_excise_demod —
+    # its own test asserts the raise).
     rt = StreamingRuntime(src, MODE, alpha=0.5, fidelity=True,
                           fidelity_bins=32, invert=True, combine=carriers,
-                          combine_bw=1.5e6, combine_demod="fm",
+                          combine_bw=1.5e6, combine_demod="am",
                           combine_excise_db=3.0)
     p = str(tmp_path / "full.npz")
     rt.save_checkpoint(p)
@@ -95,10 +97,11 @@ def test_checkpoint_resumes_full_chain_state(tmp_path):
     assert rt2.config == rt.config
     assert rt2.health()["combine"] == rt.health()["combine"]
 
-    # None excise must survive the NaN sentinel round-trip too.
-    rt._combine_excise = None
+    # FM demod (excise off) and the None-excise NaN sentinel round-trip.
+    rt.set_combine(carriers, demod="fm", excise_db=None)
     rt.save_checkpoint(p)
     rt2.load_checkpoint(p)
+    assert rt2._combine_demod == "fm"
     assert rt2._combine_excise is None
 
 
