@@ -89,11 +89,11 @@ class OperatorConsole:
         self._sync_hist: deque[np.ndarray] = deque(maxlen=64)
         self._scripted = None
         self._q: queue.Queue[str] | None = None
+        self._stdin_thread: threading.Thread | None = None
         if commands is None:
+            # The stdin reader starts lazily in run(): a dispatch-only
+            # console (tests, programmatic drivers) must not own stdin.
             self._q = queue.Queue()
-            t = threading.Thread(target=self._stdin_reader, daemon=True,
-                                 name="console-stdin")
-            t.start()
         else:
             self._scripted = iter(commands)
 
@@ -308,6 +308,10 @@ class OperatorConsole:
         """Drive the session: dispatch pending commands, process one block,
         repeat — until `quit`, EOF, a scripted command stream runs out, the
         source closes, or ``max_blocks``.  Returns the final EMA image."""
+        if self._q is not None and self._stdin_thread is None:
+            self._stdin_thread = threading.Thread(
+                target=self._stdin_reader, daemon=True, name="console-stdin")
+            self._stdin_thread.start()
         img = None
         while self.alive:
             for line in self._next_commands():
