@@ -313,13 +313,12 @@ def cmd_stream(args: argparse.Namespace) -> int:
         from ..parallel.mesh import make_mesh
         from ..runtime.mesh_stream import MeshStreamingRuntime
 
-        if args.fidelity:
-            raise SystemExit("--mesh runs the carry-phase sync chain; the "
-                             "quantised-table fidelity chain stays "
-                             "single-chip")
         rt = MeshStreamingRuntime(source, mode, make_mesh(args.mesh),
                                   alpha=args.alpha, invert=args.invert,
                                   ring_impl=args.ring,
+                                  fidelity=args.fidelity
+                                  and not args.drift_lock,
+                                  fidelity_bins=args.fidelity_bins,
                                   config_overrides=overrides or None,
                                   combine=combine, combine_bw=args.chan_bw,
                                   combine_demod=args.combine_demod,
@@ -829,7 +828,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stream through the N-device mesh runtime (each "
                         "block split into N time spans, halos over ICI; "
                         "--combine shards the carriers across the same "
-                        "mesh; fidelity stays single-chip)")
+                        "mesh, --fidelity runs the quantised exact-cut "
+                        "tables with per-shard bins)")
     p.add_argument("--ring", default="python", choices=["python", "native"],
                    help="host ring buffer implementation (native = C++, "
                         "GIL-free)")

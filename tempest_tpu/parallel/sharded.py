@@ -268,11 +268,20 @@ def sharded_streaming_reconstruct_fn(
         raise ValueError("streaming mesh step takes 'iq_interleaved' or "
                          "'envelope' rows (real device boundaries)")
     sub = config.subsample_align
-    if sub and config.resampler != "gather":
+    # Quantised-table FIDELITY chain on the mesh: per-shard phases select
+    # per-shard bins host-side (same quantisation as the single-chip
+    # fidelity step); ALL bins' grouping tables live device-resident as
+    # (K, F, …) int32 stacks and each shard gathers its own (F, …) slab by
+    # traced bin index — the round-3 batched-serving mechanism, per shard.
+    quantised = sub and config.resampler == "mxu3" and config.phase_bins > 0
+    if sub and not quantised and config.resampler != "gather":
         raise ValueError(
             "mesh streaming subsample_align needs resampler='gather' "
-            "(traced fractional offsets; the quantised-table fidelity chain "
-            "selects host-side bins and is single-chip for now)")
+            "(traced fractional offsets) or resampler='mxu3' with "
+            "phase_bins>0 (quantised tables at matmul speed)")
+    if quantised and config.fuse_demod_cut:
+        raise ValueError("fuse_demod_cut is a single-chip formulation "
+                         "(and measured negative, exp/exp_r4_bookends)")
     n_shards = mesh.shape[axis]
     fs = config.sample_rate
     mode = config.mode
@@ -289,29 +298,18 @@ def sharded_streaming_reconstruct_fn(
             f"halo ({overlap}) exceeds the shard ({S}); use larger shards "
             f"or fewer frames per shard")
 
-    def local_step(iq_local, phase_local, tail, ema, alpha):
-        sig = iq_local[0]                          # (u·S,) this shard's span
+    def _extend(sig, tail):
+        """This shard's span + its halo: from the right neighbour over ICI,
+        or — for the last shard — the next block's head (the tail)."""
         halo = sig[: u * overlap]
         perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
         halo_from_right = jax.lax.ppermute(halo, axis, perm)
-        # The last shard's right neighbour is the NEXT block: use the tail.
         is_last = jax.lax.axis_index(axis) == n_shards - 1
-        halo_from_right = jnp.where(is_last, tail, halo_from_right)
-        ext = jnp.concatenate([sig, halo_from_right])
+        return jnp.concatenate([sig, jnp.where(is_last, tail,
+                                               halo_from_right)])
 
-        env = demodulate(ext, config)              # (S + overlap,) samples
-        phase = phase_local[0]
-        exact_t = phase + spf * jnp.arange(n_frames, dtype=jnp.float32)
-        if sub:
-            fstarts = jnp.floor(exact_t).astype(jnp.int32)
-            fracs = exact_t - fstarts.astype(jnp.float32)
-        else:
-            fstarts = jnp.floor(exact_t + 0.5).astype(jnp.int32)
-            fracs = None
-        frames, sync, score = process_frames(env, fstarts, config, frame_len,
-                                             fracs)
-
-        # Associative EMA combine, identical to sharded_reconstruct_fn.
+    def _ema_compose(ema, frames, alpha):
+        """Associative EMA combine, identical to sharded_reconstruct_fn."""
         zero = jax.lax.pcast(
             jnp.zeros((h, w), jnp.float32), (axis,), to="varying"
         )
@@ -321,32 +319,101 @@ def sharded_streaming_reconstruct_fn(
         ema_out = ema
         for d in range(n_shards):
             ema_out = a_local * ema_out + b_all[d]
-        return ema_out[None], frames[None], sync[None], score[None]
-
-    shard_step = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(), P(), P()),
-        out_specs=(P(axis), P(axis), P(axis), P(axis)),
-    )
+        return ema_out
 
     row_sh = NamedSharding(mesh, P(axis, None))
     vec_sh = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
-    @_functools.partial(
-        jax.jit,
-        in_shardings=(row_sh, vec_sh, repl, repl, repl),
-        out_shardings=(repl, row_sh, row_sh, vec_sh),
-    )
-    def step(rows, phases, tail, ema, alpha):
-        ema_shards, frames, sync, score = shard_step(rows, phases, tail,
-                                                     ema, alpha)
-        return (ema_shards[0], frames.reshape(-1, h, w),
-                sync.reshape(-1, 2), score.reshape(-1))
+    if quantised:
+        from ..pipeline.offline import _get_plan, _make_sync_one
 
-    def step_api(rows, tail, ema, alpha, phases):
-        return step(rows, phases, tail, ema, alpha)
+        plan = _get_plan(config, frame_len)
+        sync_one = _make_sync_one(config)
+        sel_all = jnp.asarray(plan.sel_src)      # (K, F, G_o) int32
+        reg_all = jnp.asarray(plan.reg_src)      # (K, F, G_p)
+        blend_all = jnp.asarray(plan.blend_idx)  # (K, F, n_lines)
+
+        def local_fid(iq_local, m_local, k_local, sel_a, reg_a, blend_a,
+                      tail, ema, alpha):
+            ext = _extend(iq_local[0], tail)
+            env = demodulate(ext, config)
+            k = k_local[0]
+            screens = plan.resample(env, m_local[0], sel_a[k], reg_a[k],
+                                    blend_a[k])
+            frames, sync, score = jax.vmap(sync_one)(screens)
+            ema_out = _ema_compose(ema, frames, alpha)
+            return ema_out[None], frames[None], sync[None], score[None]
+
+        shard_fid = jax.shard_map(
+            local_fid,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis), P(axis), P(), P(), P(),
+                      P(), P(), P()),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        )
+
+        @_functools.partial(
+            jax.jit,
+            in_shardings=(row_sh, vec_sh, vec_sh, repl, repl, repl,
+                          repl, repl, repl),
+            out_shardings=(repl, row_sh, row_sh, vec_sh),
+        )
+        def fid_step(rows, m_arr, k_arr, sel_a, reg_a, blend_a,
+                     tail, ema, alpha):
+            ema_shards, frames, sync, score = shard_fid(
+                rows, m_arr, k_arr, sel_a, reg_a, blend_a, tail, ema, alpha)
+            return (ema_shards[0], frames.reshape(-1, h, w),
+                    sync.reshape(-1, 2), score.reshape(-1))
+
+        def step_api(rows, tail, ema, alpha, phases):
+            # Host-side bin quantisation per shard — identical to the
+            # single-chip fidelity step's bin_for_phase on each span.
+            km = [plan.bin_for_phase(float(p)) for p in np.asarray(phases)]
+            k_arr = np.asarray([k for k, _ in km], np.int32)
+            m_arr = np.asarray([m for _, m in km], np.int32)
+            return fid_step(rows, m_arr, k_arr, sel_all, reg_all, blend_all,
+                            tail, ema, alpha)
+
+        step_api.plan = plan
+    else:
+
+        def local_step(iq_local, phase_local, tail, ema, alpha):
+            ext = _extend(iq_local[0], tail)
+            env = demodulate(ext, config)          # (S + overlap,) samples
+            phase = phase_local[0]
+            exact_t = phase + spf * jnp.arange(n_frames, dtype=jnp.float32)
+            if sub:
+                fstarts = jnp.floor(exact_t).astype(jnp.int32)
+                fracs = exact_t - fstarts.astype(jnp.float32)
+            else:
+                fstarts = jnp.floor(exact_t + 0.5).astype(jnp.int32)
+                fracs = None
+            frames, sync, score = process_frames(env, fstarts, config,
+                                                 frame_len, fracs)
+            ema_out = _ema_compose(ema, frames, alpha)
+            return ema_out[None], frames[None], sync[None], score[None]
+
+        shard_step = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis), P(), P(), P()),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        )
+
+        @_functools.partial(
+            jax.jit,
+            in_shardings=(row_sh, vec_sh, repl, repl, repl),
+            out_shardings=(repl, row_sh, row_sh, vec_sh),
+        )
+        def step(rows, phases, tail, ema, alpha):
+            ema_shards, frames, sync, score = shard_step(rows, phases, tail,
+                                                         ema, alpha)
+            return (ema_shards[0], frames.reshape(-1, h, w),
+                    sync.reshape(-1, 2), score.reshape(-1))
+
+        def step_api(rows, tail, ema, alpha, phases):
+            return step(rows, phases, tail, ema, alpha)
 
     step_api.n_shards = n_shards
     step_api.n_frames = n_frames

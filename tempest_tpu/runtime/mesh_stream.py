@@ -34,8 +34,13 @@ Design notes:
   block's envelope with the new one's head as the lookahead tail —
   carriers → time across one mesh, streaming.  Frame-grid math stays in
   source samples, scaled by the exact decimation M/N on dispatch.
-* The quantised-table fidelity chain selects host-side phase bins and
-  stays single-chip; ``fidelity=True`` raises loudly here.
+* **The fidelity chain runs on the mesh too** (``fidelity=True``): each
+  shard's carry phase quantises to its own bin HOST-side (identical
+  ``bin_for_phase`` as the single-chip step), all bins' grouping tables
+  live device-resident as (K, F, …) stacks, and each shard gathers its
+  (F, …) slab by traced bin index — the round-3 batched-serving
+  mechanism applied per shard.  Bit-parity with the single-chip fidelity
+  runtime is tested.
 """
 
 from __future__ import annotations
@@ -66,6 +71,8 @@ class MeshStreamingRuntime(StreamingRuntime):
         ring_depth: int = 16,
         invert: bool = False,
         ring_impl: str = "python",
+        fidelity: bool = False,
+        fidelity_bins: int = 64,
         config_overrides: dict | None = None,
         combine: list[float] | None = None,
         combine_bw: float = 4e6,
@@ -79,7 +86,9 @@ class MeshStreamingRuntime(StreamingRuntime):
         super().__init__(
             source, mode, n_frames_per_block=n_frames_per_shard,
             alpha=alpha, ring_depth=ring_depth, invert=invert,
-            ring_impl=ring_impl, config_overrides=config_overrides,
+            ring_impl=ring_impl, fidelity=fidelity,
+            fidelity_bins=fidelity_bins,
+            config_overrides=config_overrides,
             combine=combine, combine_bw=combine_bw,
             combine_demod=combine_demod,
             combine_excise_db=combine_excise_db,
@@ -92,11 +101,6 @@ class MeshStreamingRuntime(StreamingRuntime):
             sharded_streaming_reconstruct_fn,
         )
 
-        if getattr(self, "fidelity", False):
-            raise NotImplementedError(
-                "the quantised-table fidelity chain selects host-side phase "
-                "bins and stays single-chip; the mesh runtime runs the "
-                "carry-phase sync chain")
         n_shards = self.mesh.shape[self._mesh_axis]
         block = self.source.block_size
         fs = self.source.sample_rate
@@ -164,6 +168,14 @@ class MeshStreamingRuntime(StreamingRuntime):
             self._n_frames = frames_per_window(S, spf_chain)
         else:
             self._n_frames = self._n_frames_fixed
+        # Chain selection mirrors the single-chip runtime exactly (their
+        # bit-parity contract): fidelity = quantised exact-cut tables with
+        # per-SHARD host-selected bins; otherwise the sub-pixel sync chain.
+        if self.fidelity and not self.fidelity_bins:
+            raise ValueError(
+                "mesh fidelity needs fidelity_bins>0 (quantised tables; "
+                "the traced-offset gather chain is config_overrides="
+                "{'resampler': 'gather'} if really wanted)")
         self.config = ReconstructionConfig(
             sample_rate=chain_fs,
             mode=self._mode,
@@ -172,9 +184,11 @@ class MeshStreamingRuntime(StreamingRuntime):
             carry_phase=True,
             input_format=input_format,
             resampler="mxu3",
-            subsample_align=False,
-            do_align=True,
-            align_subpixel=True,
+            subsample_align=self.fidelity,
+            do_align=not self.fidelity,
+            align_subpixel=not self.fidelity,
+            phase_bins=self.fidelity_bins if self.fidelity else 0,
+            einsum_bf16=bool(self.fidelity and self.fidelity_bins),
         )
         if self._overrides:
             import dataclasses
@@ -253,6 +267,10 @@ class MeshStreamingRuntime(StreamingRuntime):
                 payload = buf
             if self._pending is not None:
                 prev, ppos = self._pending
+                # Phases stay float64 on the host: the fidelity step
+                # quantises them to bins HOST-side (exact parity with the
+                # single-chip bin_for_phase); the traced chains downcast to
+                # f32 at dispatch either way.
                 if combining:
                     import jax
 
@@ -263,15 +281,14 @@ class MeshStreamingRuntime(StreamingRuntime):
                     ph0 = ((-ppos) % self._spf) * self._phase_scale
                     phases = np.asarray(
                         [(ph0 - d * S) % spf_chain for d in range(n_shards)],
-                        np.float32)
+                        np.float64)
                 else:
                     rows = prev.view(np.float32).reshape(n_shards, 2 * S)
                     tail = np.ascontiguousarray(buf[:ov]).view(np.float32)
-                    # Host float64 phases, like the single-chip path.
                     phases = np.asarray(
                         [(-(ppos + d * S)) % self._spf
                          for d in range(n_shards)],
-                        np.float32)
+                        np.float64)
                 ema, frames, sync, score = self._step(
                     rows, tail, ema, jnp.float32(self.alpha), phases)
                 self._abs_pos = ppos + block

@@ -760,6 +760,44 @@ def test_mesh_streaming_matches_single_chip():
     assert h["n_shards"] == n_sh and h["pending_block"] is True
 
 
+def test_mesh_streaming_fidelity_matches_single_chip():
+    """The quantised-table FIDELITY chain on the mesh (round 5): per-shard
+    carry phases quantise to per-shard bins host-side, the (K, F, …) table
+    stacks live device-resident and each shard gathers its slab by traced
+    bin index.  Must reproduce the single-chip fidelity runtime fed the
+    same stream in span-sized blocks — same bins, same exact cuts, same
+    EMA."""
+    from tempest_tpu.parallel.mesh import make_mesh
+    from tempest_tpu.runtime.mesh_stream import MeshStreamingRuntime
+    from tempest_tpu.runtime.sources import SyntheticSource
+
+    n_sh, T = 8, 2
+    S = int(FS * 0.05)
+    cap = tt.generate_iq(MODE, FS, (T + 1) * n_sh * S, snr_db=20.0, seed=12)
+    sig = np.asarray(cap.iq, np.complex64)
+
+    def _feed(rt, block, count):
+        for t in range(count):
+            rt.ring.put(np.ascontiguousarray(sig[t * block:(t + 1) * block]))
+
+    msrc = SyntheticSource(MODE, FS, n_sh * S, snr_db=25.0, seed=0)
+    mrt = MeshStreamingRuntime(msrc, MODE, make_mesh(n_sh), alpha=0.5,
+                               fidelity=True, fidelity_bins=16)
+    assert mrt.config.phase_bins == 16 and mrt.config.subsample_align
+    _feed(mrt, n_sh * S, T + 1)
+    img_m = mrt.process_blocks(T)
+
+    ssrc = SyntheticSource(MODE, FS, S, snr_db=25.0, seed=0)
+    srt = StreamingRuntime(ssrc, MODE, alpha=0.5, fidelity=True,
+                           fidelity_bins=16)
+    assert srt._n_frames == mrt._n_frames
+    _feed(srt, S, T * n_sh)
+    img_s = srt.process_blocks(T * n_sh)
+
+    assert mrt.frames_out == srt.frames_out
+    np.testing.assert_allclose(img_m, img_s, atol=2e-3)
+
+
 def test_mesh_streaming_phase_survives_ring_drops():
     """Ring drops on the MESH runtime: the pending/lookahead bookkeeping
     must re-anchor the dispatched block's phase to its production
@@ -877,12 +915,14 @@ def test_cli_stream_mesh(tmp_path, monkeypatch):
         "--mesh", "8", "--render", "png", "--out-prefix", "mshot",
     ]) == 0
     assert (tmp_path / "mshot_00000.png").exists()
-    with pytest.raises(SystemExit):
-        cli_main([
-            "stream", "--source", "synthetic", "--mode", "640x480 @ 60Hz",
-            "--fs", str(FS), "--blocks", "1", "--mesh", "8",
-            "--fidelity",
-        ])
+    # Fidelity on the mesh (quantised per-shard bins) from the CLI too.
+    assert cli_main([
+        "stream", "--source", "synthetic", "--mode", "640x480 @ 60Hz",
+        "--fs", str(FS), "--block-seconds", "0.4", "--blocks", "1",
+        "--mesh", "8", "--fidelity", "--fidelity-bins", "16",
+        "--render", "png", "--out-prefix", "fshot",
+    ]) == 0
+    assert (tmp_path / "fshot_00000.png").exists()
 
 
 def test_cli_stream_fm_single_carrier(tmp_path, monkeypatch):
