@@ -79,6 +79,7 @@ class SyntheticSource:
         snr_db: float = 20.0,
         seed: int = 0,
         visible: np.ndarray | None = None,
+        modulation: str = "am",
     ) -> None:
         self.sample_rate = float(sample_rate)
         self.block_size = int(block_size)
@@ -86,6 +87,9 @@ class SyntheticSource:
         self._snr = snr_db
         self._seed = seed
         self._visible = visible
+        # "am" (envelope) or "fm" (video rides the carrier frequency) —
+        # the live counterpart of `cli synth --modulation`.
+        self._modulation = modulation
         self._phase = 0.0
         self._pix_per_sample = mode.pixel_clock / sample_rate
         self._block_idx = 0
@@ -99,6 +103,7 @@ class SyntheticSource:
             snr_db=self._snr,
             start_phase=self._phase,
             seed=self._seed + self._block_idx,
+            modulation=self._modulation,
         )
         np.copyto(out, cap.iq)
         n_pix = self.mode.pixels_per_frame
